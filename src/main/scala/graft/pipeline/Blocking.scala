@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import graft.model.DocSig
+import graft.text.{Hashing, MinHash, SimHash}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Blocking stage: candidate generation by equality on LSH band keys —
+  * the scalable replacement for the reference's VP-tree radius search
+  * (`vptree/vptree.go:100-192`). A metric tree is a single-address-space
+  * index; band blocking turns the same radius predicate into plain
+  * equi-joins Catalyst can plan, shuffle-partition, and AQE-rebalance.
+  *
+  * Recall (SURVEY.md §7.4.1): with 16 × 4-bit bands per 64-bit media hash,
+  * any pair within Hamming distance ≤ 15 shares an exact band (pigeonhole);
+  * 16…21 is caught probabilistically plus via the text modality; within-block
+  * exact re-scoring makes precision exact. Text: 16 × 8-row MinHash bands.
+  */
+object Blocking {
+
+  final case class BlockRow(block_key: Long, doc_id: String, media: Array[Long],
+                            slots: Int, simhash: Long, hasText: Boolean)
+
+  /** One row per (doc, band key). Narrow flatMap — no shuffle here. */
+  def blockRows(sigs: Dataset[DocSig], cfg: GraftConfig)(
+      implicit spark: SparkSession): Dataset[BlockRow] = {
+    import spark.implicits._
+    val mediaBands = cfg.mediaBands
+    val textBands = cfg.textBands
+    sigs.flatMap { s =>
+      val keys = Array.newBuilder[Long]
+      // media bands, per span and slot (slot index mixed into the key so a
+      // dHash row-band never collides with a col-band block)
+      var i = 0
+      while (i < s.media.length) {
+        val slot = i % s.slots
+        val bk = SimHash.hammingBandKeys(s.media(i), mediaBands)
+        var b = 0
+        while (b < bk.length) { keys += Hashing.hash64(bk(b), slot.toLong); b += 1 }
+        i += 1
+      }
+      // text bands over the minhash signature
+      if (s.minhash.nonEmpty) keys ++= MinHash.bandKeys(s.minhash, textBands)
+      val hasText = s.text != null && s.text.nonEmpty
+      keys.result().distinct.iterator.map { k =>
+        BlockRow(k, s.doc_id, s.media, s.slots, s.simhash, hasText)
+      }
+    }
+  }
+
+  /** Summed-slot Hamming distance, minimized over media-span pairs —
+    * the reference metric (`vptree/vptree.go:60-69`) generalized to
+    * multi-span docs. Sentinel 9999 when either side has no media.
+    */
+  val mediaDistUdf = udf { (ma: Seq[Long], mb: Seq[Long], slots: Int) =>
+    if (ma == null || mb == null || ma.isEmpty || mb.isEmpty) 9999
+    else {
+      var best = Int.MaxValue
+      var i = 0
+      while (i + slots <= ma.length) {
+        var j = 0
+        while (j + slots <= mb.length) {
+          var d = 0
+          var k = 0
+          while (k < slots) {
+            d += java.lang.Long.bitCount(ma(i + k) ^ mb(j + k))
+            k += 1
+          }
+          if (d < best) best = d
+          j += slots
+        }
+        i += slots
+      }
+      best
+    }
+  }
+
+  final case class BlockStats(droppedBlocks: Long, droppedRows: Long, saltedBlocks: Long)
+
+  /** Candidate pair generation: salted self-join within blocks + cheap
+    * prefilter + per-pair dedup across bands.
+    *
+    * Skew handling is explicit, never silent:
+    *  - blocks > maxBlockSize are degenerate (near-duplicate farms / empty
+    *    text): dropped with logged counts;
+    *  - blocks > hotBlockSize are salted: the left side keeps one salt,
+    *    the right side is replicated over all `saltFactor` salts, so every
+    *    unordered pair is produced exactly once at the left doc's salt —
+    *    the shuffle key becomes (block_key, salt), splitting hot blocks
+    *    across reducers. AQE skew-join remains on as backstop.
+    *
+    * Returns (a, b, media_dist) with a < b, deduped across bands.
+    */
+  def candidatePairs(blocks: Dataset[BlockRow], cfg: GraftConfig)(
+      implicit spark: SparkSession): (DataFrame, BlockStats) = {
+    val w = Window.partitionBy("block_key")
+    val sized = blocks.toDF().withColumn("bsize", count(lit(1)).over(w))
+
+    val degenerate = sized.filter(col("bsize") > cfg.maxBlockSize)
+    val degAgg = degenerate.agg(
+      count(lit(1)).as("rows"), countDistinct(col("block_key")).as("blocks")).collect()(0)
+    val stats0 = BlockStats(degAgg.getLong(1), degAgg.getLong(0), 0L)
+
+    val live = sized.filter(col("bsize") <= cfg.maxBlockSize)
+    val normal = live.filter(col("bsize") <= cfg.hotBlockSize)
+    val hot = live.filter(col("bsize") > cfg.hotBlockSize)
+
+    def pairJoin(left: DataFrame, right: DataFrame, extraKey: Seq[String]): DataFrame = {
+      val l = left.alias("l")
+      val r = right.alias("r")
+      val keyCond = (Seq("block_key") ++ extraKey)
+        .map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+      l.join(r, keyCond && col("l.doc_id") < col("r.doc_id"))
+        .withColumn("media_dist",
+          mediaDistUdf(col("l.media"), col("r.media"), col("l.slots")))
+        .withColumn("sim_ham",
+          when(col("l.hasText") && col("r.hasText"),
+            bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
+            .otherwise(lit(9999)))
+        .filter(col("media_dist") < cfg.mediaThreshold ||
+          col("sim_ham") < cfg.simhashPrefilter)
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          col("media_dist"), col("sim_ham"))
+    }
+
+    val normalPairs = pairJoin(normal, normal, Nil)
+
+    val s = cfg.saltFactor
+    val hotLeft = hot.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(s)))
+    val hotRight = hot.withColumn("salt",
+      explode(sequence(lit(0), lit(s - 1))).cast("long"))
+    val hotPairs = pairJoin(hotLeft, hotRight, Seq("salt"))
+
+    val saltedBlocks = hot.select(countDistinct(col("block_key"))).collect()(0).getLong(0)
+
+    val pairs = normalPairs.unionByName(hotPairs)
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("media_dist")).as("media_dist"), min(col("sim_ham")).as("sim_ham"))
+    (pairs, stats0.copy(saltedBlocks = saltedBlocks))
+  }
+}

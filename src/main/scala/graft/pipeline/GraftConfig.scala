@@ -1,0 +1,41 @@
+package graft.pipeline
+
+/** Pipeline configuration. Defaults mirror the reference's calibrations
+  * where one exists (DCT radius 22, dHash radius 10 — `hash/hash.go:29-39`)
+  * and the graft's fused-scorer calibration everywhere else (locked by the
+  * labeled-corpus F1 gate in the test suite).
+  */
+final case class GraftConfig(
+    // media signatures
+    useDct: Boolean = true,
+    mediaThreshold: Int = 22, // strict '<', summed over slots (ref F1 predicate)
+    mediaBands: Int = 16,     // 16 × 4-bit bands per 64-bit hash slot
+    // text signatures
+    shingleK: Int = 5,
+    minhashK: Int = 128,
+    textBands: Int = 16,      // 16 bands × 8 rows → S-curve midpoint ≈ 0.7 Jaccard
+    simhashPrefilter: Int = 26, // loose cheap filter on banded text candidates
+    // phase-2 scoring: fused linear score over present modalities
+    scoreTextCap: Int = 512,  // chars of concatenated text scored by JW/levenshtein
+    wJw: Double = 0.5,
+    wLev: Double = 0.3,
+    wMinhash: Double = 0.2,
+    tau: Double = 0.67,       // fused cutoff; media-only reduces to ham < 22 ⇔ sim ≥ 0.671875
+    // skew handling
+    hotBlockSize: Int = 2048,   // blocks larger than this get salted replication
+    maxBlockSize: Int = 100000, // degenerate blocks dropped (counts logged, never silent)
+    saltFactor: Int = 16,
+    // connected components
+    maxCcIterations: Int = 50) {
+
+  def slots: Int = if (useDct) 1 else 2
+
+  /** Media similarity in [0,1] from a summed-slot Hamming distance. */
+  def mediaSim(dist: Int): Double = 1.0 - dist.toDouble / (64.0 * slots)
+
+  /** Threshold in similarity space: dist < mediaThreshold ⟺ sim ≥ this. */
+  def mediaSimCut: Double = 1.0 - (mediaThreshold - 1).toDouble / (64.0 * slots)
+
+  /** Digest of every field that affects stage outputs (resume keys). */
+  def configHash: Long = graft.text.Hashing.hash64(this.toString)
+}

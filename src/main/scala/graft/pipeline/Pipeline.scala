@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.media.{DefaultMedia, MediaResolver}
+import graft.model.{Doc, DocSig}
+import graft.text.Hashing
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end record-linkage pipeline (the Spark lifecycle replacing the
+  * reference's E1 flow, SURVEY.md §3):
+  *
+  *   Dataset[Doc] → signatures (narrow map) → band blocking (explode)
+  *   → salted self-join + fused scoring → large-star/small-star CC
+  *   → cluster assignment joined back to the input docs.
+  *
+  * Output preserves span-sequence equality per row: cluster ids are joined
+  * back onto the ORIGINAL doc rows by doc_id; spans are never carried
+  * through (and therefore never reordered by) the shuffling stages.
+  */
+object Pipeline {
+
+  final case class Result(clusters: DataFrame, // (doc_id, cluster_id, spans)
+                          edges: DataFrame, // (src, dst)
+                          badMedia: DataFrame, // (doc_id, media_ref, error)
+                          stats: Blocking.BlockStats)
+
+  def run(spark: SparkSession, docs: Dataset[Doc],
+          cfg: GraftConfig = GraftConfig(),
+          resolver: MediaResolver = DefaultMedia,
+          checkpointDir: Option[String] = None): Result = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+
+    val io = checkpointDir.map(new ParquetTableIO(_))
+    def ckpt(name: String, key: Long)(compute: => DataFrame): DataFrame = io match {
+      case Some(t) => Checkpoints.stage(spark, t, name, key)(compute)
+      case None => compute
+    }
+    val baseKey = cfg.configHash
+
+    // 1. signatures (+ bad-media side output)
+    val sigResults = ckpt("signatures", baseKey) {
+      Signatures.derive(docs, cfg, resolver).toDF()
+    }
+    val sigs: Dataset[DocSig] = sigResults.select("sig.*").as[DocSig]
+    val badMedia = sigResults.select(explode(col("errors")).as("e")).select("e.*")
+
+    // 2-3. blocking + candidate pairs
+    val blocks = Blocking.blockRows(sigs, cfg)
+    val (cands, stats) = Blocking.candidatePairs(blocks, cfg)
+    val candidates = ckpt("candidates", Hashing.hash64(baseKey, 2L))(cands)
+
+    // 4. exact scoring → duplicate edges
+    val scored = ckpt("scored", Hashing.hash64(baseKey, 3L)) {
+      Pairs.score(candidates, sigs, cfg)
+    }
+    val edges = Pairs.edges(scored)
+
+    // 5. connected components
+    val assignments = ckpt("clusters", Hashing.hash64(baseKey, 4L)) {
+      Components.connectedComponents(edges, cfg.maxCcIterations)
+    }
+
+    // 6. join back to input docs; singletons cluster as themselves
+    val out = docs.toDF()
+      .join(assignments, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select("doc_id", "cluster_id", "spans")
+
+    Result(out, edges, badMedia, stats)
+  }
+
+  /** Targeted compare (reference E2, `dedupe.go:127-146`): which candidate
+    * docs are duplicates of one target doc. The target's band keys are a
+    * handful of rows — broadcast against the blocked corpus; no CC needed.
+    */
+  def compare(spark: SparkSession, target: Doc, candidates: Dataset[Doc],
+              cfg: GraftConfig = GraftConfig(),
+              resolver: MediaResolver = DefaultMedia): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val sigs = Signatures.derive(candidates, cfg, resolver).map(_.sig)
+    val blocks = Blocking.blockRows(sigs, cfg)
+
+    val targetSigs = Signatures
+      .derive(spark.createDataset(Seq(target)), cfg, resolver).map(_.sig)
+    val targetBlocks = Blocking.blockRows(targetSigs, cfg)
+
+    val l = blocks.toDF().alias("l")
+    val r = broadcast(targetBlocks.toDF().alias("r"))
+    val cand = l.join(r, col("l.block_key") === col("r.block_key") &&
+        col("l.doc_id") =!= col("r.doc_id"))
+      .withColumn("media_dist",
+        Blocking.mediaDistUdf(col("l.media"), col("r.media"), col("l.slots")))
+      .withColumn("sim_ham",
+        when(col("l.hasText") && col("r.hasText"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
+          .otherwise(lit(9999)))
+      .filter(col("media_dist") < cfg.mediaThreshold ||
+        col("sim_ham") < cfg.simhashPrefilter)
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("b"),
+        col("media_dist"), col("sim_ham"))
+      .groupBy("a", "b")
+      .agg(min("media_dist").as("media_dist"), min("sim_ham").as("sim_ham"))
+
+    val all = candidates.union(spark.createDataset(Seq(target)))
+    val allSigs = Signatures.derive(all, cfg, resolver).map(_.sig)
+    val scored = Pairs.score(cand, allSigs, cfg)
+    val t = target.doc_id
+    scored.filter(col("is_dup"))
+      .select(when(col("a") === t, col("b")).otherwise(col("a")).as("doc_id"),
+        col("score"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.synth
+
+import graft.model.{Doc, Span}
+import graft.text.Hashing
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic labeled interleaved-document corpus (seeded, no wall clock,
+  * no external data — per the driver's input_hint, synthesized at small
+  * scale for tests and benchmarks).
+  *
+  * Each entity (label) yields one base doc plus `dupsPerEntity(label)`
+  * perturbed near-duplicates: text perturbations (word drop/swap/synonym
+  * noise) and media perturbations (`?noise=k` refs → SynthMedia renders a
+  * slightly shifted field). Ground truth: docs share a label iff they derive
+  * from the same base — the pairwise-F1 oracle of BASELINE.json.
+  */
+object Corpus {
+
+  private val Vocab: Array[String] =
+    ("spark scala shuffle partition cluster executor driver catalyst tungsten codegen " +
+      "hash join scan filter project aggregate window sort merge broadcast salt skew " +
+      "document span text media image token shingle minhash simhash band block pair " +
+      "score threshold duplicate entity record linkage component iteration checkpoint " +
+      "manifest lineage metric parquet table column row schema batch stream").split(" ")
+
+  final case class LabeledDoc(doc: Doc, label: Long)
+
+  final case class Params(entities: Int = 1000,
+                          dupRate: Double = 0.35, // fraction of entities with dups
+                          maxDups: Int = 3,
+                          mediaSpanProb: Double = 0.5,
+                          seed: Long = 42L)
+
+  /** Deterministic per-call RNG: a splitmix64 stream keyed by (seed, tags). */
+  private final class Rng(seed: Long) {
+    private var s = seed
+    def nextLong(): Long = { s = Hashing.mix64(s); s }
+    def nextInt(bound: Int): Int = (java.lang.Long.remainderUnsigned(nextLong(), bound.toLong)).toInt
+    def nextDouble(): Double = (nextLong() >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  def generate(p: Params): Seq[LabeledDoc] = {
+    val out = new ArrayBuffer[LabeledDoc](p.entities * 2)
+    var e = 0
+    while (e < p.entities) {
+      val rng = new Rng(Hashing.hash64(p.seed, e.toLong))
+      val nText = 1 + rng.nextInt(2)
+      val nMedia = if (rng.nextDouble() < p.mediaSpanProb) 1 else 0
+      val words = Array.fill(20 + rng.nextInt(40))(Vocab(rng.nextInt(Vocab.length)))
+      val spans = ArrayBuffer.empty[Span]
+      var off = 0
+      var t = 0
+      val per = math.max(words.length / nText, 1)
+      while (t < nText) {
+        val slice = words.slice(t * per, if (t == nText - 1) words.length else (t + 1) * per)
+        spans += Span.text(slice.mkString(" "), off)
+        off += 1
+        t += 1
+      }
+      var m = 0
+      while (m < nMedia) {
+        spans += Span.media(s"synth://e$e-m$m", off)
+        off += 1
+        m += 1
+      }
+      out += LabeledDoc(Doc(f"d$e%08d-0", spans.toSeq), e.toLong)
+
+      if (rng.nextDouble() < p.dupRate) {
+        val nd = 1 + rng.nextInt(p.maxDups)
+        var d = 1
+        while (d <= nd) {
+          out += LabeledDoc(perturb(e, d, words, nText, nMedia, new Rng(Hashing.hash64(p.seed ^ 0x647570L, e * 131L + d))), e.toLong)
+          d += 1
+        }
+      }
+      e += 1
+    }
+    out.toSeq
+  }
+
+  /** Near-duplicate: drop ≤3% of words, swap one adjacent pair, keep media
+    * refs with a small noise tag — similarities stay well above the fused
+    * threshold while non-dup entities (disjoint seeded word draws) stay far
+    * below.
+    */
+  private def perturb(e: Int, d: Int, words: Array[String], nText: Int,
+                      nMedia: Int, rng: Rng): Doc = {
+    val kept = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < words.length) {
+      if (rng.nextDouble() >= 0.03) kept += words(i)
+      i += 1
+    }
+    if (kept.length >= 2) {
+      val j = rng.nextInt(kept.length - 1)
+      val tmp = kept(j); kept(j) = kept(j + 1); kept(j + 1) = tmp
+    }
+    val spans = ArrayBuffer.empty[Span]
+    var off = 0
+    var t = 0
+    val per = math.max(kept.length / nText, 1)
+    while (t < nText) {
+      val slice = kept.slice(t * per, if (t == nText - 1) kept.length else (t + 1) * per)
+      spans += Span.text(slice.mkString(" "), off)
+      off += 1
+      t += 1
+    }
+    var m = 0
+    while (m < nMedia) {
+      spans += Span.media(s"synth://e$e-m$m?noise=${1 + rng.nextInt(2)}", off)
+      off += 1
+      m += 1
+    }
+    Doc(f"d$e%08d-$d", spans.toSeq)
+  }
+
+  /** True duplicate pairs (a < b) implied by the labels. */
+  def truePairs(docs: Seq[LabeledDoc]): Set[(String, String)] = {
+    docs.groupBy(_.label).valuesIterator.flatMap { grp =>
+      val ids = grp.map(_.doc.doc_id).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+  }
+}

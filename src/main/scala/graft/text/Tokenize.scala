@@ -1,0 +1,105 @@
+package graft.text
+
+/** Tokenization + shingling for text spans.
+  *
+  * The reference has no text path at all (it hashes pixels); these kernels
+  * are the graft-added text analog of its per-image signature stage, per the
+  * north rule: MinHash/LSH bands over concatenated text spans.
+  */
+object Tokenize {
+
+  /** Whitespace word tokens, lowercased. */
+  def words(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = text.toLowerCase.split("\\s+")
+    if (out.length == 1 && out(0).isEmpty) Array.empty else out.filter(_.nonEmpty)
+  }
+
+  /** Whitespace token count (no allocation of the token array). */
+  def wordCount(text: String): Int = {
+    if (text == null) return 0
+    var n = 0
+    var inTok = false
+    var i = 0
+    while (i < text.length) {
+      val ws = Character.isWhitespace(text.charAt(i))
+      if (!ws && !inTok) { n += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    n
+  }
+
+  /** BPE-ish subword token estimate: word/number/punct runs, long words
+    * charged ceil(len/4) subword units — a deterministic proxy for a real
+    * BPE vocab (tokenizer libs are out of scope in this sandbox).
+    */
+  private val BpeRun = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]")
+  def bpeTokenCount(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    val m = BpeRun.matcher(text)
+    var n = 0
+    while (m.find()) {
+      val len = m.end() - m.start()
+      val isWord = Character.isLetter(text.charAt(m.start()))
+      n += (if (isWord) (len + 3) / 4 else 1)
+    }
+    n
+  }
+
+  /** Contiguous word n-grams joined by a single space. */
+  def wordNgrams(text: String, n: Int): Array[String] = {
+    val w = words(text)
+    if (w.length < n) {
+      if (w.isEmpty) Array.empty else Array(w.mkString(" "))
+    } else {
+      val out = new Array[String](w.length - n + 1)
+      var i = 0
+      while (i + n <= w.length) {
+        out(i) = w.slice(i, i + n).mkString(" ")
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Character k-shingles over the whitespace-normalized, lowercased text. */
+  def charShingles(text: String, k: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.isEmpty) Array.empty
+    else if (norm.length <= k) Array(norm)
+    else {
+      val out = new Array[String](norm.length - k + 1)
+      var i = 0
+      while (i + k <= norm.length) { out(i) = norm.substring(i, i + k); i += 1 }
+      out
+    }
+  }
+
+  /** Hashed char k-shingle set (distinct), for MinHash input. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val sh = charShingles(text, k)
+    if (sh.isEmpty) Array.empty
+    else {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < sh.length) { set.add(Hashing.hash64(sh(i))); i += 1 }
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
+
+  /** Exact Jaccard similarity of two token sets. */
+  def jaccard(a: Array[String], b: Array[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = a.toSet
+    val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    inter.toDouble / (sa.size + sb.size - inter).toDouble
+  }
+}
