@@ -25,13 +25,22 @@ object FileMedia extends MediaResolver {
 }
 
 /** Deterministic synthetic media: `synth://<seed>[?noise=<k>]` renders a
-  * smooth 32×32 low-frequency RGB field from the seed; `noise=k` adds a
-  * small perturbation of magnitude k (near-duplicate: pHash stays within a
-  * few bits). Used by the labeled corpus and the throughput benchmark —
-  * exercises the REAL resize+DCT kernels without any image files.
+  * 32×32 greyscale field whose 8×8 low-frequency DCT block carries a seeded
+  * balanced ±sign codeword — i.e. the image is the INVERSE DCT of a known
+  * pHash target, so the real resize+DCT+median kernel recovers it exactly:
+  *   - distinct seeds ⇒ independent balanced codewords ⇒ expected pHash
+  *     distance ≈ 32 bits, P(d < 11) ≈ 3·10⁻⁸ (collision-free in practice);
+  *   - `noise=k` flips the signs of k chosen coefficients ⇒ pHash distance
+  *     ≈ k (+O(1) median shift) — a controlled near-duplicate.
+  * Used by the labeled corpus and the throughput benchmark; exercises the
+  * REAL kernels without any image files and with provable separation (the
+  * reason a smooth-random-field generator was rejected: at the reference's
+  * radius 22/64 even ideal random hashes collide at ~0.4%, which destroys
+  * pairwise precision on any corpus with >100 entities).
   */
 object SynthMedia extends MediaResolver {
   private val Size = 32
+  private val Region = 8
 
   def resolve(ref: String): Either[String, Raster] = {
     if (!ref.startsWith("synth://")) return Left(s"not a synth ref: $ref")
@@ -43,44 +52,78 @@ object SynthMedia extends MediaResolver {
     Right(render(Hashing.hash64(seedStr), noise))
   }
 
-  /** Smooth field: per channel a sum of 3 seeded 2-D cosine waves, so small
-    * perturbations move the DCT hash by only a few bits.
-    */
   def render(seed: Long, noise: Int): Raster = {
-    val img = Raster(Size, Size)
-    val s = Hashing.seeds(seed, 18)
-    // noise shifts phases slightly and brightness a touch
-    val eps = noise * 0.015
-    var c = 0
-    while (c < 3) {
-      val base = c * 6
-      val fx1 = 1 + (java.lang.Long.remainderUnsigned(s(base), 3L)).toInt
-      val fy1 = 1 + (java.lang.Long.remainderUnsigned(s(base + 1), 3L)).toInt
-      val fx2 = 1 + (java.lang.Long.remainderUnsigned(s(base + 2), 5L)).toInt
-      val fy2 = 1 + (java.lang.Long.remainderUnsigned(s(base + 3), 5L)).toInt
-      val p1 = (java.lang.Long.remainderUnsigned(s(base + 4), 628L)).toDouble / 100.0 + eps
-      val p2 = (java.lang.Long.remainderUnsigned(s(base + 5), 628L)).toDouble / 100.0 - eps
-      var y = 0
-      while (y < Size) {
-        var x = 0
-        while (x < Size) {
-          val v = 0.5 * math.cos(2 * math.Pi * fx1 * x / Size + p1) *
-            math.cos(2 * math.Pi * fy1 * y / Size + p1) +
-            0.35 * math.cos(2 * math.Pi * fx2 * x / Size + p2) *
-              math.cos(2 * math.Pi * fy2 * y / Size + p2)
-          val byteVal = math.max(0, math.min(255, ((v + 1.0) * 127.5 + eps * 20).toInt))
-          val i = (y * Size + x) * 4 + c
-          img.pix(i) = byteVal.toByte
-          x += 1
-        }
-        y += 1
-      }
-      c += 1
+    // balanced codeword: seeded shuffle of 64 slots, first 32 are +1
+    val order = shuffled(seed, 64)
+    val sign = new Array[Double](64)
+    var i = 0
+    while (i < 64) { sign(order(i)) = if (i < 32) 1.0 else -1.0; i += 1 }
+    // distinct amplitudes (deterministic tie-free median) in [1.0, 1.3)
+    val ampOrder = shuffled(Hashing.mix64(seed ^ 0x616d70L), 64)
+    val amp = new Array[Double](64)
+    i = 0
+    while (i < 64) { amp(ampOrder(i)) = 1.0 + 0.3 * i / 64.0; i += 1 }
+    // noise: flip the first k signs in a third seeded order
+    if (noise > 0) {
+      val flipOrder = shuffled(Hashing.mix64(seed ^ 0x666c6970L), 64)
+      var f = 0
+      while (f < math.min(noise, 64)) { sign(flipOrder(f)) = -sign(flipOrder(f)); f += 1 }
     }
-    // alpha opaque
-    var i = 3
-    while (i < img.pix.length) { img.pix(i) = 0xff.toByte; i += 4 }
+    // grey(i,j) = 128 + Σ_s sign·amp·cos((2i+1)x_s π/64)cos((2j+1)y_s π/64)
+    val img = Raster(Size, Size)
+    val cosT = CosLut
+    var yy = 0
+    while (yy < Size) {
+      var xx = 0
+      while (xx < Size) {
+        var v = 128.0
+        var s = 0
+        while (s < 64) {
+          val fx = s / Region + 1
+          val fy = s % Region + 1
+          v += sign(s) * amp(s) * cosT(fx * Size + xx) * cosT(fy * Size + yy)
+          s += 1
+        }
+        val byteVal = math.max(0, math.min(255, math.round(v).toInt))
+        val p = (yy * Size + xx) * 4
+        img.pix(p) = byteVal.toByte
+        img.pix(p + 1) = byteVal.toByte
+        img.pix(p + 2) = byteVal.toByte
+        img.pix(p + 3) = 0xff.toByte
+        xx += 1
+      }
+      yy += 1
+    }
     img
+  }
+
+  // cos((2i+1) u π / 64) for u in 0..31, i in 0..31 — [u][i]
+  private val CosLut: Array[Double] = {
+    val t = new Array[Double](Size * Size)
+    var u = 0
+    while (u < Size) {
+      var i = 0
+      while (i < Size) {
+        t(u * Size + i) = math.cos(((2 * i + 1) * u).toDouble / (2 * Size).toDouble * math.Pi)
+        i += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Seeded Fisher-Yates permutation of 0 until n. */
+  private def shuffled(seed: Long, n: Int): Array[Int] = {
+    val a = Array.tabulate(n)(identity)
+    var s = seed
+    var i = n - 1
+    while (i > 0) {
+      s = Hashing.mix64(s)
+      val j = (java.lang.Long.remainderUnsigned(s, (i + 1).toLong)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
   }
 }
 

@@ -127,9 +127,9 @@ object Blocking {
     val normalPairs = pairJoin(normal, normal, Nil)
 
     val s = cfg.saltFactor
-    val hotLeft = hot.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(s)))
-    val hotRight = hot.withColumn("salt",
-      explode(sequence(lit(0), lit(s - 1))).cast("long"))
+    val hotLeft = hot.withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(s.toLong)).cast("int"))
+    val hotRight = hot.withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
     val hotPairs = pairJoin(hotLeft, hotRight, Seq("salt"))
 
     val saltedBlocks = hot.select(countDistinct(col("block_key"))).collect()(0).getLong(0)

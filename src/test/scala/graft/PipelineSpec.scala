@@ -1,0 +1,123 @@
+package graft
+
+import graft.media.SynthMedia
+import graft.model.{Doc, Span}
+import graft.pipeline.{GraftConfig, Pipeline}
+import graft.synth.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end gates from BASELINE.json: pairwise F1 ≥ 0.99 on the labeled
+  * synthetic interleaved corpus, span-sequence invariant, determinism.
+  */
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val labeled = Corpus.generate(Corpus.Params(entities = 300, seed = 42))
+  private lazy val docsSeq = labeled.map(_.doc)
+
+  private def runOnce() = {
+    implicit val s = spark
+    import s.implicits._
+    val docs = s.createDataset(docsSeq)
+    Pipeline.run(s, docs, Corpus.RecommendedConfig)
+  }
+
+  private lazy val result = runOnce()
+
+  test("pairwise F1 >= 0.99 on the labeled synthetic corpus (north rule)") {
+    val truth = Corpus.truePairs(labeled)
+    val clusters = result.clusters.select("doc_id", "cluster_id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val predicted = clusters.groupBy(_._2).values.flatMap { grp =>
+      val ids = grp.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val tp = (predicted intersect truth).size.toDouble
+    val precision = if (predicted.isEmpty) 1.0 else tp / predicted.size
+    val recall = if (truth.isEmpty) 1.0 else tp / truth.size
+    val f1 = if (precision + recall == 0) 0.0 else 2 * precision * recall / (precision + recall)
+    info(f"pairwise precision=$precision%.4f recall=$recall%.4f f1=$f1%.4f " +
+      s"(truth=${truth.size} predicted=${predicted.size})")
+    assert(f1 >= 0.99, f"pairwise F1 $f1%.4f below gate")
+  }
+
+  test("span-sequence equality invariant: output spans == input spans per doc") {
+    implicit val s = spark
+    import s.implicits._
+    val outSpans = result.clusters.select("doc_id", "spans")
+      .as[(String, Seq[Span])].collect().toMap
+    assert(outSpans.size == docsSeq.size)
+    docsSeq.foreach { d =>
+      assert(outSpans(d.doc_id) == d.spans, s"span sequence mutated for ${d.doc_id}")
+    }
+  }
+
+  test("pipeline is deterministic: two runs produce identical clusters") {
+    val a = result.clusters.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val b = runOnce().clusters.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
+  test("cluster_id is the minimum doc_id of its component") {
+    val byCluster = result.clusters.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+    }
+  }
+
+  test("targeted compare (reference E2) finds the duplicates of one doc") {
+    implicit val s = spark
+    import s.implicits._
+    // pick an entity that has duplicates
+    val grouped = labeled.groupBy(_.label).values.filter(_.size > 1).minBy(_.head.doc.doc_id)
+    val target = grouped.head.doc
+    val rest = docsSeq.filterNot(_.doc_id == target.doc_id)
+    val found = Pipeline.compare(s, target, s.createDataset(rest), Corpus.RecommendedConfig)
+      .select("doc_id").as[String].collect().toSet
+    val expected = grouped.map(_.doc.doc_id).toSet - target.doc_id
+    assert(expected.subsetOf(found),
+      s"missing duplicates: ${expected -- found}")
+  }
+
+  test("media-only docs: clustering reduces to the reference radius predicate") {
+    implicit val s = spark
+    import s.implicits._
+    // 3 docs: A and B share a synth seed (noise-perturbed ⇒ within radius),
+    // C is a different seed (far). No text at all.
+    val docs = s.createDataset(Seq(
+      Doc("m-a", Seq(Span.media("synth://ref-1", 0))),
+      Doc("m-b", Seq(Span.media("synth://ref-1?noise=1", 0))),
+      Doc("m-c", Seq(Span.media("synth://other-99", 0)))))
+    val r = Pipeline.run(s, docs, Corpus.RecommendedConfig)
+    val m = r.clusters.select("doc_id", "cluster_id").collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(m("m-a") == m("m-b"))
+    assert(m("m-c") != m("m-a"))
+  }
+
+  test("bad media refs land in the error side-channel, not as failures") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = s.createDataset(Seq(
+      Doc("x-1", Seq(Span.media("/nonexistent/image.jpg", 0), Span.text("some text here", 1))),
+      Doc("x-2", Seq(Span.text("some text here", 0)))))
+    val r = Pipeline.run(s, docs)
+    assert(r.clusters.count() == 2)
+    val errs = r.badMedia.collect()
+    assert(errs.length == 1 && errs(0).getString(0) == "x-1")
+  }
+
+  test("synth media renderer: noise keeps pHash within radius, different seeds far") {
+    val base = SynthMedia.resolve("synth://k-7").toOption.get
+    val near = SynthMedia.resolve("synth://k-7?noise=2").toOption.get
+    val far = SynthMedia.resolve("synth://j-8").toOption.get
+    val hb = graft.imaging.PHash.dct64(base)
+    val hn = graft.imaging.PHash.dct64(near)
+    val hf = graft.imaging.PHash.dct64(far)
+    assert(java.lang.Long.bitCount(hb ^ hn) < 8)
+    assert(java.lang.Long.bitCount(hb ^ hf) >= 11)
+  }
+}
