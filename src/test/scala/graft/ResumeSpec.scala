@@ -1,0 +1,83 @@
+package graft
+
+import graft.pipeline.{Checkpoints, ParquetTableIO, Pipeline}
+import graft.synth.Corpus
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** North-rule resumability: per-stage materialized tables + manifests;
+  * a rerun resumes from completed stages (no recompute) and the final
+  * clusters are identical.
+  */
+class ResumeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tempDir(): Path = Files.createTempDirectory("graft-ckpt")
+
+  test("pipeline run with checkpointing writes stage manifests with metrics") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = tempDir().toString
+    val docs = s.createDataset(Corpus.generate(Corpus.Params(entities = 60)).map(_.doc))
+    Pipeline.run(s, docs, Corpus.RecommendedConfig, checkpointDir = Some(dir))
+      .clusters.count()
+    Seq("signatures", "candidates", "scored", "clusters").foreach { stage =>
+      val m = java.nio.file.Paths.get(dir, stage, "_graft_manifest.json")
+      assert(Files.exists(m), s"missing manifest for $stage")
+      val json = Files.readString(m)
+      assert(json.contains("\"rows\":") && json.contains("\"wall_ms\":") &&
+        json.contains("\"partitions\":"), s"manifest $stage lacks metrics: $json")
+    }
+  }
+
+  test("rerun resumes: completed stages are not recomputed, clusters identical") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = tempDir().toString
+    val docs = s.createDataset(Corpus.generate(Corpus.Params(entities = 60)).map(_.doc))
+    val first = Pipeline.run(s, docs, Corpus.RecommendedConfig, checkpointDir = Some(dir))
+      .clusters.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val sigManifest = java.nio.file.Paths.get(dir, "signatures", "_graft_manifest.json")
+    val mtime = Files.getLastModifiedTime(sigManifest)
+    Thread.sleep(20)
+    val second = Pipeline.run(s, docs, Corpus.RecommendedConfig, checkpointDir = Some(dir))
+      .clusters.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(Files.getLastModifiedTime(sigManifest) == mtime,
+      "signatures stage was recomputed on resume")
+    assert(first == second)
+  }
+
+  test("config change invalidates the resume key and forces recompute") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = tempDir().toString
+    val docs = s.createDataset(Corpus.generate(Corpus.Params(entities = 30)).map(_.doc))
+    Pipeline.run(s, docs, Corpus.RecommendedConfig, checkpointDir = Some(dir)).clusters.count()
+    val sigManifest = java.nio.file.Paths.get(dir, "signatures", "_graft_manifest.json")
+    val mtime = Files.getLastModifiedTime(sigManifest)
+    Thread.sleep(20)
+    Pipeline.run(s, docs, Corpus.RecommendedConfig.copy(shingleK = 7),
+      checkpointDir = Some(dir)).clusters.count()
+    assert(Files.getLastModifiedTime(sigManifest) != mtime,
+      "changed config must recompute the stage")
+  }
+
+  test("a killed run resumes mid-pipeline: later stages compute, earlier ones reuse") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = tempDir().toString
+    val docs = s.createDataset(Corpus.generate(Corpus.Params(entities = 30)).map(_.doc))
+    val cfg = Corpus.RecommendedConfig
+    val io = new ParquetTableIO(dir)
+    // simulate a run that died after the signature stage: only that stage exists
+    val key = cfg.configHash
+    Checkpoints.stage(s, io, "signatures", key) {
+      graft.pipeline.Signatures.derive(docs, cfg, graft.media.DefaultMedia)(s).toDF()
+    }
+    assert(io.completedKey("signatures").contains(key))
+    assert(io.completedKey("candidates").isEmpty)
+    // full run picks up from there
+    val r = Pipeline.run(s, docs, cfg, checkpointDir = Some(dir))
+    assert(r.clusters.count() == docs.count())
+    assert(io.completedKey("clusters").isDefined)
+  }
+}
