@@ -1,13 +1,532 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.media.SynthMedia
+import graft.model.{Doc, Span}
+import graft.pipeline.{Components, GraftConfig, Pipeline}
+import graft.text.{JaroWinkler, MinHash, SimHash, TextStats, Tokenize}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data-pipeline additions), with DuckDB
+  * oracle SQL wherever the semantics are ANSI-SQL-expressible.
+  *
+  * Parity conventions (so the driver's value-hash compare is exact):
+  *  - every aggregate/computed column is aliased identically in both;
+  *  - double aggregations go through DECIMAL sums (order-independent,
+  *    engine-independent) before the final cast to double;
+  *  - every query ends in a total ORDER BY;
+  *  - 60-bit hashes derive from md5 hex (identical in both engines).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docsTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** 64-d float embedding → 63-bit sign hash (bit i set iff v(i) > 0);
+    * random-hyperplane-LSH style signature, SQL-expressible in both engines.
+    */
+  private def signHash(c: Column): Column =
+    aggregate(zip_with(slice(c, 1, 63), sequence(lit(0), lit(62)),
+        (v, i) => when(v > lit(0.0f), call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def normCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  private val jwUdf = udf { (a: String, b: String) =>
+    if (a == null || b == null) 0.0 else JaroWinkler.jaroWinkler(a, b)
+  }
+
+  /** Documents table → Dataset[Doc]: one text span per row; every 10th doc
+    * also carries a deterministic synthetic media span keyed by doc_id —
+    * exercises the interleaved text+media path end-to-end.
+    */
+  private def asDocs(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    docsTable(spark, dir).select($"doc_id".cast("string"), $"text")
+      .as[(String, String)].map { case (id, text) =>
+        val spans = Seq(Span.text(text, 0)) ++
+          (if (id.toLong % 10 == 0) Seq(Span.media(s"synth://doc-${id.toLong / 10}", 1)) else Nil)
+        Doc(id, spans)
+      }
+  }
+
+  /** Flagship: full record-linkage pipeline (signatures → LSH blocking →
+    * salted pair scoring → connected components) on sf0.001 documents.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = asDocs(spark, "/root/testdata/sf0.001")
+    Pipeline.run(spark, docs, GraftConfig(mediaThreshold = 11))
+      .clusters.select("doc_id", "cluster_id").orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- ER / dedupe operators ------------------------------------------
+
+    // exact dedup + survivorship (S10 keep-first policy, A1-A3 over exact key)
+    "q_exact_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("h")
+      docsTable(s, dir).withColumn("h", md5(col("text")))
+        .withColumn("grp_size", count(lit(1)).over(w))
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .withColumn("is_dup", col("doc_id") =!= col("keeper"))
+        .select("doc_id", "grp_size", "keeper", "is_dup")
+        .orderBy("doc_id")
+    }),
+
+    // Hamming radius self-join on embedding sign-hashes (P5/P6 + F1/F2 + J2)
+    "q_hamming_pairs" -> ((s, dir) => {
+      val e = embTable(s, dir).select(col("vec_id"), col("label"),
+        signHash(col("embedding")).as("h"))
+      val a = e.select(col("vec_id").as("a"), col("label").as("la"), col("h").as("ha"))
+      val b = e.select(col("vec_id").as("b"), col("label").as("lb"), col("h").as("hb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("d", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("d") < 18)
+        .groupBy((col("la") === col("lb")).as("same_label"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("d")).as("sum_dist"))
+        .orderBy("same_label")
+    }),
+
+    // banded blocking on the sign hash: block key = top 15 bits (J2 blocking)
+    "q_sign_blocks" -> ((s, dir) => {
+      embTable(s, dir)
+        .select(col("vec_id"), shiftright(signHash(col("embedding")), 48).as("block_key"))
+        .groupBy("block_key").agg(count(lit(1)).as("n_docs"), min("vec_id").as("min_vec"))
+        .filter(col("n_docs") > 1)
+        .orderBy("block_key")
+    }),
+
+    // edit-distance near-dup pairs in (lang, length-bucket) blocks (graft text scorer)
+    "q_lev_pairs" -> ((s, dir) => {
+      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
+        expr("n_chars div 50").as("b"), substring(col("text"), 1, 60).as("t"))
+      val l = d.select(col("doc_id").as("a"), col("lang"), col("b"), col("t").as("ta"))
+      val r = d.select(col("doc_id").as("b2"), col("lang"), col("b"), col("t").as("tb"))
+      l.join(r, Seq("lang", "b")).filter(col("a") < col("b2"))
+        .withColumn("d", levenshtein(col("ta"), col("tb")))
+        .filter(col("d") < 15)
+        .select(col("a"), col("b2").as("b"), col("d"))
+        .orderBy("a", "b")
+    }),
+
+    // Jaro-Winkler scoring over the same blocks (graft-added scorer, §2.8)
+    "q_jw_pairs" -> ((s, dir) => {
+      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
+        expr("n_chars div 50").as("b"), substring(col("text"), 1, 60).as("t"))
+      val l = d.select(col("doc_id").as("a"), col("lang"), col("b"), col("t").as("ta"))
+      val r = d.select(col("doc_id").as("b2"), col("lang"), col("b"), col("t").as("tb"))
+      l.join(r, Seq("lang", "b")).filter(col("a") < col("b2"))
+        .withColumn("jw", jwUdf(col("ta"), col("tb")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jw") >= 0.8, 1L).otherwise(0L)).as("n_close"),
+          round(sum(round(col("jw"), 6)), 2).as("sum_jw"))
+        .orderBy("lang")
+    }),
+
+    // word n-gram Jaccard near-dup (set ops on token arrays)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
+        expr("n_chars div 50").as("b"),
+        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
+      val l = d.select(col("doc_id").as("a"), col("lang"), col("b"), col("toks").as("tA"))
+      val r = d.select(col("doc_id").as("b2"), col("lang"), col("b"), col("toks").as("tB"))
+      l.join(r, Seq("lang", "b")).filter(col("a") < col("b2"))
+        .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
+        .withColumn("uni", size(col("tA")) + size(col("tB")) - col("inter"))
+        .withColumn("jac", round(col("inter").cast("double") / col("uni"), 6))
+        .filter(col("jac") >= 0.6)
+        .select("a", "b2", "jac").withColumnRenamed("b2", "b")
+        .orderBy("a", "b")
+    }),
+
+    // transitive clustering over the lev-edges (A1 → large-star/small-star CC)
+    "q_cc_clusters" -> ((s, dir) => {
+      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
+        expr("n_chars div 50").as("b"), substring(col("text"), 1, 60).as("t"))
+      val l = d.select(col("doc_id").as("src"), col("lang"), col("b"), col("t").as("ta"))
+      val r = d.select(col("doc_id").as("dst"), col("lang"), col("b"), col("t").as("tb"))
+      val edges = l.join(r, Seq("lang", "b")).filter(col("src") < col("dst"))
+        .filter(levenshtein(col("ta"), col("tb")) < 15)
+        .select("src", "dst")
+      Components.connectedComponents(edges)(s).orderBy("doc_id")
+    }),
+
+    // MinHash/LSH candidate generation over document text (no SQL analog)
+    "q_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val sigs = docsTable(s, dir).select(col("doc_id").cast("string"), col("text"))
+        .as[(String, String)].map { case (id, t) =>
+          (id, MinHash.signature(Tokenize.shingleHashes(t, 5)))
+        }.toDF("doc_id", "sig")
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(udf((sg: Seq[Long]) => MinHash.bandKeys(sg.toArray).toSeq)
+          .apply(col("sig"))).as("band"))
+      val l = bands.select(col("doc_id").as("a"), col("band"), col("sig").as("sa"))
+      val r = bands.select(col("doc_id").as("b"), col("band"), col("sig").as("sb"))
+      val est = udf((x: Seq[Long], y: Seq[Long]) => MinHash.estimate(x.toArray, y.toArray))
+      l.join(r, Seq("band")).filter(col("a") < col("b"))
+        .select("a", "b", "sa", "sb").distinct()
+        .withColumn("est", round(est(col("sa"), col("sb")), 4))
+        .filter(col("est") >= 0.5)
+        .select("a", "b", "est")
+        .orderBy("a", "b")
+    }),
+
+    // SimHash near-dup signatures + banded candidates (no SQL analog)
+    "q_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val sh = docsTable(s, dir).select(col("doc_id").cast("string"), col("text"))
+        .as[(String, String)].map { case (id, t) => (id, SimHash.simhash64(t)) }
+        .toDF("doc_id", "simhash")
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(udf((h: Long) => SimHash.hammingBandKeys(h, 4).toSeq).apply(col("simhash"))).as("band"))
+      val l = bands.select(col("doc_id").as("a"), col("band"), col("simhash").as("ha"))
+      val r = bands.select(col("doc_id").as("b"), col("band"), col("simhash").as("hb"))
+      l.join(r, Seq("band")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).as("d")).distinct()
+        .filter(col("d") < 8)
+        .orderBy("a", "b")
+    }),
+
+    // full pipeline end-to-end on the documents table (flagship, no SQL analog)
+    "q_pipeline_clusters" -> ((s, dir) => {
+      Pipeline.run(s, asDocs(s, dir), GraftConfig(mediaThreshold = 11))
+        .clusters.select(col("doc_id").cast("long").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // perceptual-hash signature stage over synthetic media (P2-P4/P7; no SQL analog)
+    "q_media_phash" -> ((s, dir) => {
+      import s.implicits._
+      docsTable(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val img = SynthMedia.render(graft.text.Hashing.hash64(s"doc-$id"), 0)
+        val (row, colh) = graft.imaging.PHash.dhash(img)
+        (id, graft.imaging.PHash.dct64(img), row, colh)
+      }.toDF("doc_id", "dct", "dhash_row", "dhash_col").orderBy("doc_id")
+    }),
+
+    // ---- text analysis for training-data pipelines -----------------------
+
+    "q_token_stats" -> ((s, dir) => {
+      docsTable(s, dir)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy("lang")
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      val d = docsTable(s, dir)
+        .withColumn("alpha", length(col("text")) -
+          length(regexp_replace(col("text"), "[a-zA-Z]", "")))
+        .withColumn("spaces", length(col("text")) -
+          length(regexp_replace(col("text"), "[ ]", "")))
+        .withColumn("alpha_ratio",
+          (col("alpha").cast("double") / col("n_chars")).cast("decimal(28,10)"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("alpha_ratio")).cast("double"), 6).as("sum_alpha_ratio"),
+          sum(col("spaces")).as("sum_spaces"))
+        .orderBy("lang")
+    }),
+
+    // language guess from stopword-marker hit counts (same heuristic in SQL)
+    "q_lang_guess" -> ((s, dir) => {
+      def hits(marker: String): Column = {
+        val padded = concat(lit(" "), lower(col("text")), lit(" "))
+        ((length(padded) - length(regexp_replace(padded, lit(s" $marker "), lit("")))) /
+          (marker.length + 2)).cast("long")
+      }
+      docsTable(s, dir)
+        .withColumn("h_en", hits("the") + hits("and") + hits("of"))
+        .withColumn("h_de", hits("der") + hits("und") + hits("das"))
+        .withColumn("h_fr", hits("le") + hits("et") + hits("les"))
+        .withColumn("h_es", hits("el") + hits("que") + hits("los"))
+        .withColumn("pred",
+          when(col("h_en") >= greatest(col("h_de"), col("h_fr"), col("h_es")) &&
+            col("h_en") > 0, "en")
+            .when(col("h_de") >= greatest(col("h_fr"), col("h_es")) && col("h_de") > 0, "de")
+            .when(col("h_fr") >= col("h_es") && col("h_fr") > 0, "fr")
+            .when(col("h_es") > 0, "es")
+            .otherwise("und"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
+    // winnowing fingerprints (no SQL analog — rows-only check)
+    "q_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      docsTable(s, dir).select(col("doc_id").cast("string"), col("text"))
+        .as[(String, String)].map { case (id, t) =>
+          val fp = TextStats.winnow(t)
+          (id.toLong, fp.length, if (fp.isEmpty) 0L else fp.min)
+        }.toDF("doc_id", "n_prints", "min_print").orderBy("doc_id")
+    }),
+
+    // ---- similarity search over embeddings --------------------------------
+
+    // brute-force cosine top-3 neighbors for the first 50 query vectors
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = embTable(s, dir)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q"), col("embedding").as("eq"))
+      val c = e.select(col("vec_id").as("n"), col("embedding").as("en"))
+      val scored = q.join(c, col("q") =!= col("n"))
+        .withColumn("cos", round(dotCol(col("eq"), col("en")) /
+          (normCol(col("eq")) * normCol(col("en"))), 6))
+      val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q", "n", "rank", "cos")
+        .orderBy("q", "rank")
+    }),
+
+    // embedding near-duplicate census: cosine > 0.9 pairs vs label agreement
+    "q_embed_near_dup" -> ((s, dir) => {
+      val e = embTable(s, dir)
+      val a = e.select(col("vec_id").as("a"), col("label").as("la"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b"), col("label").as("lb"), col("embedding").as("eb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos", dotCol(col("ea"), col("eb")) /
+          (normCol(col("ea")) * normCol(col("eb"))))
+        .filter(col("cos") > 0.35)
+        .groupBy((col("la") === col("lb")).as("same_label"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("same_label")
+    }),
+
+    // LSH-bucketed approximate NN (scale path; no SQL analog — rows-only)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embTable(s, dir).select(col("vec_id"), col("label"), col("embedding"),
+        signHash(col("embedding")).as("h"))
+      // probe buckets: 8 bands of 8 bits over the sign hash
+      val bands = e.select(col("vec_id"), col("label"), col("embedding"),
+        explode(array((0 until 8).map(i =>
+          concat_ws(":", lit(i), shiftright(col("h"), i * 8).bitwiseAND(lit(0xffL)))): _*)).as("bucket"))
+      val l = bands.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
+      val r = bands.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket"))
+      val cand = l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+        .select("a", "b", "ea", "eb").distinct()
+        .withColumn("cos", round(dotCol(col("ea"), col("eb")) /
+          (normCol(col("ea")) * normCol(col("eb"))), 6))
+        .filter(col("cos") > 0.3)
+      cand.select("a", "b", "cos").orderBy("a", "b")
+    }),
+
+    // ---- relational coverage (scan/filter/agg/join/window/sort/set ops) ---
+
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_top_customers" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val rev = o.groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+      rev.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    "q_semi_anti" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti").count()
+      import s.implicits._
+      Seq((withO, withoutO)).toDF("n_with_orders", "n_without_orders")
+    }),
+
+    "q_set_ops" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_nationkey").as("k"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet").select(col("s_nationkey").as("k"))
+      import s.implicits._
+      Seq((
+        c.union(sup).distinct().count(),
+        c.intersect(sup).count(),
+        c.except(sup).count()
+      )).toDF("n_union", "n_intersect", "n_except")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      """SELECT doc_id,
+        |       count(*) OVER (PARTITION BY md5(text)) AS grp_size,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_hamming_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_sum(list_transform(list_zip(embedding[1:63], range(0,63)),
+        |           x -> CASE WHEN x[1] > 0 THEN (CAST(1 AS BIGINT) << x[2]) ELSE 0 END))::BIGINT AS h
+        |  FROM embeddings)
+        |SELECT a.label = b.label AS same_label, count(*) AS n_pairs,
+        |       CAST(sum(bit_count(xor(a.h, b.h))) AS BIGINT) AS sum_dist
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE bit_count(xor(a.h, b.h)) < 18
+        |GROUP BY 1 ORDER BY same_label""".stripMargin,
+
+    "q_sign_blocks" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_sum(list_transform(list_zip(embedding[1:63], range(0,63)),
+        |           x -> CASE WHEN x[1] > 0 THEN (CAST(1 AS BIGINT) << x[2]) ELSE 0 END))::BIGINT AS h
+        |  FROM embeddings)
+        |SELECT h >> 48 AS block_key, count(*) AS n_docs, min(vec_id) AS min_vec
+        |FROM e GROUP BY 1 HAVING count(*) > 1 ORDER BY block_key""".stripMargin,
+
+    "q_lev_pairs" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t
+        |           FROM documents)
+        |SELECT l.doc_id AS a, r.doc_id AS b, levenshtein(l.t, r.t) AS d
+        |FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.doc_id < r.doc_id
+        |WHERE levenshtein(l.t, r.t) < 15 ORDER BY a, b""".stripMargin,
+
+    "q_jw_pairs" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t
+        |           FROM documents)
+        |SELECT l.lang AS lang, count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN jaro_winkler_similarity(l.t, r.t) >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+        |       round(sum(round(jaro_winkler_similarity(l.t, r.t), 6)), 2) AS sum_jw
+        |FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.doc_id < r.doc_id
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS b,
+        |                  list_distinct(string_split_regex(trim(substr(text,1,120)), '\s+')) AS toks
+        |           FROM documents)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |       round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+        |             (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) AS jac
+        |FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.doc_id < r.doc_id
+        |WHERE round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+        |            (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) >= 0.6
+        |ORDER BY a, b""".stripMargin,
+
+    "q_cc_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t FROM documents),
+        |e AS (
+        |  SELECT l.doc_id AS src, r.doc_id AS dst
+        |  FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.doc_id < r.doc_id
+        |  WHERE levenshtein(l.t, r.t) < 15),
+        |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(len(string_split_regex(trim(text), '\s+'))) AS min_tokens,
+        |       max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_quality" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(CAST(sum(CAST(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |                 / n_chars AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_alpha_ratio,
+        |       CAST(sum(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))) AS BIGINT) AS sum_spaces
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_lang_guess" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ''))) // 5 +
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' and ', ''))) // 5 +
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' of ', ''))) // 4 AS h_en,
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' der ', ''))) // 5 +
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' und ', ''))) // 5 +
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' das ', ''))) // 5 AS h_de,
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' le ', ''))) // 4 +
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' et ', ''))) // 4 +
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' les ', ''))) // 5 AS h_fr,
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' el ', ''))) // 4 +
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' que ', ''))) // 5 +
+        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' los ', ''))) // 5 AS h_es
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN h_en >= greatest(h_de, h_fr, h_es) AND h_en > 0 THEN 'en'
+        |       WHEN h_de >= greatest(h_fr, h_es) AND h_de > 0 THEN 'de'
+        |       WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+        |       WHEN h_es > 0 THEN 'es'
+        |       ELSE 'und' END AS pred,
+        |  count(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS q, c.vec_id AS n,
+        |         round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |           (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |            sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND q.vec_id <> c.vec_id)
+        |SELECT q, n, rank, cos FROM (
+        |  SELECT q, n, cos, CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS INT) AS rank
+        |  FROM s) WHERE rank <= 3 ORDER BY q, rank""".stripMargin,
+
+    "q_embed_near_dup" ->
+      """SELECT a.label = b.label AS same_label, count(*) AS n_pairs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) > 0.35
+        |GROUP BY 1 ORDER BY same_label""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
+        |       (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT (SELECT count(*) FROM (SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier)) AS n_union,
+        |       (SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)) AS n_intersect,
+        |       (SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)) AS n_except""".stripMargin)
 }
