@@ -1,24 +1,59 @@
 package graft
+
+import graft.pipeline.{GraftConfig, Pipeline}
+import graft.synth.Corpus
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *    "pipeline":{"docs":N,"wall_sec":S,"docs_per_sec":D},"cpus":C}
+  *
+  * Knobs (env):
+  *   SPARK_GRAFT_SF_DIR   table dir for the operator queries (default sf0.1)
+  *   SPARK_GRAFT_CPUS     local[N] parallelism — the two-cluster-size
+  *                        scaling protocol runs this main at 8 and 32
+  *                        (BASELINE.md): same input, report
+  *                        efficiency = (thru_32 / thru_8) / 4
+  *   SPARK_GRAFT_BENCH_ENTITIES  synthetic-corpus size for the end-to-end
+  *                        pipeline throughput measurement (default 20000)
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "20000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    import spark.implicits._
+
+    // end-to-end pipeline throughput on the deterministic labeled corpus
+    // (north rule: block → score → cluster docs/sec at two cluster sizes)
+    val corpus = Corpus.generate(Corpus.Params(entities = entities, seed = 42)).map(_.doc)
+    val docs = spark.createDataset(corpus).repartition(cpus.toInt * 2).cache()
+    val nDocs = docs.count() // materialize input outside the timed window
+    val t0 = System.nanoTime()
+    val result = Pipeline.run(spark, docs, Corpus.RecommendedConfig)
+    val outRows = result.clusters.count()
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    require(outRows == nDocs)
+    docs.unpersist()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - q0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + pipelineSec
+    val dps = nDocs / pipelineSec
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"docs":$nDocs,"wall_sec":$pipelineSec%.3f,"docs_per_sec":$dps%.1f},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -34,13 +34,23 @@ object SparkEntry {
         (v, i) => when(v > lit(0.0f), call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
 
+  /** Dot product over fixed-width (64-d) embeddings, unrolled into 64
+    * codegen'd element_at products. Left-to-right addition order is the same
+    * sequential fold as DuckDB's list_sum(list_transform(...)), so the
+    * resulting doubles are bit-identical to the oracle — while running in
+    * whole-stage codegen instead of the interpreted higher-order-function
+    * path (~10× on the all-pairs joins).
+    */
+  private val EmbDim = 64
   private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    (0 until EmbDim).map(i =>
+      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
+      .reduceLeft(_ + _)
 
   private def normCol(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    sqrt((0 until EmbDim).map { i =>
+      val v = element_at(a, i + 1).cast("double"); v * v
+    }.reduceLeft(_ + _))
 
   private val jwUdf = udf { (a: String, b: String) =>
     if (a == null || b == null) 0.0 else JaroWinkler.jaroWinkler(a, b)

@@ -93,14 +93,22 @@ object Blocking {
     * Returns (a, b, media_dist) with a < b, deduped across bands.
     */
   def candidatePairs(blocks: Dataset[BlockRow], cfg: GraftConfig)(
-      implicit spark: SparkSession): (DataFrame, BlockStats) = {
+      implicit spark: SparkSession): (DataFrame, BlockStats, () => Unit) = {
     val w = Window.partitionBy("block_key")
+    // persisted: the census action below and both pair joins reuse it —
+    // without this, every downstream action re-derives signatures + bands
     val sized = blocks.toDF().withColumn("bsize", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val degenerate = sized.filter(col("bsize") > cfg.maxBlockSize)
-    val degAgg = degenerate.agg(
-      count(lit(1)).as("rows"), countDistinct(col("block_key")).as("blocks")).collect()(0)
-    val stats0 = BlockStats(degAgg.getLong(1), degAgg.getLong(0), 0L)
+    // one action for the whole census (dropped + salted block accounting)
+    val censusRow = sized.select(col("block_key"), col("bsize")).distinct()
+      .agg(
+        coalesce(sum(when(col("bsize") > cfg.maxBlockSize, 1L)), lit(0L)).as("deg_blocks"),
+        coalesce(sum(when(col("bsize") > cfg.maxBlockSize, col("bsize"))), lit(0L)).as("deg_rows"),
+        coalesce(sum(when(col("bsize") > cfg.hotBlockSize &&
+          col("bsize") <= cfg.maxBlockSize, 1L)), lit(0L)).as("salted"))
+      .collect()(0)
+    val stats0 = BlockStats(censusRow.getLong(0), censusRow.getLong(1), censusRow.getLong(2))
 
     val live = sized.filter(col("bsize") <= cfg.maxBlockSize)
     val normal = live.filter(col("bsize") <= cfg.hotBlockSize)
@@ -132,11 +140,10 @@ object Blocking {
     val hotRight = hot.withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
     val hotPairs = pairJoin(hotLeft, hotRight, Seq("salt"))
 
-    val saltedBlocks = hot.select(countDistinct(col("block_key"))).collect()(0).getLong(0)
-
     val pairs = normalPairs.unionByName(hotPairs)
       .groupBy(col("a"), col("b"))
       .agg(min(col("media_dist")).as("media_dist"), min(col("sim_ham")).as("sim_ham"))
-    (pairs, stats0.copy(saltedBlocks = saltedBlocks))
+    // caller invokes the cleanup thunk once `pairs` is materialized
+    (pairs, stats0, () => { sized.unpersist(); () })
   }
 }

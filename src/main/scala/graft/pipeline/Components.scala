@@ -24,8 +24,15 @@ object Components {
 
   /** edges: (src, dst) string columns, undirected, self-loops tolerated.
     * Returns (doc_id, cluster_id) for every node that appears in an edge.
+    *
+    * Tiny edge sets (≤ driverCutoff rows after dedup) short-circuit to a
+    * driver-local union-find: identical result, none of the per-iteration
+    * shuffle/checkpoint fixed costs, which otherwise dominate when the
+    * duplicate graph is a few thousand edges. At the 10¹²-doc design point
+    * the distributed star iterations below are the path taken.
     */
-  def connectedComponents(edges: DataFrame, maxIterations: Int = 50)(
+  def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
+                          driverCutoff: Long = 200000)(
       implicit spark: SparkSession): DataFrame = {
     var e = edges
       .select(least(col("src"), col("dst")).as("src"),
@@ -33,6 +40,8 @@ object Components {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+
+    if (e.count() <= driverCutoff) return driverUnionFind(e)
 
     var digest = edgeDigest(e)
     var converged = false
@@ -80,6 +89,25 @@ object Components {
     children.union(selfEdge)
       .filter(col("src") =!= col("dst"))
       .distinct()
+  }
+
+  private def driverUnionFind(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val arr = e.select("src", "dst").as[(String, String)].collect()
+    arr.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = (arr.iterator.map(_._1) ++ arr.iterator.map(_._2)).toSet
+    spark.createDataset(nodes.toSeq.map(n => (n, find(n)))).toDF("doc_id", "cluster_id")
   }
 
   private def edgeDigest(e: DataFrame): (Long, Long) = {

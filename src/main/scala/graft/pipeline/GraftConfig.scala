@@ -13,10 +13,16 @@ final case class GraftConfig(
     // text signatures
     shingleK: Int = 5,
     minhashK: Int = 128,
-    textBands: Int = 16,      // 16 bands × 8 rows → S-curve midpoint ≈ 0.7 Jaccard
+    textBands: Int = 32,      // 32 bands × 4 rows: P(miss) at Jaccard 0.8 is
+                              // (1−0.8⁴)³² ≈ 1e-4 — high recall; the extra
+                              // low-similarity band collisions are cut by the
+                              // minhashGate cascade before expensive scoring
     simhashPrefilter: Int = 26, // loose cheap filter on banded text candidates
     // phase-2 scoring: fused linear score over present modalities
     scoreTextCap: Int = 512,  // chars of concatenated text scored by JW/levenshtein
+    minhashGate: Double = 0.35, // cheap-feature cascade: pairs below this
+                                // Jaccard estimate (and outside the media
+                                // radius) skip the O(n²) string scorers
     wJw: Double = 0.5,
     wLev: Double = 0.3,
     wMinhash: Double = 0.2,

@@ -59,8 +59,14 @@ object Pairs {
 
     val hasText = length(col("t_a")) > 0 && length(col("t_b")) > 0
     val maxLen = greatest(length(col("t_a")), length(col("t_b")))
-    val scored = withB
+    // cheap-feature cascade: the O(k) minhash estimate gates the O(n²)
+    // string scorers — band-collision candidates with low Jaccard estimate
+    // (and outside the media radius) cannot reach tau and are cut here
+    val gated = withB
       .withColumn("minhash_est", minhashEstUdf(col("mh_a"), col("mh_b")))
+      .filter(col("media_dist") < cfg.mediaThreshold ||
+        col("minhash_est") >= cfg.minhashGate)
+    val scored = gated
       .withColumn("jw", jwUdf(col("t_a"), col("t_b")))
       .withColumn("lev_norm",
         when(hasText, levenshtein(col("t_a"), col("t_b")) / maxLen.cast("double"))

@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  private object log {
+    def info(msg: String): Unit = System.err.println(s"[graft] $msg")
+  }
+
   final case class Result(clusters: DataFrame, // (doc_id, cluster_id, spans)
                           edges: DataFrame, // (src, dst)
                           badMedia: DataFrame, // (doc_id, media_ref, error)
-                          stats: Blocking.BlockStats)
+                          stats: Blocking.BlockStats,
+                          release: () => Unit = () => ())
 
   def run(spark: SparkSession, docs: Dataset[Doc],
           cfg: GraftConfig = GraftConfig(),
@@ -32,32 +37,48 @@ object Pipeline {
     import spark.implicits._
 
     val io = checkpointDir.map(new ParquetTableIO(_))
-    def ckpt(name: String, key: Long)(compute: => DataFrame): DataFrame = io match {
-      case Some(t) => Checkpoints.stage(spark, t, name, key)(compute)
-      case None => compute
-    }
     val baseKey = cfg.configHash
 
+    // Without a TableIO every stage is persisted + materialized instead:
+    // each stage below is consumed by more than one downstream action, and
+    // an unmaterialized lineage would re-run the signature map (decode +
+    // DCT + minhash — the expensive part) once per action.
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def materialize(name: String, key: Long)(compute: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = io match {
+        case Some(t) => Checkpoints.stage(spark, t, name, key)(compute)
+        case None =>
+          val df = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          cached += df
+          df
+      }
+      log.info(f"stage $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      out
+    }
+
     // 1. signatures (+ bad-media side output)
-    val sigResults = ckpt("signatures", baseKey) {
+    val sigResults = materialize("signatures", baseKey) {
       Signatures.derive(docs, cfg, resolver).toDF()
     }
     val sigs: Dataset[DocSig] = sigResults.select("sig.*").as[DocSig]
     val badMedia = sigResults.select(explode(col("errors")).as("e")).select("e.*")
 
-    // 2-3. blocking + candidate pairs
+    // 2-3. blocking + candidate pairs (census + salted self-join)
     val blocks = Blocking.blockRows(sigs, cfg)
-    val (cands, stats) = Blocking.candidatePairs(blocks, cfg)
-    val candidates = ckpt("candidates", Hashing.hash64(baseKey, 2L))(cands)
+    val (cands, stats, releaseBlocks) = Blocking.candidatePairs(blocks, cfg)
+    val candidates = materialize("candidates", Hashing.hash64(baseKey, 2L))(cands)
+    releaseBlocks()
 
     // 4. exact scoring → duplicate edges
-    val scored = ckpt("scored", Hashing.hash64(baseKey, 3L)) {
+    val scored = materialize("scored", Hashing.hash64(baseKey, 3L)) {
       Pairs.score(candidates, sigs, cfg)
     }
     val edges = Pairs.edges(scored)
 
     // 5. connected components
-    val assignments = ckpt("clusters", Hashing.hash64(baseKey, 4L)) {
+    val assignments = materialize("clusters", Hashing.hash64(baseKey, 4L)) {
       Components.connectedComponents(edges, cfg.maxCcIterations)
     }
 
@@ -67,7 +88,7 @@ object Pipeline {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .select("doc_id", "cluster_id", "spans")
 
-    Result(out, edges, badMedia, stats)
+    Result(out, edges, badMedia, stats, () => cached.foreach(_.unpersist()))
   }
 
   /** Targeted compare (reference E2, `dedupe.go:127-146`): which candidate

@@ -28,12 +28,22 @@ object Corpus {
   val RecommendedConfig: graft.pipeline.GraftConfig =
     graft.pipeline.GraftConfig(mediaThreshold = 11)
 
-  private val Vocab: Array[String] =
-    ("spark scala shuffle partition cluster executor driver catalyst tungsten codegen " +
-      "hash join scan filter project aggregate window sort merge broadcast salt skew " +
-      "document span text media image token shingle minhash simhash band block pair " +
-      "score threshold duplicate entity record linkage component iteration checkpoint " +
-      "manifest lineage metric parquet table column row schema batch stream").split(" ")
+  /** ~1600 deterministic pseudo-words (two seeded syllables each): a
+    * realistic vocabulary size so inter-entity shingle Jaccard sits near
+    * real-corpus levels (~0.05) instead of the pathological overlap a
+    * 40-word vocab produces.
+    */
+  private val Vocab: Array[String] = {
+    val onsets = Array("b", "br", "c", "ch", "d", "dr", "f", "fl", "g", "gr",
+      "h", "j", "k", "kl", "l", "m", "n", "p", "pr", "qu",
+      "r", "s", "sh", "sk", "sl", "st", "t", "tr", "v", "w")
+    val cores = Array("a", "ai", "e", "ea", "i", "io", "o", "oa", "u", "ue")
+    val codas = Array("ck", "ft", "l", "ld", "m", "n", "nd", "r", "rn", "s",
+      "sh", "st", "t", "th", "x", "z")
+    (for {
+      o <- onsets; c <- cores; d <- codas
+    } yield o + c + d).take(1600)
+  }
 
   final case class LabeledDoc(doc: Doc, label: Long)
 

@@ -23,7 +23,7 @@ class BlockJoinOracleSpec extends AnyFunSuite with SparkTestBase {
     })
     val cfg = GraftConfig(mediaThreshold = t)
     val blocks = Blocking.blockRows(sigs, cfg)
-    val (cands, _) = Blocking.candidatePairs(blocks, cfg)
+    val (cands, _, _) = Blocking.candidatePairs(blocks, cfg)
     cands.collect().map(r => (r.getString(r.fieldIndex("a")),
       r.getString(r.fieldIndex("b")), r.getInt(r.fieldIndex("media_dist")))).toSet
   }
@@ -54,7 +54,7 @@ class BlockJoinOracleSpec extends AnyFunSuite with SparkTestBase {
     })
     def run(hot: Int) = {
       val cfg = GraftConfig(mediaThreshold = 2, hotBlockSize = hot)
-      val (cands, stats) = Blocking.candidatePairs(Blocking.blockRows(sigs, cfg), cfg)
+      val (cands, stats, _) = Blocking.candidatePairs(Blocking.blockRows(sigs, cfg), cfg)
       (cands.select("a", "b").as[(String, String)].collect().toSet, stats)
     }
     val (unsalted, st0) = run(100000)
@@ -71,7 +71,7 @@ class BlockJoinOracleSpec extends AnyFunSuite with SparkTestBase {
       DocSig(f"i$i%03d", Array(0L), 1, 0L, Array.emptyLongArray, "", 0)
     })
     val cfg = GraftConfig(mediaThreshold = 2, maxBlockSize = 10)
-    val (cands, stats) = Blocking.candidatePairs(Blocking.blockRows(sigs, cfg), cfg)
+    val (cands, stats, _) = Blocking.candidatePairs(Blocking.blockRows(sigs, cfg), cfg)
     assert(cands.count() == 0)
     assert(stats.droppedBlocks > 0 && stats.droppedRows > 0)
   }

@@ -1,0 +1,20 @@
+package graft
+import graft.synth.Corpus
+object DiagPipeline {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val corpus = Corpus.generate(Corpus.Params(entities = 5000, seed = 42)).map(_.doc)
+    val docs = spark.createDataset(corpus).repartition(64).cache()
+    println("docs=" + docs.count())
+    val t0 = System.nanoTime()
+    val r = graft.pipeline.Pipeline.run(spark, docs, Corpus.RecommendedConfig)
+    println("rows=" + r.clusters.count() + " edges=" + r.edges.count())
+    println(f"total=${(System.nanoTime()-t0)/1e9}%.1f s")
+    spark.stop()
+  }
+}
