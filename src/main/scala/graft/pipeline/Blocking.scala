@@ -22,22 +22,55 @@ object Blocking {
   final case class BlockRow(block_key: Long, doc_id: String, media: Array[Long],
                             slots: Int, simhash: Long, hasText: Boolean)
 
+  /** Block keys for one 64-bit media hash: one key per combination of
+    * `blocksPerKey` blocks of `blockBits` bits (Manku-style tables; see
+    * GraftConfig). The combination index and slot are mixed into the key so
+    * tables never cross-collide.
+    */
+  def mediaBandKeys(hash: Long, blockBits: Int, blocksPerKey: Int, slot: Int): Array[Long] = {
+    val nBlocks = 64 / blockBits
+    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1L
+    @inline def block(i: Int): Long = (hash >>> (i * blockBits)) & mask
+    val out = Array.newBuilder[Long]
+    var comboId = 0
+    if (blocksPerKey == 1) {
+      var b = 0
+      while (b < nBlocks) {
+        out += Hashing.hash64(Hashing.hash64(0x6d62L + b, block(b)), slot.toLong)
+        b += 1
+      }
+    } else {
+      // enumerate k-combinations of block indices (k is small: 2 or 3)
+      def rec(start: Int, chosen: List[Int]): Unit = {
+        if (chosen.length == blocksPerKey) {
+          var h = Hashing.mix64(0x6d6232L + comboId)
+          chosen.reverse.foreach(b => h = Hashing.hash64(h, block(b)))
+          out += Hashing.hash64(h, slot.toLong)
+          comboId += 1
+        } else {
+          var b = start
+          while (b < nBlocks) { rec(b + 1, b :: chosen); b += 1 }
+        }
+      }
+      rec(0, Nil)
+    }
+    out.result()
+  }
+
   /** One row per (doc, band key). Narrow flatMap — no shuffle here. */
   def blockRows(sigs: Dataset[DocSig], cfg: GraftConfig)(
       implicit spark: SparkSession): Dataset[BlockRow] = {
     import spark.implicits._
-    val mediaBands = cfg.mediaBands
+    val blockBits = cfg.mediaBlockBits
+    val blocksPerKey = cfg.mediaBlocksPerKey
     val textBands = cfg.textBands
     sigs.flatMap { s =>
       val keys = Array.newBuilder[Long]
-      // media bands, per span and slot (slot index mixed into the key so a
-      // dHash row-band never collides with a col-band block)
+      // media block-combination keys, per span and slot (slot mixed into the
+      // key so a dHash row-band never collides with a col-band block)
       var i = 0
       while (i < s.media.length) {
-        val slot = i % s.slots
-        val bk = SimHash.hammingBandKeys(s.media(i), mediaBands)
-        var b = 0
-        while (b < bk.length) { keys += Hashing.hash64(bk(b), slot.toLong); b += 1 }
+        keys ++= mediaBandKeys(s.media(i), blockBits, blocksPerKey, i % s.slots)
         i += 1
       }
       // text bands over the minhash signature

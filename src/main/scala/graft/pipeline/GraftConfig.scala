@@ -9,7 +9,18 @@ final case class GraftConfig(
     // media signatures
     useDct: Boolean = true,
     mediaThreshold: Int = 22, // strict '<', summed over slots (ref F1 predicate)
-    mediaBands: Int = 16,     // 16 × 4-bit bands per 64-bit hash slot
+    // Media blocking: the 64-bit hash is split into (64/mediaBlockBits)
+    // blocks; one block key per combination of mediaBlocksPerKey blocks
+    // (Manku et al. 2007, WWW — simhash dedup at web scale). Pigeonhole:
+    // recall is GUARANTEED for Hamming distance ≤ (blocks − blocksPerKey);
+    // selectivity per key is 2^-(blockBits·blocksPerKey).
+    //   default (1 of 16 × 4-bit): guaranteed d ≤ 15, probabilistically
+    //   high to d ≈ 21 — the reference's radius-22 regime; selective enough
+    //   only for small corpora (reference parity fixtures).
+    //   scale profile (2 of 8 × 8-bit, 28 keys): guaranteed d ≤ 6,
+    //   2⁻¹⁶ selectivity — what the bench/corpus config uses.
+    mediaBlockBits: Int = 4,
+    mediaBlocksPerKey: Int = 1,
     // text signatures
     shingleK: Int = 5,
     minhashK: Int = 128,

@@ -46,15 +46,16 @@ object Pipeline {
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def materialize(name: String, key: Long)(compute: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
+      var rows = -1L
       val out = io match {
         case Some(t) => Checkpoints.stage(spark, t, name, key)(compute)
         case None =>
           val df = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count()
+          rows = df.count()
           cached += df
           df
       }
-      log.info(f"stage $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      log.info(f"stage $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $rows rows")
       out
     }
 

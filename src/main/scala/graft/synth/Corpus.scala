@@ -26,7 +26,11 @@ object Corpus {
     * Reference-parity fixtures (cats acceptance, block-join oracle) keep 22.
     */
   val RecommendedConfig: graft.pipeline.GraftConfig =
-    graft.pipeline.GraftConfig(mediaThreshold = 11)
+    graft.pipeline.GraftConfig(mediaThreshold = 11,
+      // Manku scale profile: 2-of-8×8-bit block tables — guaranteed recall
+      // for media distance ≤ 6 (corpus noise stays ≤ ~6 bits), 2⁻¹⁶ key
+      // selectivity so candidate volume stays O(N) at bench scale
+      mediaBlockBits = 8, mediaBlocksPerKey = 2)
 
   /** ~1600 deterministic pseudo-words (two seeded syllables each): a
     * realistic vocabulary size so inter-entity shingle Jaccard sits near

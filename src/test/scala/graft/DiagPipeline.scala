@@ -8,7 +8,7 @@ object DiagPipeline {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val corpus = Corpus.generate(Corpus.Params(entities = 5000, seed = 42)).map(_.doc)
+    val corpus = Corpus.generate(Corpus.Params(entities = sys.env.getOrElse("DIAG_ENTITIES", "5000").toInt, seed = 42)).map(_.doc)
     val docs = spark.createDataset(corpus).repartition(64).cache()
     println("docs=" + docs.count())
     val t0 = System.nanoTime()
