@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Blocking {
 
-  final case class BlockRow(block_key: Long, doc_id: String, media: Array[Long],
-                            slots: Int, simhash: Long, hasText: Boolean)
+  /** Slim by design: the block self-join is the biggest shuffle in the
+    * pipeline, so rows carry only the cheap-prefilter columns. Exact media
+    * distance is computed in phase-2 scoring from the signature table.
+    */
+  final case class BlockRow(block_key: Long, doc_id: String, simhash: Long,
+                            hasText: Boolean, hasMedia: Boolean)
 
   /** Block keys for one 64-bit media hash: one key per combination of
     * `blocksPerKey` blocks of `blockBits` bits (Manku-style tables; see
@@ -77,7 +81,7 @@ object Blocking {
       if (s.minhash.nonEmpty) keys ++= MinHash.bandKeys(s.minhash, textBands)
       val hasText = s.text != null && s.text.nonEmpty
       keys.result().distinct.iterator.map { k =>
-        BlockRow(k, s.doc_id, s.media, s.slots, s.simhash, hasText)
+        BlockRow(k, s.doc_id, s.simhash, hasText, s.media.nonEmpty)
       }
     }
   }
@@ -153,16 +157,13 @@ object Blocking {
       val keyCond = (Seq("block_key") ++ extraKey)
         .map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
       l.join(r, keyCond && col("l.doc_id") < col("r.doc_id"))
-        .withColumn("media_dist",
-          mediaDistUdf(col("l.media"), col("r.media"), col("l.slots")))
         .withColumn("sim_ham",
           when(col("l.hasText") && col("r.hasText"),
             bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
             .otherwise(lit(9999)))
-        .filter(col("media_dist") < cfg.mediaThreshold ||
+        .filter((col("l.hasMedia") && col("r.hasMedia")) ||
           col("sim_ham") < cfg.simhashPrefilter)
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-          col("media_dist"), col("sim_ham"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"), col("sim_ham"))
     }
 
     val normalPairs = pairJoin(normal, normal, Nil)
@@ -175,7 +176,7 @@ object Blocking {
 
     val pairs = normalPairs.unionByName(hotPairs)
       .groupBy(col("a"), col("b"))
-      .agg(min(col("media_dist")).as("media_dist"), min(col("sim_ham")).as("sim_ham"))
+      .agg(min(col("sim_ham")).as("sim_ham"))
     // caller invokes the cleanup thunk once `pairs` is materialized
     (pairs, stats0, () => { sized.unpersist(); () })
   }

@@ -24,8 +24,12 @@ class BlockJoinOracleSpec extends AnyFunSuite with SparkTestBase {
     val cfg = GraftConfig(mediaThreshold = t)
     val blocks = Blocking.blockRows(sigs, cfg)
     val (cands, _, _) = Blocking.candidatePairs(blocks, cfg)
-    cands.collect().map(r => (r.getString(r.fieldIndex("a")),
-      r.getString(r.fieldIndex("b")), r.getInt(r.fieldIndex("media_dist")))).toSet
+    // media distance is an exact phase-2 feature now; the radius predicate
+    // (strict <, reference `vptree/vptree.go:167`) is the is_dup decision
+    graft.pipeline.Pairs.score(cands, sigs, cfg)
+      .filter(org.apache.spark.sql.functions.col("is_dup"))
+      .select("a", "b", "media_dist")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
   }
 
   private def pairsBrute(t: Int): Set[(String, String, Int)] = {
