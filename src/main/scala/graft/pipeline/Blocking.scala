@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Blocking {
 
-  /** Slim by design: the block self-join is the biggest shuffle in the
-    * pipeline, so rows carry only the cheap-prefilter columns. Exact media
-    * distance is computed in phase-2 scoring from the signature table.
+  /** Carries only compact prefilter columns: media hashes are 1-4 longs,
+    * the simhash 1 long; the heavy signature columns (minhash, text) stay in
+    * the signature table and are joined only for gated survivors in phase 2.
     */
-  final case class BlockRow(block_key: Long, doc_id: String, simhash: Long,
-                            hasText: Boolean, hasMedia: Boolean)
+  final case class BlockRow(block_key: Long, doc_id: String, media: Array[Long],
+                            slots: Int, simhash: Long, hasText: Boolean)
 
   /** Block keys for one 64-bit media hash: one key per combination of
     * `blocksPerKey` blocks of `blockBits` bits (Manku-style tables; see
@@ -81,7 +81,7 @@ object Blocking {
       if (s.minhash.nonEmpty) keys ++= MinHash.bandKeys(s.minhash, textBands)
       val hasText = s.text != null && s.text.nonEmpty
       keys.result().distinct.iterator.map { k =>
-        BlockRow(k, s.doc_id, s.simhash, hasText, s.media.nonEmpty)
+        BlockRow(k, s.doc_id, s.media, s.slots, s.simhash, hasText)
       }
     }
   }
@@ -131,25 +131,30 @@ object Blocking {
     */
   def candidatePairs(blocks: Dataset[BlockRow], cfg: GraftConfig)(
       implicit spark: SparkSession): (DataFrame, BlockStats, () => Unit) = {
-    val w = Window.partitionBy("block_key")
-    // persisted: the census action below and both pair joins reuse it —
+    // persisted: the census and both sides of the pair joins reuse it —
     // without this, every downstream action re-derives signatures + bands
-    val sized = blocks.toDF().withColumn("bsize", count(lit(1)).over(w))
+    val b = blocks.toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // one action for the whole census (dropped + salted block accounting)
-    val censusRow = sized.select(col("block_key"), col("bsize")).distinct()
-      .agg(
-        coalesce(sum(when(col("bsize") > cfg.maxBlockSize, 1L)), lit(0L)).as("deg_blocks"),
-        coalesce(sum(when(col("bsize") > cfg.maxBlockSize, col("bsize"))), lit(0L)).as("deg_rows"),
-        coalesce(sum(when(col("bsize") > cfg.hotBlockSize &&
-          col("bsize") <= cfg.maxBlockSize, 1L)), lit(0L)).as("salted"))
-      .collect()(0)
-    val stats0 = BlockStats(censusRow.getLong(0), censusRow.getLong(1), censusRow.getLong(2))
+    // Hot/degenerate block census via map-side-combined groupBy — NOT a
+    // window over the full block table: a window would shuffle+sort every
+    // block row (the largest relation in the pipeline) just to tag sizes,
+    // while the interesting keys (hot or degenerate) are a handful.
+    val census = b.groupBy("block_key").agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > math.min(cfg.hotBlockSize, cfg.maxBlockSize))
+      .collect()
+    val degKeys = census.filter(_.getLong(1) > cfg.maxBlockSize)
+    val hotKeys = census.filter(r => r.getLong(1) <= cfg.maxBlockSize)
+    val stats0 = BlockStats(degKeys.length.toLong, degKeys.map(_.getLong(1)).sum,
+      hotKeys.length.toLong)
 
-    val live = sized.filter(col("bsize") <= cfg.maxBlockSize)
-    val normal = live.filter(col("bsize") <= cfg.hotBlockSize)
-    val hot = live.filter(col("bsize") > cfg.hotBlockSize)
+    val degSet = degKeys.map(_.getLong(0)).toSet
+    val hotSet = hotKeys.map(_.getLong(0)).toSet
+    val isDeg = udf((k: Long) => degSet.contains(k))
+    val isHot = udf((k: Long) => hotSet.contains(k))
+    val live = b.filter(!isDeg(col("block_key")))
+    val normal = live.filter(!isHot(col("block_key")))
+    val hot = live.filter(isHot(col("block_key")))
 
     def pairJoin(left: DataFrame, right: DataFrame, extraKey: Seq[String]): DataFrame = {
       val l = left.alias("l")
@@ -157,13 +162,16 @@ object Blocking {
       val keyCond = (Seq("block_key") ++ extraKey)
         .map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
       l.join(r, keyCond && col("l.doc_id") < col("r.doc_id"))
+        .withColumn("media_dist",
+          mediaDistUdf(col("l.media"), col("r.media"), col("l.slots")))
         .withColumn("sim_ham",
           when(col("l.hasText") && col("r.hasText"),
             bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
             .otherwise(lit(9999)))
-        .filter((col("l.hasMedia") && col("r.hasMedia")) ||
+        .filter(col("media_dist") < cfg.mediaThreshold ||
           col("sim_ham") < cfg.simhashPrefilter)
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"), col("sim_ham"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          col("media_dist"), col("sim_ham"))
     }
 
     val normalPairs = pairJoin(normal, normal, Nil)
@@ -176,8 +184,8 @@ object Blocking {
 
     val pairs = normalPairs.unionByName(hotPairs)
       .groupBy(col("a"), col("b"))
-      .agg(min(col("sim_ham")).as("sim_ham"))
+      .agg(min(col("media_dist")).as("media_dist"), min(col("sim_ham")).as("sim_ham"))
     // caller invokes the cleanup thunk once `pairs` is materialized
-    (pairs, stats0, () => { sized.unpersist(); () })
+    (pairs, stats0, () => { b.unpersist(); () })
   }
 }

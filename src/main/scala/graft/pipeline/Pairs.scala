@@ -43,39 +43,32 @@ object Pairs {
     else JaroWinkler.jaroWinkler(a, b)
   }
 
-  /** candidates: (a, b, sim_ham). Returns scored pairs with `is_dup`. */
+  /** candidates: (a, b, media_dist, sim_ham). Returns scored pairs with `is_dup`. */
   def score(candidates: DataFrame, sigs: Dataset[DocSig], cfg: GraftConfig)(
       implicit spark: SparkSession): DataFrame = {
     val cap = cfg.scoreTextCap
 
-    // phase A: compact features — media hashes + gate-sized minhash prefix
-    val compact = sigs.toDF().select(
-      col("doc_id"), col("media"),
-      slice(col("minhash"), 1, GateSlots).as("mh"))
+    // phase A: one side-table join per pair side (minhash gate prefix +
+    // text prefix together — the sig table is shuffled exactly twice);
+    // media_dist arrives exact from the block join's radius prefilter
+    val side = sigs.toDF().select(
+      col("doc_id"), slice(col("minhash"), 1, GateSlots).as("mh"),
+      substring(col("text"), 1, cap).as("text_cap"))
     val withA = candidates.join(
-      compact.withColumnRenamed("doc_id", "a")
-        .withColumnRenamed("media", "m_a").withColumnRenamed("mh", "mh_a"), Seq("a"))
+      side.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("mh", "mh_a").withColumnRenamed("text_cap", "t_a"), Seq("a"))
     val withB = withA.join(
-      compact.withColumnRenamed("doc_id", "b")
-        .withColumnRenamed("media", "m_b").withColumnRenamed("mh", "mh_b"), Seq("b"))
+      side.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("mh", "mh_b").withColumnRenamed("text_cap", "t_b"), Seq("b"))
     val gated = withB
-      .withColumn("media_dist",
-        Blocking.mediaDistUdf(col("m_a"), col("m_b"), lit(cfg.slots)))
       .withColumn("minhash_est", minhashEstUdf(col("mh_a"), col("mh_b")))
       .filter(col("media_dist") < cfg.mediaThreshold ||
         col("minhash_est") >= cfg.minhashGate)
-      .select("a", "b", "media_dist", "minhash_est")
+      .select("a", "b", "media_dist", "minhash_est", "t_a", "t_b")
 
     // phase B: spread survivors across all cores before the O(n²) scorers
-    val spread = gated.repartition(spark.sparkContext.defaultParallelism * 2)
-
-    // phase C: text features on survivors only
-    val texts = sigs.toDF().select(col("doc_id"),
-      substring(col("text"), 1, cap).as("text_cap"))
-    val withTa = spread.join(
-      texts.withColumnRenamed("doc_id", "a").withColumnRenamed("text_cap", "t_a"), Seq("a"))
-    val withTb = withTa.join(
-      texts.withColumnRenamed("doc_id", "b").withColumnRenamed("text_cap", "t_b"), Seq("b"))
+    // (AQE would coalesce these few-MB partitions to 1-2 tasks otherwise)
+    val withTb = gated.repartition(spark.sessionState.conf.numShufflePartitions)
 
     val hasText = length(col("t_a")) > 0 && length(col("t_b")) > 0
     val maxLen = greatest(length(col("t_a")), length(col("t_b")))

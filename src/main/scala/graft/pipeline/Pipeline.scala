@@ -112,17 +112,19 @@ object Pipeline {
     val r = broadcast(targetBlocks.toDF().alias("r"))
     val cand = l.join(r, col("l.block_key") === col("r.block_key") &&
         col("l.doc_id") =!= col("r.doc_id"))
+      .withColumn("media_dist",
+        Blocking.mediaDistUdf(col("l.media"), col("r.media"), col("l.slots")))
       .withColumn("sim_ham",
         when(col("l.hasText") && col("r.hasText"),
           bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
           .otherwise(lit(9999)))
-      .filter((col("l.hasMedia") && col("r.hasMedia")) ||
+      .filter(col("media_dist") < cfg.mediaThreshold ||
         col("sim_ham") < cfg.simhashPrefilter)
       .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
         greatest(col("l.doc_id"), col("r.doc_id")).as("b"),
-        col("sim_ham"))
+        col("media_dist"), col("sim_ham"))
       .groupBy("a", "b")
-      .agg(min("sim_ham").as("sim_ham"))
+      .agg(min("media_dist").as("media_dist"), min("sim_ham").as("sim_ham"))
 
     val all = candidates.union(spark.createDataset(Seq(target)))
     val allSigs = Signatures.derive(all, cfg, resolver).map(_.sig)

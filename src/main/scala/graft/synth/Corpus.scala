@@ -55,6 +55,8 @@ object Corpus {
                           dupRate: Double = 0.35, // fraction of entities with dups
                           maxDups: Int = 3,
                           mediaSpanProb: Double = 0.5,
+                          minWords: Int = 20,
+                          maxWords: Int = 60,
                           seed: Long = 42L)
 
   /** Deterministic per-call RNG: a splitmix64 stream keyed by (seed, tags). */
@@ -72,7 +74,7 @@ object Corpus {
       val rng = new Rng(Hashing.hash64(p.seed, e.toLong))
       val nText = 1 + rng.nextInt(2)
       val nMedia = if (rng.nextDouble() < p.mediaSpanProb) 1 else 0
-      val words = Array.fill(20 + rng.nextInt(40))(Vocab(rng.nextInt(Vocab.length)))
+      val words = Array.fill(p.minWords + rng.nextInt(math.max(p.maxWords - p.minWords, 1)))(Vocab(rng.nextInt(Vocab.length)))
       val spans = ArrayBuffer.empty[Span]
       var off = 0
       var t = 0

@@ -77,20 +77,55 @@ object Tokenize {
     }
   }
 
-  /** Hashed char k-shingle set (distinct), for MinHash input. */
+  /** Hashed char k-shingle set (distinct, sorted), for MinHash input.
+    * Allocation-free inner loop: whitespace-normalization and per-window
+    * FNV-1a hashing run over a char buffer (no substring objects), dedup by
+    * sort — this is the hottest kernel of the signature stage at corpus
+    * scale. Produces exactly `hash64(shingle-string)` for each window, so
+    * results are identical to hashing `charShingles(text, k)` one by one.
+    */
   def shingleHashes(text: String, k: Int): Array[Long] = {
-    val sh = charShingles(text, k)
-    if (sh.isEmpty) Array.empty
-    else {
-      val set = new java.util.TreeSet[java.lang.Long]()
-      var i = 0
-      while (i < sh.length) { set.add(Hashing.hash64(sh(i))); i += 1 }
-      val out = new Array[Long](set.size)
-      val it = set.iterator()
-      var j = 0
-      while (it.hasNext) { out(j) = it.next(); j += 1 }
-      out
+    if (text == null) return Array.empty
+    // normalize: lowercase, collapse whitespace runs to ' ', trim
+    val buf = new Array[Char](text.length)
+    var n = 0
+    var i = 0
+    var pendingSpace = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) { if (n > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { buf(n) = ' '; n += 1; pendingSpace = false }
+        buf(n) = Character.toLowerCase(c)
+        n += 1
+      }
+      i += 1
     }
+    if (n == 0) return Array.empty
+    val wins = if (n <= k) 1 else n - k + 1
+    val len = math.min(k, n)
+    val hs = new Array[Long](wins)
+    var w = 0
+    while (w < wins) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < len) {
+        h ^= buf(w + j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      hs(w) = Hashing.mix64(h)
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedupe
+    var out = 0
+    var r = 0
+    while (r < hs.length) {
+      if (out == 0 || hs(r) != hs(out - 1)) { hs(out) = hs(r); out += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(hs, out)
   }
 
   /** Exact Jaccard similarity of two token sets. */
