@@ -22,7 +22,9 @@ final case class GraftConfig(
     mediaBlockBits: Int = 4,
     mediaBlocksPerKey: Int = 1,
     // text signatures
-    shingleK: Int = 5,
+    shingleK: Int = 7,   // 7-char shingles: inter-doc Jaccard ~0.01-0.05 on
+                         // KB-scale text (5-char shingles collide at 0.15+,
+                         // flooding the bands with false candidates)
     minhashK: Int = 128,
     textBands: Int = 32,      // 32 bands × 4 rows: P(miss) at Jaccard 0.8 is
                               // (1−0.8⁴)³² ≈ 1e-4 — high recall; the extra
