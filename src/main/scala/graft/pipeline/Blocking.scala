@@ -129,20 +129,40 @@ object Blocking {
     *
     * Returns (a, b, media_dist) with a < b, deduped across bands.
     */
-  def candidatePairs(blocks: Dataset[BlockRow], cfg: GraftConfig)(
+  /** All band keys of one signature row (media tables + text bands). */
+  private def bandKeysUdf(cfg: GraftConfig) = udf {
+    (media: Seq[Long], slots: Int, minhash: Seq[Long]) =>
+      val out = Array.newBuilder[Long]
+      var i = 0
+      while (i < media.length) {
+        out ++= mediaBandKeys(media(i), cfg.mediaBlockBits, cfg.mediaBlocksPerKey, i % slots)
+        i += 1
+      }
+      if (minhash.nonEmpty) out ++= MinHash.bandKeys(minhash.toArray, cfg.textBands)
+      out.result().distinct
+  }
+
+  def candidatePairs(sigs: Dataset[DocSig], cfg: GraftConfig)(
       implicit spark: SparkSession): (DataFrame, BlockStats, () => Unit) = {
-    // persisted: the census and both sides of the pair joins reuse it —
-    // without this, every downstream action re-derives signatures + bands
-    val b = blocks.toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Columnar block derivation: ONE udf call per document emitting its
+    // ~44 band keys, exploded natively — versus a typed flatMap, this keeps
+    // the 40-80M-row block relation inside whole-stage codegen instead of
+    // paying per-row object/encoder churn. NOT persisted: it re-derives from
+    // the persisted signature table cheaply on each of its 3 consumers.
+    val b = sigs.toDF().select(
+      col("doc_id"), col("media"), col("slots"), col("simhash"),
+      (col("text").isNotNull && length(col("text")) > 0).as("hasText"),
+      explode(bandKeysUdf(cfg)(col("media"), col("slots"), col("minhash"))).as("block_key"))
 
     // Hot/degenerate block census via map-side-combined groupBy — NOT a
     // window over the full block table: a window would shuffle+sort every
     // block row (the largest relation in the pipeline) just to tag sizes,
     // while the interesting keys (hot or degenerate) are a handful.
+    val tCensus = System.nanoTime()
     val census = b.groupBy("block_key").agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > math.min(cfg.hotBlockSize, cfg.maxBlockSize))
       .collect()
+    System.err.println(f"[graft]   census: ${(System.nanoTime() - tCensus) / 1e9}%.2f s, ${census.length} hot/deg keys")
     val degKeys = census.filter(_.getLong(1) > cfg.maxBlockSize)
     val hotKeys = census.filter(r => r.getLong(1) <= cfg.maxBlockSize)
     val stats0 = BlockStats(degKeys.length.toLong, degKeys.map(_.getLong(1)).sum,
@@ -152,9 +172,11 @@ object Blocking {
     val hotSet = hotKeys.map(_.getLong(0)).toSet
     val isDeg = udf((k: Long) => degSet.contains(k))
     val isHot = udf((k: Long) => hotSet.contains(k))
-    val live = b.filter(!isDeg(col("block_key")))
-    val normal = live.filter(!isHot(col("block_key")))
-    val hot = live.filter(isHot(col("block_key")))
+    // fast path: no hot/degenerate keys (the common case) — skip the
+    // per-row membership filters entirely
+    val live = if (degSet.isEmpty) b else b.filter(!isDeg(col("block_key")))
+    val normal = if (hotSet.isEmpty) live else live.filter(!isHot(col("block_key")))
+    val hot = if (hotSet.isEmpty) live.limit(0) else live.filter(isHot(col("block_key")))
 
     def pairJoin(left: DataFrame, right: DataFrame, extraKey: Seq[String]): DataFrame = {
       val l = left.alias("l")
@@ -186,6 +208,6 @@ object Blocking {
       .groupBy(col("a"), col("b"))
       .agg(min(col("media_dist")).as("media_dist"), min(col("sim_ham")).as("sim_ham"))
     // caller invokes the cleanup thunk once `pairs` is materialized
-    (pairs, stats0, () => { b.unpersist(); () })
+    (pairs, stats0, () => ())
   }
 }

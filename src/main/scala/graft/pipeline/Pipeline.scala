@@ -67,8 +67,7 @@ object Pipeline {
     val badMedia = sigResults.select(explode(col("errors")).as("e")).select("e.*")
 
     // 2-3. blocking + candidate pairs (census + salted self-join)
-    val blocks = Blocking.blockRows(sigs, cfg)
-    val (cands, stats, releaseBlocks) = Blocking.candidatePairs(blocks, cfg)
+    val (cands, stats, releaseBlocks) = Blocking.candidatePairs(sigs, cfg)
     val candidates = materialize("candidates", Hashing.hash64(baseKey, 2L))(cands)
     releaseBlocks()
 

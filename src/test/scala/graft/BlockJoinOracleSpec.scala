@@ -22,8 +22,7 @@ class BlockJoinOracleSpec extends AnyFunSuite with SparkTestBase {
       DocSig(f"i$i%03d", Array(i.toLong), 1, 0L, Array.emptyLongArray, "", 0)
     })
     val cfg = GraftConfig(mediaThreshold = t)
-    val blocks = Blocking.blockRows(sigs, cfg)
-    val (cands, _, _) = Blocking.candidatePairs(blocks, cfg)
+    val (cands, _, _) = Blocking.candidatePairs(sigs, cfg)
     // media distance is an exact phase-2 feature now; the radius predicate
     // (strict <, reference `vptree/vptree.go:167`) is the is_dup decision
     graft.pipeline.Pairs.score(cands, sigs, cfg)
@@ -58,7 +57,7 @@ class BlockJoinOracleSpec extends AnyFunSuite with SparkTestBase {
     })
     def run(hot: Int) = {
       val cfg = GraftConfig(mediaThreshold = 2, hotBlockSize = hot)
-      val (cands, stats, _) = Blocking.candidatePairs(Blocking.blockRows(sigs, cfg), cfg)
+      val (cands, stats, _) = Blocking.candidatePairs(sigs, cfg)
       (cands.select("a", "b").as[(String, String)].collect().toSet, stats)
     }
     val (unsalted, st0) = run(100000)
@@ -75,7 +74,7 @@ class BlockJoinOracleSpec extends AnyFunSuite with SparkTestBase {
       DocSig(f"i$i%03d", Array(0L), 1, 0L, Array.emptyLongArray, "", 0)
     })
     val cfg = GraftConfig(mediaThreshold = 2, maxBlockSize = 10)
-    val (cands, stats, _) = Blocking.candidatePairs(Blocking.blockRows(sigs, cfg), cfg)
+    val (cands, stats, _) = Blocking.candidatePairs(sigs, cfg)
     assert(cands.count() == 0)
     assert(stats.droppedBlocks > 0 && stats.droppedRows > 0)
   }
