@@ -21,10 +21,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "20000").toInt
+    val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "60000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", "64") // fixed plan shape across the two scaling runs
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -34,8 +36,10 @@ object Bench {
 
     // end-to-end pipeline throughput on the deterministic labeled corpus
     // (north rule: block → score → cluster docs/sec at two cluster sizes)
-    val corpus = Corpus.generate(Corpus.Params(entities = entities, seed = 42)).map(_.doc)
-    val docs = spark.createDataset(corpus).repartition(cpus.toInt * 2).cache()
+    // KB-scale interleaved docs (realistic per-doc compute; see BASELINE.md)
+    val corpus = Corpus.generate(Corpus.Params(entities = entities,
+      minWords = 150, maxWords = 400, seed = 42)).map(_.doc)
+    val docs = spark.createDataset(corpus).repartition(64).cache()
     val nDocs = docs.count() // materialize input outside the timed window
     val t0 = System.nanoTime()
     val result = Pipeline.run(spark, docs, Corpus.RecommendedConfig)
