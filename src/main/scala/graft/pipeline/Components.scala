@@ -92,22 +92,30 @@ object Components {
   }
 
   private def driverUnionFind(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
+    // node ids keep the edge column's type (string doc_ids in the pipeline,
+    // but any orderable key works — the SQL-facing CC query uses bigints)
+    val keyType = e.schema("src").dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    @inline def less(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
       var c = x
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    val arr = e.select("src", "dst").as[(String, String)].collect()
-    arr.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    val arr = e.select("src", "dst").collect()
+    arr.foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) { if (less(ra, rb)) parent(rb) = ra else parent(ra) = rb }
     }
-    val nodes = (arr.iterator.map(_._1) ++ arr.iterator.map(_._2)).toSet
-    spark.createDataset(nodes.toSeq.map(n => (n, find(n)))).toDF("doc_id", "cluster_id")
+    val nodes = (arr.iterator.map(_.get(0)) ++ arr.iterator.map(_.get(1))).toSet
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+    nodes.foreach(n => out.add(org.apache.spark.sql.Row(n, find(n))))
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", keyType),
+      org.apache.spark.sql.types.StructField("cluster_id", keyType))))
   }
 
   private def edgeDigest(e: DataFrame): (Long, Long) = {
