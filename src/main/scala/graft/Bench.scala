@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   *                        (BASELINE.md): same input, report
   *                        efficiency = (thru_32 / thru_8) / 4
   *   SPARK_GRAFT_BENCH_ENTITIES  synthetic-corpus size for the end-to-end
-  *                        pipeline throughput measurement (default 20000)
+  *                        pipeline throughput measurement (default 60000)
   */
 object Bench {
   def main(args: Array[String]): Unit = {

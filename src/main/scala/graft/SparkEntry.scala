@@ -373,6 +373,30 @@ object SparkEntry {
       Seq((withO, withoutO)).toDF("n_with_orders", "n_without_orders")
     }),
 
+    // date/window/json coverage over the events stream table
+    "q_events_daily" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("day", "event_type")
+    }),
+
+    // sessionization: gap > 30 min starts a new session (lag + window sum)
+    "q_events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) - unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     "q_set_ops" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_nationkey").as("k"))
       val sup = s.read.parquet(s"$dir/supplier.parquet").select(col("s_nationkey").as("k"))
@@ -534,6 +558,22 @@ object SparkEntry {
     "q_semi_anti" ->
       """SELECT (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
         |       (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders""".stripMargin,
+
+    "q_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH w AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM w GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q_set_ops" ->
       """SELECT (SELECT count(*) FROM (SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier)) AS n_union,
