@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.model.Doc
+import graft.text.{MinHash, SimHash, Tokenize}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming dedup operators.
+  *
+  * The reference is strictly batch (SURVEY.md §2.9) and the north rule's
+  * pipeline stays batch; this module is the graft-added streaming surface a
+  * training-data ingest needs: signature derivation on a stream, watermarked
+  * windowed duplicate-rate monitoring, and keyed first-seen/duplicate
+  * tagging with explicit state (mapGroupsWithState).
+  */
+object StreamDedup {
+
+  final case class StreamSig(doc_id: String, event_time: java.sql.Timestamp,
+                             exact_key: String, simhash: Long, band0: Long)
+
+  /** Stream of (doc, event_time) → signature stream. Narrow map — safe in a
+    * streaming query (no shuffle until the caller aggregates).
+    */
+  def signatures(docs: Dataset[(Doc, java.sql.Timestamp)])(
+      implicit spark: SparkSession): Dataset[StreamSig] = {
+    import spark.implicits._
+    docs.map { case (d, ts) =>
+      val text = d.concatText
+      val sh = Tokenize.shingleHashes(text, 7)
+      val band0 =
+        if (sh.isEmpty) 0L else MinHash.bandKeys(MinHash.signature(sh), 32)(0)
+      StreamSig(d.doc_id,
+        ts,
+        // exact duplicate key: md5 of the full span-normalized content
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+        if (text.isEmpty) 0L else SimHash.simhash64(text),
+        band0)
+    }
+  }
+
+  /** Watermarked sliding-window copy census: per 10-minute window (5-minute
+    * slide) and exact-content key, how many copies arrived. One stateful
+    * aggregation (streaming supports exactly one); the per-window duplicate
+    * rate is a stateless rollup over this output at the sink
+    * (`sum(copies - 1)` per window).
+    */
+  def windowedDupCounts(sigs: Dataset[StreamSig], watermark: String = "15 minutes"): DataFrame = {
+    sigs.toDF()
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"), col("exact_key"))
+      .agg(count(lit(1)).as("copies"))
+  }
+
+  final case class SeenState(firstDocId: String, copies: Long)
+  final case class DupTag(doc_id: String, exact_key: String,
+                          is_duplicate: Boolean, first_doc_id: String, copy_number: Long)
+
+  /** Keyed streaming dedup with explicit state: the first doc of each
+    * exact-content key is the keeper; later arrivals are tagged duplicates
+    * (reference keep-first survivorship, `cmd/dedupe/main.go:226-236`,
+    * reinterpreted for unbounded input). State never expires here —
+    * production would set a TTL via GroupStateTimeout.
+    */
+  def tagDuplicates(sigs: Dataset[StreamSig])(
+      implicit spark: SparkSession): Dataset[DupTag] = {
+    import spark.implicits._
+    sigs.groupByKey(_.exact_key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[StreamSig], state: GroupState[SeenState]) =>
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(
+            SeenState(sorted.head.doc_id, 0L))
+          val out = sorted.map { s =>
+            st = st.copy(copies = st.copies + 1)
+            DupTag(s.doc_id, key, s.doc_id != st.firstDocId, st.firstDocId, st.copies)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

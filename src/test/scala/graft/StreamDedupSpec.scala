@@ -1,0 +1,63 @@
+package graft
+
+import graft.model.{Doc, Span}
+import graft.streaming.StreamDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def doc(id: String, text: String): Doc = Doc(id, Seq(Span.text(text, 0)))
+
+  test("streaming signatures + watermarked windowed duplicate counts") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Doc, java.sql.Timestamp)](s)
+    val sigs = StreamDedup.signatures(input.toDS())
+    val counts = StreamDedup.windowedDupCounts(sigs)
+    val q = counts.writeStream.format("memory").queryName("dupcounts")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (doc("a1", "the same content"), ts(1)),
+        (doc("a2", "the same content"), ts(2)),
+        (doc("b1", "different content"), ts(3)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the early windows
+      input.addData((doc("z9", "late heartbeat"), ts(59)))
+      q.processAllAvailable()
+      // stateless rollup over the emitted per-key window counts
+      val rows = s.sql(
+        """SELECT window, sum(copies) AS n_docs, sum(copies - 1) AS n_dups
+          |FROM dupcounts GROUP BY window""".stripMargin).collect()
+      assert(rows.nonEmpty)
+      // every closed window containing both a1+a2 reports 1 duplicate
+      assert(rows.map(_.getLong(2)).max == 1L)
+      assert(rows.map(_.getLong(1)).max == 3L)
+    } finally q.stop()
+  }
+
+  test("keyed streaming dedup tags later copies as duplicates across batches") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Doc, java.sql.Timestamp)](s)
+    val tags = StreamDedup.tagDuplicates(StreamDedup.signatures(input.toDS()))
+    val q = tags.writeStream.format("memory").queryName("duptags")
+      .outputMode("append").start()
+    try {
+      input.addData((doc("k1", "payload x"), ts(1)))
+      q.processAllAvailable()
+      input.addData((doc("k2", "payload x"), ts(5)), (doc("k3", "payload y"), ts(6)))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, is_duplicate, first_doc_id, copy_number FROM duptags ORDER BY doc_id")
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        ("k1", false, "k1", 1L),
+        ("k2", true, "k1", 2L), // state survived the batch boundary
+        ("k3", false, "k3", 1L)))
+    } finally q.stop()
+  }
+}
