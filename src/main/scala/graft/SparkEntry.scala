@@ -228,6 +228,81 @@ object SparkEntry {
       }.toDF("doc_id", "dct", "dhash_row", "dhash_col").orderBy("doc_id")
     }),
 
+    // targeted compare (reference E2): duplicates of one probe doc —
+    // a perturbed copy of doc 7's text must link back to doc 7
+    "q_compare_target" -> ((s, dir) => {
+      import s.implicits._
+      val probeText = docsTable(s, dir).filter(col("doc_id") === 7)
+        .select("text").as[String].collect()(0)
+      val words = probeText.split(" ")
+      val perturbed = (words.take(words.length / 2) ++
+        words.drop(words.length / 2 + 1)).mkString(" ")
+      val target = Doc("probe-0", Seq(Span.text(perturbed, 0)))
+      Pipeline.compare(s, target, asDocs(s, dir), GraftConfig(mediaThreshold = 11))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal: decode → feature-extract over binary image columns
+    // (real PNG round-trip; no SQL analog)
+    "q_image_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = docsTable(s, dir).select(col("doc_id")).as[Long]
+        .filter(_ % 10 == 0).map { id =>
+          val img = SynthMedia.render(graft.text.Hashing.hash64(s"img-$id"), 0)
+          val bi = new java.awt.image.BufferedImage(img.width, img.height,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          var y = 0
+          while (y < img.height) {
+            var x = 0
+            while (x < img.width) {
+              bi.setRGB(x, y, (img.a(x, y) << 24) | (img.r(x, y) << 16) |
+                (img.g(x, y) << 8) | img.b(x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(bi, "png", bos)
+          graft.media.Multimodal.MediaRow(id.toString, s"img-$id", "image/png", bos.toByteArray)
+        }
+      val (feats, _) = graft.media.Multimodal.imageFeatures(media)(s)
+      feats.toDF().select(col("doc_id").cast("long").as("doc_id"),
+        col("width"), col("height"), col("phash"), col("dhash_row"), col("dhash_col"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal: frame-sampled video near-dup join (stub decode; real join)
+    "q_video_near_dups" -> ((s, dir) => {
+      import s.implicits._
+      val media = docsTable(s, dir).select(col("doc_id")).as[Long]
+        .filter(_ % 20 == 0).flatMap { id =>
+          val bytes = Array.tabulate[Byte](256)(i => ((id + i) % 127).toByte)
+          // every 5th video also appears as an exact re-upload
+          val base = graft.media.Multimodal.MediaRow(s"v$id", s"vid-$id", "video/mp4", bytes)
+          if (id % 100 == 0)
+            Seq(base, graft.media.Multimodal.MediaRow(s"v$id-copy", s"vid-$id", "video/mp4", bytes))
+          else Seq(base)
+        }
+      val frames = graft.media.Multimodal.sampleFrames(media, everyNth = 2, maxFrames = 12)(s)
+      graft.media.Multimodal.videoNearDups(frames, minShared = 3)(s)
+        .orderBy("a", "b")
+    }),
+
+    // per-doc text analysis rollup: heuristic language id, quality score,
+    // BPE-ish token estimate, winnow fingerprint count (kernel surface;
+    // no SQL analog)
+    "q_doc_stats" -> ((s, dir) => {
+      import s.implicits._
+      docsTable(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val q = TextStats.quality(t)
+          (id, TextStats.langId(t), math.round(q.score * 10000.0) / 10000.0,
+            Tokenize.bpeTokenCount(t), TextStats.winnow(t).length)
+        }.toDF("doc_id", "lang_guess", "quality", "bpe_tokens", "n_fingerprints")
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis for training-data pipelines -----------------------
 
     "q_token_stats" -> ((s, dir) => {
