@@ -26,7 +26,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "64") // fixed plan shape across the two scaling runs
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS",
+        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/spark-graft"
+        else System.getProperty("java.io.tmpdir")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -100,7 +100,9 @@ object Pipeline {
               resolver: MediaResolver = DefaultMedia): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
+    // one signature derivation, reused by blocking AND phase-2 scoring
     val sigs = Signatures.derive(candidates, cfg, resolver).map(_.sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = Blocking.blockRows(sigs, cfg)
 
     val targetSigs = Signatures
@@ -125,8 +127,8 @@ object Pipeline {
       .groupBy("a", "b")
       .agg(min("media_dist").as("media_dist"), min("sim_ham").as("sim_ham"))
 
-    val all = candidates.union(spark.createDataset(Seq(target)))
-    val allSigs = Signatures.derive(all, cfg, resolver).map(_.sig)
+    val allSigs = sigs.union(
+      Signatures.derive(spark.createDataset(Seq(target)), cfg, resolver).map(_.sig))
     val scored = Pairs.score(cand, allSigs, cfg)
     val t = target.doc_id
     scored.filter(col("is_dup"))
