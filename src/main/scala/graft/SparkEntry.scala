@@ -121,9 +121,10 @@ object SparkEntry {
     "q_lev_pairs" -> ((s, dir) => {
       val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
         expr("n_chars div 50").as("b"), substring(col("text"), 1, 60).as("t"))
-      val l = d.select(col("doc_id").as("a"), col("lang"), col("b"), col("t").as("ta"))
-      val r = d.select(col("doc_id").as("b2"), col("lang"), col("b"), col("t").as("tb"))
-      l.join(r, Seq("lang", "b")).filter(col("a") < col("b2"))
+        .withColumn("p4", substring(col("t"), 1, 4))
+      val l = d.select(col("doc_id").as("a"), col("lang"), col("b"), col("p4"), col("t").as("ta"))
+      val r = d.select(col("doc_id").as("b2"), col("lang"), col("b"), col("p4"), col("t").as("tb"))
+      l.join(r, Seq("lang", "b", "p4")).filter(col("a") < col("b2"))
         .withColumn("d", levenshtein(col("ta"), col("tb")))
         .filter(col("d") < 15)
         .select(col("a"), col("b2").as("b"), col("d"))
@@ -165,9 +166,10 @@ object SparkEntry {
     "q_cc_clusters" -> ((s, dir) => {
       val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
         expr("n_chars div 50").as("b"), substring(col("text"), 1, 60).as("t"))
-      val l = d.select(col("doc_id").as("src"), col("lang"), col("b"), col("t").as("ta"))
-      val r = d.select(col("doc_id").as("dst"), col("lang"), col("b"), col("t").as("tb"))
-      val edges = l.join(r, Seq("lang", "b")).filter(col("src") < col("dst"))
+        .withColumn("p4", substring(col("t"), 1, 4))
+      val l = d.select(col("doc_id").as("src"), col("lang"), col("b"), col("p4"), col("t").as("ta"))
+      val r = d.select(col("doc_id").as("dst"), col("lang"), col("b"), col("p4"), col("t").as("tb"))
+      val edges = l.join(r, Seq("lang", "b", "p4")).filter(col("src") < col("dst"))
         .filter(levenshtein(col("ta"), col("tb")) < 15)
         .select("src", "dst")
       Components.connectedComponents(edges)(s).orderBy("doc_id")
@@ -370,12 +372,12 @@ object SparkEntry {
     // brute-force cosine top-3 neighbors for the first 50 query vectors
     "q_cosine_topk" -> ((s, dir) => {
       val e = embTable(s, dir)
-      val q = e.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("q"), col("embedding").as("eq"))
-      val c = e.select(col("vec_id").as("n"), col("embedding").as("en"))
+      val en = e.withColumn("nrm", normCol(col("embedding")))
+      val q = en.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q"), col("embedding").as("eq"), col("nrm").as("nq"))
+      val c = en.select(col("vec_id").as("n"), col("embedding").as("en"), col("nrm").as("nn"))
       val scored = q.join(c, col("q") =!= col("n"))
-        .withColumn("cos", round(dotCol(col("eq"), col("en")) /
-          (normCol(col("eq")) * normCol(col("en"))), 6))
+        .withColumn("cos", round(dotCol(col("eq"), col("en")) / (col("nq") * col("nn")), 6))
       val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -385,12 +387,13 @@ object SparkEntry {
 
     // embedding near-duplicate census: cosine > 0.9 pairs vs label agreement
     "q_embed_near_dup" -> ((s, dir) => {
-      val e = embTable(s, dir)
-      val a = e.select(col("vec_id").as("a"), col("label").as("la"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("b"), col("label").as("lb"), col("embedding").as("eb"))
+      val e = embTable(s, dir).withColumn("nrm", normCol(col("embedding")))
+      val a = e.select(col("vec_id").as("a"), col("label").as("la"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b"), col("label").as("lb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, col("a") < col("b"))
-        .withColumn("cos", dotCol(col("ea"), col("eb")) /
-          (normCol(col("ea")) * normCol(col("eb"))))
+        .withColumn("cos", dotCol(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") > 0.35)
         .groupBy((col("la") === col("lb")).as("same_label"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -400,17 +403,18 @@ object SparkEntry {
     // LSH-bucketed approximate NN (scale path; no SQL analog — rows-only)
     "q_ann_lsh" -> ((s, dir) => {
       val e = embTable(s, dir).select(col("vec_id"), col("label"), col("embedding"),
-        signHash(col("embedding")).as("h"))
+        normCol(col("embedding")).as("nrm"), signHash(col("embedding")).as("h"))
       // probe buckets: 8 bands of 8 bits over the sign hash
-      val bands = e.select(col("vec_id"), col("label"), col("embedding"),
+      val bands = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
         explode(array((0 until 8).map(i =>
           concat_ws(":", lit(i), shiftright(col("h"), i * 8).bitwiseAND(lit(0xffL)))): _*)).as("bucket"))
-      val l = bands.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
-      val r = bands.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket"))
+      val l = bands.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("bucket"))
+      val r = bands.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("bucket"))
       val cand = l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-        .select("a", "b", "ea", "eb").distinct()
-        .withColumn("cos", round(dotCol(col("ea"), col("eb")) /
-          (normCol(col("ea")) * normCol(col("eb"))), 6))
+        .select("a", "b", "ea", "eb", "na", "nb").distinct()
+        .withColumn("cos", round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") > 0.3)
       cand.select("a", "b", "cos").orderBy("a", "b")
     }),
@@ -513,10 +517,12 @@ object SparkEntry {
         |FROM e GROUP BY 1 HAVING count(*) > 1 ORDER BY block_key""".stripMargin,
 
     "q_lev_pairs" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t
+      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t,
+        |                  substr(text,1,4) AS p4
         |           FROM documents)
         |SELECT l.doc_id AS a, r.doc_id AS b, levenshtein(l.t, r.t) AS d
-        |FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.doc_id < r.doc_id
+        |FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.p4 = r.p4
+        |                 AND l.doc_id < r.doc_id
         |WHERE levenshtein(l.t, r.t) < 15 ORDER BY a, b""".stripMargin,
 
     "q_jw_pairs" ->
@@ -542,10 +548,12 @@ object SparkEntry {
 
     "q_cc_clusters" ->
       """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t FROM documents),
+        |  SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t,
+        |         substr(text,1,4) AS p4 FROM documents),
         |e AS (
         |  SELECT l.doc_id AS src, r.doc_id AS dst
-        |  FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.doc_id < r.doc_id
+        |  FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.p4 = r.p4
+        |                   AND l.doc_id < r.doc_id
         |  WHERE levenshtein(l.t, r.t) < 15),
         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
         |reach(u, v) AS (
