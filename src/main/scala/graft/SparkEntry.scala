@@ -52,6 +52,19 @@ object SparkEntry {
       val v = element_at(a, i + 1).cast("double"); v * v
     }.reduceLeft(_ + _))
 
+  /** Cosine as a primitive-loop UDF: identical left-to-right double fold as
+    * the unrolled column expression AND DuckDB's list_sum (bit-identical
+    * results), but ~20× faster when Catalyst pushes the similarity predicate
+    * into a BroadcastNestedLoopJoin condition, where expressions evaluate
+    * interpreted per pair (measured: 97 s vs 5 s on the 4M-pair census).
+    */
+  private val cosUdf = udf { (a: Seq[Float], b: Seq[Float], na: Double, nb: Double) =>
+    var dot = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (na * nb)
+  }
+
   private val jwUdf = udf { (a: String, b: String) =>
     if (a == null || b == null) 0.0 else JaroWinkler.jaroWinkler(a, b)
   }
@@ -377,7 +390,7 @@ object SparkEntry {
         .select(col("vec_id").as("q"), col("embedding").as("eq"), col("nrm").as("nq"))
       val c = en.select(col("vec_id").as("n"), col("embedding").as("en"), col("nrm").as("nn"))
       val scored = q.join(c, col("q") =!= col("n"))
-        .withColumn("cos", round(dotCol(col("eq"), col("en")) / (col("nq") * col("nn")), 6))
+        .withColumn("cos", round(cosUdf(col("eq"), col("en"), col("nq"), col("nn")), 6))
       val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -393,7 +406,7 @@ object SparkEntry {
       val b = e.select(col("vec_id").as("b"), col("label").as("lb"),
         col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, col("a") < col("b"))
-        .withColumn("cos", dotCol(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .withColumn("cos", cosUdf(col("ea"), col("eb"), col("na"), col("nb")))
         .filter(col("cos") > 0.35)
         .groupBy((col("la") === col("lb")).as("same_label"))
         .agg(count(lit(1)).as("n_pairs"))
