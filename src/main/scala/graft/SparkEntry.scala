@@ -69,6 +69,21 @@ object SparkEntry {
     if (a == null || b == null) 0.0 else JaroWinkler.jaroWinkler(a, b)
   }
 
+  /** Shared near-dup edge relation for the CC/report/survivorship queries:
+    * content-keyed blocks (lang, length-bucket, 4-char prefix) → levenshtein
+    * < 15 on 60-char prefixes. Mirrored exactly by the recursive-CTE oracles.
+    */
+  private def levEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
+      expr("n_chars div 50").as("b"), substring(col("text"), 1, 60).as("t"))
+      .withColumn("p4", substring(col("t"), 1, 4))
+    val l = d.select(col("doc_id").as("src"), col("lang"), col("b"), col("p4"), col("t").as("ta"))
+    val r = d.select(col("doc_id").as("dst"), col("lang"), col("b"), col("p4"), col("t").as("tb"))
+    l.join(r, Seq("lang", "b", "p4")).filter(col("src") < col("dst"))
+      .filter(levenshtein(col("ta"), col("tb")) < 15)
+      .select("src", "dst")
+  }
+
   /** Documents table → Dataset[Doc]: one text span per row; every 10th doc
     * also carries a deterministic synthetic media span keyed by doc_id —
     * exercises the interleaved text+media path end-to-end.
@@ -182,16 +197,30 @@ object SparkEntry {
     }),
 
     // transitive clustering over the lev-edges (A1 → large-star/small-star CC)
-    "q_cc_clusters" -> ((s, dir) => {
-      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
-        expr("n_chars div 50").as("b"), substring(col("text"), 1, 60).as("t"))
-        .withColumn("p4", substring(col("t"), 1, 4))
-      val l = d.select(col("doc_id").as("src"), col("lang"), col("b"), col("p4"), col("t").as("ta"))
-      val r = d.select(col("doc_id").as("dst"), col("lang"), col("b"), col("p4"), col("t").as("tb"))
-      val edges = l.join(r, Seq("lang", "b", "p4")).filter(col("src") < col("dst"))
-        .filter(levenshtein(col("ta"), col("tb")) < 15)
-        .select("src", "dst")
-      Components.connectedComponents(edges)(s).orderBy("doc_id")
+    "q_cc_clusters" -> ((s, dir) =>
+      Components.connectedComponents(levEdges(s, dir))(s).orderBy("doc_id")),
+
+    // A3 group materialization + the reference's flagship report shape:
+    // one row per multi-member cluster, members sorted keeper-first,
+    // comma-joined for bit-exact compare with DuckDB string_agg
+    "q_cluster_groups" -> ((s, dir) => {
+      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      graft.sinks.Report.groups(cc)
+        .select(col("cluster_id"), col("n_members"),
+          array_join(transform(col("members"), _.cast("string")), ",").as("members"))
+        .orderBy("cluster_id")
+    }),
+
+    // S8-S10 survivorship plan: keep-first policy as an anti-join rewrite —
+    // keepers (min doc_id per cluster) never enter the delete set
+    "q_survivorship" -> ((s, dir) => {
+      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      val keepers = cc.groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+      val deletes = cc.join(keepers, Seq("cluster_id", "doc_id"), "left_anti")
+      deletes.join(keepers.withColumnRenamed("doc_id", "keeper"), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("keeper"),
+          lit("delete").as("action"))
+        .orderBy("doc_id")
     }),
 
     // MinHash/LSH candidate generation over document text (no SQL analog)
@@ -610,6 +639,49 @@ object SparkEntry {
         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "q_cluster_groups" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t,
+        |         substr(text,1,4) AS p4 FROM documents),
+        |e AS (
+        |  SELECT l.doc_id AS src, r.doc_id AS dst
+        |  FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.p4 = r.p4
+        |                   AND l.doc_id < r.doc_id
+        |  WHERE levenshtein(l.t, r.t) < 15),
+        |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |       FROM reach GROUP BY u)
+        |SELECT cluster_id, count(*) AS n_members,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+        |FROM cc GROUP BY cluster_id HAVING count(*) > 1
+        |ORDER BY cluster_id""".stripMargin,
+
+    "q_survivorship" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t,
+        |         substr(text,1,4) AS p4 FROM documents),
+        |e AS (
+        |  SELECT l.doc_id AS src, r.doc_id AS dst
+        |  FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.p4 = r.p4
+        |                   AND l.doc_id < r.doc_id
+        |  WHERE levenshtein(l.t, r.t) < 15),
+        |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |       FROM reach GROUP BY u),
+        |k AS (SELECT cluster_id, min(doc_id) AS keeper FROM cc GROUP BY cluster_id)
+        |SELECT cc.doc_id, cc.cluster_id, k.keeper, 'delete' AS action
+        |FROM cc JOIN k ON cc.cluster_id = k.cluster_id
+        |WHERE cc.doc_id <> k.keeper
+        |ORDER BY doc_id""".stripMargin,
 
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -142,7 +142,10 @@ object Multimodal {
     */
   def videoNearDups(frames: Dataset[FrameSample], minShared: Int)(
       implicit spark: SparkSession): DataFrame = {
-    val f = frames.toDF()
+    // dedup (doc_id, frame_phash) BEFORE the join: a static/repetitive video
+    // with k identical-hash frames would otherwise contribute k*m join rows
+    // and shared_frames would count cross products, not distinct shared hashes
+    val f = frames.toDF().select("doc_id", "frame_phash").distinct()
     val l = f.select(col("doc_id").as("a"), col("frame_phash"))
     val r = f.select(col("doc_id").as("b"), col("frame_phash"))
     l.join(r, Seq("frame_phash")).filter(col("a") < col("b"))

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * Recall (SURVEY.md §7.4.1): with 16 × 4-bit bands per 64-bit media hash,
   * any pair within Hamming distance ≤ 15 shares an exact band (pigeonhole);
   * 16…21 is caught probabilistically plus via the text modality; within-block
-  * exact re-scoring makes precision exact. Text: 16 × 8-row MinHash bands.
+  * exact re-scoring makes precision exact. Text: `cfg.textBands` MinHash
+  * bands (default 32 bands × 4 rows of the 128-value signature — see
+  * GraftConfig for the miss-probability math).
   */
 object Blocking {
 

@@ -29,6 +29,18 @@ object Pipeline {
                           stats: Blocking.BlockStats,
                           release: () => Unit = () => ())
 
+  /** Resume key root = config digest ⊕ input-data digest: reusing a
+    * checkpointDir with CHANGED input data (same config) invalidates every
+    * stage. The input digest is order-independent (count + bit_xor of
+    * xxhash64(doc_id)) and costs one narrow column scan — only paid when
+    * checkpointing is enabled.
+    */
+  def resumeBaseKey(docs: Dataset[Doc], cfg: GraftConfig): Long = {
+    val row = docs.toDF().selectExpr(
+      "count(*) AS n", "coalesce(bit_xor(xxhash64(doc_id)), 0L) AS dg").head()
+    Hashing.hash64(Hashing.hash64(cfg.configHash, row.getLong(0)), row.getLong(1))
+  }
+
   def run(spark: SparkSession, docs: Dataset[Doc],
           cfg: GraftConfig = GraftConfig(),
           resolver: MediaResolver = DefaultMedia,
@@ -37,7 +49,7 @@ object Pipeline {
     import spark.implicits._
 
     val io = checkpointDir.map(new ParquetTableIO(_))
-    val baseKey = cfg.configHash
+    val baseKey = if (io.isDefined) resumeBaseKey(docs, cfg) else cfg.configHash
 
     // Without a TableIO every stage is persisted + materialized instead:
     // each stage below is consumed by more than one downstream action, and
@@ -105,8 +117,11 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = Blocking.blockRows(sigs, cfg)
 
+    // derive the target's signature ONCE (it decodes media) and reuse it for
+    // both its band keys and the phase-2 scoring union
     val targetSigs = Signatures
       .derive(spark.createDataset(Seq(target)), cfg, resolver).map(_.sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val targetBlocks = Blocking.blockRows(targetSigs, cfg)
 
     val l = blocks.toDF().alias("l")
@@ -127,12 +142,18 @@ object Pipeline {
       .groupBy("a", "b")
       .agg(min("media_dist").as("media_dist"), min("sim_ham").as("sim_ham"))
 
-    val allSigs = sigs.union(
-      Signatures.derive(spark.createDataset(Seq(target)), cfg, resolver).map(_.sig))
+    val allSigs = sigs.union(targetSigs)
     val scored = Pairs.score(cand, allSigs, cfg)
     val t = target.doc_id
-    scored.filter(col("is_dup"))
+    val out = scored.filter(col("is_dup"))
       .select(when(col("a") === t, col("b")).otherwise(col("a")).as("doc_id"),
         col("score"))
+    // materialize the (per-target, small) result so the cached signature
+    // blocks can be released before returning — repeated compare() calls in
+    // a long-lived session would otherwise leak storage memory
+    val result = out.localCheckpoint(true)
+    sigs.unpersist()
+    targetSigs.unpersist()
+    result
   }
 }

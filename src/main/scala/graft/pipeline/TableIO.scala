@@ -10,7 +10,8 @@ import java.nio.file.{Files, Paths}
   * abstraction is a partitioned Parquet table plus a `_graft_manifest.json`
   * sidecar carrying {stage, resume key, row count, per-partition row counts,
   * wall time}. `stage()` skips recompute when an existing manifest's resume
-  * key (config digest ⊕ upstream digest) matches — a rerun after a kill
+  * key (config digest ⊕ input-data digest ⊕ stage ordinal — see
+  * Pipeline.run's baseKey) matches — a rerun after a kill
   * resumes at the first missing/mismatched stage with byte-identical results
   * (the pipeline is deterministic end-to-end). An Iceberg-backed TableIO can
   * be dropped in where the runtime exists; the contract is this trait.

@@ -1,0 +1,102 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Survivorship action sinks (reference S8/S9/S10:
+  * `/root/reference/cmd/dedupe/main.go:208-236`, `utils/file.go:63-92`):
+  * move / copy / delete the files behind duplicate groups.
+  *
+  *  - move: every member of a group → `destDir/group-<cluster_id>/<basename>`
+  *  - copy: same layout, copy instead of rename
+  *  - delete keep-first: every member EXCEPT the keeper (min doc_id) removed
+  *  - delete all: the whole group removed (the reference's `-delete-all`)
+  *
+  * The reference loops groups on one thread; here the *plan* is a DataFrame
+  * (anti-join survivorship rewrite — no collect) and the *execution* is a
+  * `mapPartitions` sink over that plan: each task talks to the FileSystem
+  * for its slice of files, and per-file outcomes come back as a result
+  * Dataset (the reference's errors.Join bubble-up, as a dataflow). Group
+  * subdirectories are keyed by cluster_id (stable, deterministic) instead of
+  * the reference's in-memory group ordinal, which does not exist distributed.
+  */
+object FileActions {
+
+  final case class PlannedAction(doc_id: String, cluster_id: String,
+                                 src: String, dest: String, action: String)
+  final case class ActionResult(src: String, action: String, ok: Boolean, error: String)
+
+  /** Build the action plan from cluster assignments.
+    *
+    * @param clusters (doc_id, cluster_id, path) — path is the file behind the doc
+    * @param action   "move" | "copy" | "delete"
+    * @param destDir  target root for move/copy (ignored for delete)
+    * @param keepFirst delete only: survivors (min doc_id per cluster) are
+    *                  anti-joined OUT of the plan; false = reference -delete-all
+    */
+  def plan(clusters: DataFrame, action: String, destDir: String = "",
+           keepFirst: Boolean = true): DataFrame = {
+    require(Set("move", "copy", "delete")(action), s"unknown action $action")
+    val members = clusters.select(
+      col("doc_id").cast("string").as("doc_id"),
+      col("cluster_id").cast("string").as("cluster_id"),
+      col("path").cast("string").as("src"))
+    // multi-member clusters only: singletons are not duplicates
+    val sizes = members.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+    val dupMembers = members.join(sizes.filter(col("n") > 1).select("cluster_id"), "cluster_id")
+    val inScope = if (action == "delete" && keepFirst) {
+      // survivorship as an anti-join: keepers never enter the plan
+      val keepers = dupMembers.groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+      dupMembers.join(keepers, Seq("cluster_id", "doc_id"), "left_anti")
+    } else dupMembers
+    val dest =
+      if (action == "delete") lit("")
+      else concat(lit(destDir.stripSuffix("/") + "/group-"), col("cluster_id"),
+        lit("/"), element_at(split(col("src"), "/"), -1))
+    inScope.select(col("doc_id"), col("cluster_id"), col("src"),
+      dest.as("dest"), lit(action).as("action"))
+  }
+
+  /** Execute a plan: one FileSystem handle per partition, one row in, one
+    * outcome row out. Distributed-safe: no driver-side iteration, failures
+    * are data (bad-row channel), not exceptions.
+    */
+  def execute(spark: SparkSession, planDf: DataFrame): Dataset[ActionResult] = {
+    import spark.implicits._
+    planDf.select("doc_id", "cluster_id", "src", "dest", "action").as[PlannedAction]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { a =>
+          try {
+            val srcPath = new org.apache.hadoop.fs.Path(a.src)
+            val fs = srcPath.getFileSystem(conf)
+            a.action match {
+              case "delete" =>
+                if (!fs.delete(srcPath, false)) throw new java.io.IOException("delete returned false")
+              case "move" =>
+                val d = new org.apache.hadoop.fs.Path(a.dest)
+                fs.mkdirs(d.getParent)
+                if (!fs.rename(srcPath, d)) throw new java.io.IOException("rename returned false")
+              case "copy" =>
+                val d = new org.apache.hadoop.fs.Path(a.dest)
+                fs.mkdirs(d.getParent)
+                val in = fs.open(srcPath)
+                try {
+                  val out = fs.create(d, true)
+                  try {
+                    val buf = new Array[Byte](64 * 1024)
+                    var n = in.read(buf)
+                    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+                  } finally out.close()
+                } finally in.close()
+            }
+            ActionResult(a.src, a.action, ok = true, error = "")
+          } catch {
+            case e: Exception =>
+              ActionResult(a.src, a.action, ok = false,
+                error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+      }
+  }
+}

@@ -27,7 +27,9 @@ object MinHash {
   def signature(shingles: Array[Long], k: Int = DefaultK): Array[Long] = {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
-    val seeds = permSeeds
+    // precomputed seed table covers the default k; larger k derives a fresh
+    // deterministic table instead of indexing past the cache
+    val seeds = if (k <= DefaultK) permSeeds else Hashing.seeds(MasterSeed, k)
     var i = 0
     while (i < shingles.length) {
       val h = shingles(i)

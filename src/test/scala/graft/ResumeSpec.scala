@@ -61,6 +61,22 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
       "changed config must recompute the stage")
   }
 
+  test("input-data change invalidates the resume key and forces recompute") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = tempDir().toString
+    val docs = s.createDataset(Corpus.generate(Corpus.Params(entities = 30)).map(_.doc))
+    Pipeline.run(s, docs, Corpus.RecommendedConfig, checkpointDir = Some(dir)).clusters.count()
+    val sigManifest = java.nio.file.Paths.get(dir, "signatures", "_graft_manifest.json")
+    val mtime = Files.getLastModifiedTime(sigManifest)
+    Thread.sleep(20)
+    // same config, DIFFERENT input: stale stage tables must not be reused
+    val docs2 = s.createDataset(Corpus.generate(Corpus.Params(entities = 31)).map(_.doc))
+    Pipeline.run(s, docs2, Corpus.RecommendedConfig, checkpointDir = Some(dir)).clusters.count()
+    assert(Files.getLastModifiedTime(sigManifest) != mtime,
+      "signatures stage reused a checkpoint from different input data")
+  }
+
   test("a killed run resumes mid-pipeline: later stages compute, earlier ones reuse") {
     implicit val s = spark
     import s.implicits._
@@ -69,7 +85,7 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
     val cfg = Corpus.RecommendedConfig
     val io = new ParquetTableIO(dir)
     // simulate a run that died after the signature stage: only that stage exists
-    val key = cfg.configHash
+    val key = Pipeline.resumeBaseKey(docs, cfg)
     Checkpoints.stage(s, io, "signatures", key) {
       graft.pipeline.Signatures.derive(docs, cfg, graft.media.DefaultMedia)(s).toDF()
     }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.sinks.{FileActions, Report}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+
+/** Report (A3 group materialization + S7 CSV sink) and file-action sinks
+  * (S8 move / S9 copy / S10 delete with keep-first survivorship) —
+  * semantics per `/root/reference/cmd/dedupe/main.go:194-236`,
+  * `utils/file.go:63-92`.
+  */
+class SinksSpec extends AnyFunSuite with SparkTestBase {
+
+  import scala.jdk.CollectionConverters._
+
+  private def clustersDf() = {
+    import spark.implicits._
+    // clusters: {1,2,3} (keeper 1), {5,6} (keeper 5), singleton 9
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+  }
+
+  test("Report.groups materializes multi-member clusters, keeper first") {
+    val g = Report.groups(clustersDf()).orderBy("cluster_id").collect()
+    assert(g.length == 2)
+    assert(g(0).getAs[Long]("cluster_id") == 1L)
+    assert(g(0).getAs[Long]("n_members") == 3L)
+    assert(g(0).getSeq[Long](g(0).fieldIndex("members")) == Seq(1L, 2L, 3L))
+    assert(g(1).getSeq[Long](g(1).fieldIndex("members")) == Seq(5L, 6L))
+  }
+
+  test("Report.writeGroupsCsv emits one comma-joined row per group") {
+    val out = Files.createTempDirectory("graft-csv").resolve("groups").toString
+    Report.writeGroupsCsv(Report.groups(clustersDf()), out, coalesce1 = true)
+    val lines = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".txt"))
+      .flatMap(p => Files.readAllLines(p).asScala).toList.sorted
+    assert(lines == List("1,2,3", "5,6"))
+  }
+
+  private def mkFiles(dir: Path, ids: Seq[Long]): Map[Long, String] =
+    ids.map { id =>
+      val p = dir.resolve(s"doc$id.txt")
+      Files.writeString(p, s"content-$id")
+      id -> p.toString
+    }.toMap
+
+  private def withPaths(paths: Map[Long, String]) = {
+    import spark.implicits._
+    val pdf = paths.toSeq.toDF("doc_id", "path")
+    clustersDf().join(pdf, "doc_id")
+  }
+
+  test("delete keep-first removes dups, keeps keepers and singletons") {
+    val dir = Files.createTempDirectory("graft-del")
+    val paths = mkFiles(dir, Seq(1, 2, 3, 5, 6, 9))
+    val plan = FileActions.plan(withPaths(paths), "delete")
+    val res = FileActions.execute(spark, plan).collect()
+    assert(res.forall(_.ok), res.filterNot(_.ok).mkString(";"))
+    assert(res.map(_.src).toSet == Set(paths(2L), paths(3L), paths(6L)))
+    assert(Files.exists(Paths.get(paths(1L))) && Files.exists(Paths.get(paths(5L))) &&
+      Files.exists(Paths.get(paths(9L))), "keeper/singleton deleted")
+    assert(!Files.exists(Paths.get(paths(2L))) && !Files.exists(Paths.get(paths(3L))) &&
+      !Files.exists(Paths.get(paths(6L))), "dup survived delete")
+  }
+
+  test("delete-all (keepFirst=false) removes every group member") {
+    val dir = Files.createTempDirectory("graft-delall")
+    val paths = mkFiles(dir, Seq(1, 2, 3, 5, 6, 9))
+    FileActions.execute(spark,
+      FileActions.plan(withPaths(paths), "delete", keepFirst = false)).collect()
+    Seq(1L, 2L, 3L, 5L, 6L).foreach(id =>
+      assert(!Files.exists(Paths.get(paths(id))), s"doc$id survived delete-all"))
+    assert(Files.exists(Paths.get(paths(9L))), "singleton must survive")
+  }
+
+  test("move relocates groups into per-cluster dirs; copy duplicates them") {
+    val dir = Files.createTempDirectory("graft-mv")
+    val paths = mkFiles(dir, Seq(1, 2, 3, 5, 6, 9))
+    val dest = Files.createTempDirectory("graft-mv-dest").toString
+    val res = FileActions.execute(spark,
+      FileActions.plan(withPaths(paths), "move", destDir = dest)).collect()
+    assert(res.forall(_.ok))
+    // every member of both groups moved, grouped by cluster id; singleton untouched
+    assert(Files.exists(Paths.get(dest, "group-1", "doc1.txt")))
+    assert(Files.exists(Paths.get(dest, "group-1", "doc3.txt")))
+    assert(Files.exists(Paths.get(dest, "group-5", "doc6.txt")))
+    assert(!Files.exists(Paths.get(paths(1L))))
+    assert(Files.exists(Paths.get(paths(9L))))
+
+    val dir2 = Files.createTempDirectory("graft-cp")
+    val paths2 = mkFiles(dir2, Seq(1, 2, 5, 6, 9))
+    val dest2 = Files.createTempDirectory("graft-cp-dest").toString
+    // cluster {1,2} and {5,6} via the same clustersDf (3 is absent -> inner join drops it)
+    FileActions.execute(spark,
+      FileActions.plan(withPaths(paths2), "copy", destDir = dest2)).collect()
+    assert(Files.exists(Paths.get(dest2, "group-1", "doc2.txt")))
+    assert(Files.exists(Paths.get(paths2(2L))), "copy must not remove the source")
+    assert(Files.readString(Paths.get(dest2, "group-1", "doc2.txt")) == "content-2")
+  }
+
+  test("failures are data, not exceptions: missing file yields ok=false row") {
+    import spark.implicits._
+    val ghost = Seq((2L, 1L, "/nonexistent/ghost.txt", "", "delete"))
+      .toDF("doc_id", "cluster_id", "src", "dest", "action")
+    val res = FileActions.execute(spark, ghost).collect()
+    assert(res.length == 1 && !res(0).ok && res(0).error.nonEmpty)
+  }
+}
