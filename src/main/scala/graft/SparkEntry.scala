@@ -353,6 +353,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // S4 list source: an external id list (the reference's stdin targets)
+    // restricts the corpus via LEFT SEMI join. The list here is a generated
+    // range Dataset (stdin-analog: not derived from the table), broadcast
+    // by Catalyst at this size
+    "q_list_filter" -> ((s, dir) => {
+      import s.implicits._
+      val wanted = s.range(0, 100000, 7).select(col("id").as("doc_id"))
+      docsTable(s, dir)
+        .join(wanted, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis for training-data pipelines -----------------------
 
     "q_token_stats" -> ((s, dir) => {
@@ -681,6 +694,11 @@ object SparkEntry {
         |SELECT cc.doc_id, cc.cluster_id, k.keeper, 'delete' AS action
         |FROM cc JOIN k ON cc.cluster_id = k.cluster_id
         |WHERE cc.doc_id <> k.keeper
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_list_filter" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT range FROM range(0, 100000, 7))
         |ORDER BY doc_id""".stripMargin,
 
     "q_token_stats" ->

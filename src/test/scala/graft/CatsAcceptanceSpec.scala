@@ -26,11 +26,10 @@ class CatsAcceptanceSpec extends AnyFunSuite with SparkTestBase {
 
   private def runPipeline(cfg: GraftConfig): Map[String, String] = {
     implicit val s = spark
-    import s.implicits._
-    val cats = new java.io.File(s"$root/cats").listFiles().map(_.getPath).sorted
-    val walls = new java.io.File(root).listFiles().filter(_.isFile).map(_.getPath).sorted
-    val docs = s.createDataset((cats ++ walls).toSeq.map(p =>
-      Doc(new java.io.File(p).getName, Seq(Span.media(p, 0)))))
+    // dataflow source end-to-end (S1/S2): distributed binaryFile listing
+    // with the image-extension glob — zero driver-side directory walking
+    val docs = graft.sources.MediaSource.asDocs(s,
+      graft.sources.MediaSource.scanImages(s, root, recursive = true))
     Pipeline.run(s, docs, cfg).clusters.select("doc_id", "cluster_id")
       .collect().map(x => (x.getString(0), x.getString(1))).toMap
   }

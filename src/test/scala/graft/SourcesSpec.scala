@@ -1,0 +1,64 @@
+package graft
+
+import graft.model.{Doc, Span}
+import graft.sources.MediaSource
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Directory media source (S1/S2), path classifier (S3), list-source
+  * semi-join (S4) — reference `utils/file.go:25-60`, `cmd/dedupe/main.go:110-117`.
+  */
+class SourcesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val root = "/root/reference/testimages"
+  private def available: Boolean = new java.io.File(s"$root/cats/cat.jpg").exists()
+
+  test("recursive scan finds exactly the image files the reference walk finds") {
+    assume(available)
+    def goWalk(dir: java.io.File): Seq[String] =
+      dir.listFiles().toSeq.flatMap { f =>
+        if (f.isDirectory) goWalk(f)
+        else if (Seq(".png", ".jpg", ".jpeg").exists(f.getName.endsWith)) Seq(f.getName)
+        else Nil
+      }
+    val expected = goWalk(new java.io.File(root)).sorted
+    val got = MediaSource.scanImages(spark, root, recursive = true)
+      .select("path").collect().map(_.getString(0).split('/').last).sorted.toSeq
+    assert(got == expected)
+    assert(got.contains("cat.jpg") && got.size > 20)
+  }
+
+  test("non-recursive scan skips subdirectories (reference SkipDir)") {
+    assume(available)
+    val got = MediaSource.scanImages(spark, root, recursive = false)
+      .select("path").collect().map(_.getString(0).split('/').last).toSet
+    assert(!got.contains("cat.jpg"), "cats/ subdir leaked into top-level scan")
+    assert(got.exists(_.endsWith(".jpeg")) && got.exists(_.endsWith(".jpg")))
+  }
+
+  test("path-only projection does not read file bytes (column pruning)") {
+    assume(available)
+    val plan = MediaSource.scanImages(spark, root).select("path")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<path:string>"), plan.takeRight(500))
+  }
+
+  test("kindOfPath classifies extensions as a dataflow column") {
+    import spark.implicits._
+    val got = Seq("/a/x.jpg", "/a/y.mp4", "/a/z.wav", "/a/w.txt", "/a/v.jpeg")
+      .toDF("p").select(MediaSource.kindOfPath(col("p")).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("image", "video", "audio", "other", "image"))
+  }
+
+  test("restrictTo semi-joins docs against an external id list") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(
+      Doc("a", Seq(Span.text("x", 0))),
+      Doc("b", Seq(Span.text("y", 0))),
+      Doc("c", Seq(Span.text("z", 0)))))
+    val ids = spark.createDataset(Seq("a", "c", "nope"))
+    val got = MediaSource.restrictTo(docs, ids).collect().map(_.doc_id).sorted.toSeq
+    assert(got == Seq("a", "c"))
+  }
+}
