@@ -60,24 +60,49 @@ object StreamDedup {
   /** Keyed streaming dedup with explicit state: the first doc of each
     * exact-content key is the keeper; later arrivals are tagged duplicates
     * (reference keep-first survivorship, `cmd/dedupe/main.go:226-236`,
-    * reinterpreted for unbounded input). State never expires here —
-    * production would set a TTL via GroupStateTimeout.
+    * reinterpreted for unbounded input).
+    *
+    * State is BOUNDED by a processing-time TTL: a key idle for `stateTtl`
+    * has its entry evicted, so the state store stays proportional to the
+    * active working set, not the stream's lifetime key cardinality — the
+    * difference between running for an hour and running for a year. A
+    * re-arrival after eviction re-opens the key (its first doc becomes the
+    * new keeper): the standard recall/state trade every windowed dedup makes.
+    * Pass `stateTtl = None` for the unbounded exact mode.
+    *
+    * Trigger note: under ProcessingTimeTimeout, Spark's
+    * FlatMapGroupsWithStateExec reports shouldRunAnotherBatch = true
+    * unconditionally (processing time always advances), so the query MUST
+    * run with an interval trigger (e.g. Trigger.ProcessingTime("1 minute")).
+    * With the default as-fast-as-possible trigger it spins empty
+    * timeout-check batches back-to-back — and
+    * StreamingQuery.processAllAvailable never quiesces (livelock).
     */
-  def tagDuplicates(sigs: Dataset[StreamSig])(
+  def tagDuplicates(sigs: Dataset[StreamSig],
+                    stateTtl: Option[String] = Some("1 hour"))(
       implicit spark: SparkSession): Dataset[DupTag] = {
     import spark.implicits._
+    val timeoutConf = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
     sigs.groupByKey(_.exact_key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (key: String, rows: Iterator[StreamSig], state: GroupState[SeenState]) =>
-          val sorted = rows.toSeq.sortBy(_.doc_id)
-          var st = state.getOption.getOrElse(
-            SeenState(sorted.head.doc_id, 0L))
-          val out = sorted.map { s =>
-            st = st.copy(copies = st.copies + 1)
-            DupTag(s.doc_id, key, s.doc_id != st.firstDocId, st.firstDocId, st.copies)
+          if (rows.isEmpty && state.hasTimedOut) {
+            // idle TTL fired with no new data: evict and emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.doc_id)
+            var st = state.getOption.getOrElse(
+              SeenState(sorted.head.doc_id, 0L))
+            val out = sorted.map { s =>
+              st = st.copy(copies = st.copies + 1)
+              DupTag(s.doc_id, key, s.doc_id != st.firstDocId, st.firstDocId, st.copies)
+            }
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

@@ -44,7 +44,10 @@ class StreamDedupSpec extends AnyFunSuite with SparkTestBase {
     implicit val s = spark
     import s.implicits._
     val input = MemoryStream[(Doc, java.sql.Timestamp)](s)
-    val tags = StreamDedup.tagDuplicates(StreamDedup.signatures(input.toDS()))
+    // unbounded exact mode here (processAllAvailable quiesces only without
+    // processing-time timeouts — see tagDuplicates' trigger note)
+    val tags = StreamDedup.tagDuplicates(StreamDedup.signatures(input.toDS()),
+      stateTtl = None)
     val q = tags.writeStream.format("memory").queryName("duptags")
       .outputMode("append").start()
     try {
@@ -58,6 +61,40 @@ class StreamDedupSpec extends AnyFunSuite with SparkTestBase {
         ("k1", false, "k1", 1L),
         ("k2", true, "k1", 2L), // state survived the batch boundary
         ("k3", false, "k3", 1L)))
+    } finally q.stop()
+  }
+
+  test("state TTL evicts idle keys: a re-arrival after expiry is a fresh keeper") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Doc, java.sql.Timestamp)](s)
+    val tags = StreamDedup.tagDuplicates(StreamDedup.signatures(input.toDS()),
+      stateTtl = Some("1 millisecond"))
+    // interval trigger + sink polling: processAllAvailable never quiesces
+    // under ProcessingTimeTimeout (see tagDuplicates' trigger note)
+    val q = tags.writeStream.format("memory").queryName("ttltags")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (s.sql("SELECT * FROM ttltags").count() < n) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $n sink rows")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      input.addData((doc("k1", "payload x"), ts(1)))
+      awaitRows(1)
+      Thread.sleep(200) // let the 1 ms processing-time TTL lapse + fire
+      // same content again: its state was evicted, so it must NOT be a dup
+      input.addData((doc("k9", "payload x"), ts(3)))
+      awaitRows(2)
+      val rows = s.sql("SELECT doc_id, is_duplicate, first_doc_id FROM ttltags ORDER BY doc_id")
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+      assert(rows.toSeq == Seq(
+        ("k1", false, "k1"),
+        ("k9", false, "k9"))) // fresh keeper — old state evicted by TTL
     } finally q.stop()
   }
 }
