@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Emits ONE JSON line:
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *    "pipeline":{"docs":N,"wall_sec":S,"docs_per_sec":D},"cpus":C}
+  *    "pipeline":{"docs":N,"wall_sec":S,"docs_per_sec":D,"trials":[...]},
+  *    "errors":{...},"cpus":C}
   *
   * Knobs (env):
   *   SPARK_GRAFT_SF_DIR   table dir for the operator queries (default sf0.1)
@@ -16,12 +17,17 @@ import org.apache.spark.sql.SparkSession
   *                        efficiency = (thru_32 / thru_8) / 4
   *   SPARK_GRAFT_BENCH_ENTITIES  synthetic-corpus size for the end-to-end
   *                        pipeline throughput measurement (default 60000)
+  *   SPARK_GRAFT_BENCH_TRIALS    pipeline trials; the reported docs/sec is
+  *                        the MEDIAN (default 3 — trial 1 carries JIT/page
+  *                        warmup, which explained round 1's apparent 1.5x
+  *                        gap between BASELINE.md and BENCH_r01)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "60000").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "64") // fixed plan shape across the two scaling runs
@@ -34,32 +40,54 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     // end-to-end pipeline throughput on the deterministic labeled corpus
     // (north rule: block → score → cluster docs/sec at two cluster sizes)
     // KB-scale interleaved docs (realistic per-doc compute; see BASELINE.md)
     val corpus = Corpus.generate(Corpus.Params(entities = entities,
       minWords = 150, maxWords = 400, seed = 42)).map(_.doc)
-    val docs = spark.createDataset(corpus).repartition(64).cache()
+    val docs = spark.createDataset(corpus)(
+      org.apache.spark.sql.Encoders.product[graft.model.Doc])
+      .repartition(64).cache()
     val nDocs = docs.count() // materialize input outside the timed window
-    val t0 = System.nanoTime()
-    val result = Pipeline.run(spark, docs, Corpus.RecommendedConfig)
-    val outRows = result.clusters.count()
-    val pipelineSec = (System.nanoTime() - t0) / 1e9
-    require(outRows == nDocs)
+    val trialSecs = (1 to math.max(1, trials)).map { _ =>
+      val t0 = System.nanoTime()
+      val result = Pipeline.run(spark, docs, Corpus.RecommendedConfig)
+      val outRows = result.clusters.count()
+      require(outRows == nDocs)
+      result.release()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pipelineSec = trialSecs.sorted.apply(trialSecs.length / 2) // median
     docs.unpersist()
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+      }
       name -> (System.nanoTime() - q0) / 1e9
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipelineSec
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val trialsJson = trialSecs.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val total = results.map(_._2).sum + trialSecs.sum
     val dps = nDocs / pipelineSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"docs":$nDocs,"wall_sec":$pipelineSec%.3f,"docs_per_sec":$dps%.1f},"cpus":$cpus}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline":{"docs":$nDocs,"wall_sec":$pipelineSec%.3f,"docs_per_sec":$dps%.1f,"trials":$trialsJson},"cpus":$cpus}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }

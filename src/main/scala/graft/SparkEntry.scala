@@ -574,7 +574,29 @@ object SparkEntry {
       )).toDF("n_union", "n_intersect", "n_except")
     }))
 
+  /** Golden-snapshot oracles for the queries whose semantics are not
+    * ANSI-SQL-expressible (seeded MinHash/SimHash, perceptual-hash kernels,
+    * the full pipeline, LSH candidacy): the oracle reads a committed parquet
+    * snapshot produced by `graft.GoldenGen` at the driver's Verify scale.
+    * These lock determinism + cross-run stability; the kernels' correctness
+    * has independent coverage in the test suite (golden-pixel resize/DCT
+    * ports, brute-force blocking equivalence, labeled-corpus F1, cats
+    * acceptance). Regenerate + commit after any deliberate kernel change.
+    */
+  private def golden(name: String): (String, String) =
+    name -> s"SELECT * FROM read_parquet('/root/repo/golden/$name/*.parquet') ORDER BY ALL"
+
   def oracleSql: Map[String, String] = Map(
+    golden("q_ann_lsh"),
+    golden("q_compare_target"),
+    golden("q_doc_stats"),
+    golden("q_fingerprint"),
+    golden("q_image_features"),
+    golden("q_media_phash"),
+    golden("q_minhash_lsh"),
+    golden("q_pipeline_clusters"),
+    golden("q_simhash"),
+    golden("q_video_near_dups"),
     "q_exact_dedup" ->
       """SELECT doc_id,
         |       count(*) OVER (PARTITION BY md5(text)) AS grp_size,
