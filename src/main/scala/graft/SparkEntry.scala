@@ -65,10 +65,6 @@ object SparkEntry {
     dot / (na * nb)
   }
 
-  private val jwUdf = udf { (a: String, b: String) =>
-    if (a == null || b == null) 0.0 else JaroWinkler.jaroWinkler(a, b)
-  }
-
   /** Shared near-dup edge relation for the CC/report/survivorship queries:
     * content-keyed blocks (lang, length-bucket, 4-char prefix) → levenshtein
     * < 15 on 60-char prefixes. Mirrored exactly by the recursive-CTE oracles.
@@ -171,7 +167,7 @@ object SparkEntry {
       val l = d.select(col("doc_id").as("a"), col("lang"), col("b"), col("p4"), col("t").as("ta"))
       val r = d.select(col("doc_id").as("b2"), col("lang"), col("b"), col("p4"), col("t").as("tb"))
       l.join(r, Seq("lang", "b", "p4")).filter(col("a") < col("b2"))
-        .withColumn("jw", jwUdf(col("ta"), col("tb")))
+        .withColumn("jw", graft.functions.GraftFunctions.jw(col("ta"), col("tb")))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("jw") >= 0.8, 1L).otherwise(0L)).as("n_close"),

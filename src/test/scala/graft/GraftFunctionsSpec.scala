@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.text.JaroWinkler
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst JaroWinklerExpr: value parity with the kernel, SQL
+  * registration, null semantics, and codegen (no ScalaUDF node in the plan).
+  */
+class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val samples = Seq(
+    ("martha", "marhta"), ("dixon", "dicksonx"), ("jellyfish", "smellyfish"),
+    ("", ""), ("abc", ""), ("same", "same"),
+    ("the quick brown fox", "the quick brown fax"))
+
+  test("column API matches the Scala kernel on sample pairs") {
+    import spark.implicits._
+    val got = samples.toDF("a", "b")
+      .select(GraftFunctions.jw(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0)).toSeq
+    val want = samples.map { case (a, b) => JaroWinkler.jaroWinkler(a, b) }
+    assert(got == want)
+  }
+
+  test("SQL registration: graft_jw callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val v = spark.sql("SELECT graft_jw('martha', 'marhta') AS jw")
+      .collect()(0).getDouble(0)
+    assert(math.abs(v - JaroWinkler.jaroWinkler("martha", "marhta")) == 0.0)
+    val err = intercept[Exception](spark.sql("SELECT graft_jw('only-one')").collect())
+    assert(err.getMessage.contains("2 arguments"))
+  }
+
+  test("null semantics: null input yields null, not an exception") {
+    import spark.implicits._
+    val got = Seq(("x", Option("y")), ("x", None)).toDF("a", "b")
+      .select(GraftFunctions.jw(col("a"), col("b")).as("jw")).collect()
+    assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
+  }
+
+  test("codegen: the expression stays inside WholeStageCodegen (no ScalaUDF)") {
+    // range-backed input: literals would be constant-folded at plan time
+    val df = spark.range(100).select(
+      concat(lit("martha"), col("id").cast("string")).as("a"),
+      concat(lit("marhta"), col("id").cast("string")).as("b"))
+      .select(GraftFunctions.jw(col("a"), col("b")).as("jw"))
+      .filter(col("jw") > 0.5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // "*(n)" is the WholeStageCodegen marker; the expression must sit inside
+    assert(plan.contains("*(1) Project [graft_jw") &&
+      plan.contains("*(1) Filter (graft_jw"), plan)
+    assert(df.count() == 100) // executes the generated code path
+  }
+}
