@@ -43,12 +43,13 @@ object Bench {
 
     // end-to-end pipeline throughput on the deterministic labeled corpus
     // (north rule: block → score → cluster docs/sec at two cluster sizes)
-    // KB-scale interleaved docs (realistic per-doc compute; see BASELINE.md)
-    val corpus = Corpus.generate(Corpus.Params(entities = entities,
-      minWords = 150, maxWords = 400, seed = 42)).map(_.doc)
-    val docs = spark.createDataset(corpus)(
-      org.apache.spark.sql.Encoders.product[graft.model.Doc])
-      .repartition(64).cache()
+    // KB-scale interleaved docs (realistic per-doc compute; see BASELINE.md),
+    // synthesized DISTRIBUTED (no driver materialization — scales to the
+    // 500k+-entity stress runs without driver heap)
+    val docs = Corpus.generateDistributed(spark,
+        Corpus.Params(entities = entities, minWords = 150, maxWords = 400, seed = 42))
+      .map(_.doc)(org.apache.spark.sql.Encoders.product[graft.model.Doc])
+      .cache()
     val nDocs = docs.count() // materialize input outside the timed window
     val trialSecs = (1 to math.max(1, trials)).map { _ =>
       val t0 = System.nanoTime()

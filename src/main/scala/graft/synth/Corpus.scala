@@ -67,43 +67,60 @@ object Corpus {
     def nextDouble(): Double = (nextLong() >>> 11).toDouble / (1L << 53).toDouble
   }
 
-  def generate(p: Params): Seq[LabeledDoc] = {
-    val out = new ArrayBuffer[LabeledDoc](p.entities * 2)
-    var e = 0
-    while (e < p.entities) {
-      val rng = new Rng(Hashing.hash64(p.seed, e.toLong))
-      val nText = 1 + rng.nextInt(2)
-      val nMedia = if (rng.nextDouble() < p.mediaSpanProb) 1 else 0
-      val words = Array.fill(p.minWords + rng.nextInt(math.max(p.maxWords - p.minWords, 1)))(Vocab(rng.nextInt(Vocab.length)))
-      val spans = ArrayBuffer.empty[Span]
-      var off = 0
-      var t = 0
-      val per = math.max(words.length / nText, 1)
-      while (t < nText) {
-        val slice = words.slice(t * per, if (t == nText - 1) words.length else (t + 1) * per)
-        spans += Span.text(slice.mkString(" "), off)
-        off += 1
-        t += 1
-      }
-      var m = 0
-      while (m < nMedia) {
-        spans += Span.media(s"synth://e$e-m$m", off)
-        off += 1
-        m += 1
-      }
-      out += LabeledDoc(Doc(f"d$e%08d-0", spans.toSeq), e.toLong)
+  /** All docs of one entity (base + perturbed dups). Deterministic in
+    * (seed, e) and independent of every other entity — the property that
+    * makes distributed generation an embarrassingly parallel flatMap.
+    */
+  def entityDocs(p: Params, e: Int): Seq[LabeledDoc] = {
+    val out = new ArrayBuffer[LabeledDoc](4)
+    val rng = new Rng(Hashing.hash64(p.seed, e.toLong))
+    val nText = 1 + rng.nextInt(2)
+    val nMedia = if (rng.nextDouble() < p.mediaSpanProb) 1 else 0
+    val words = Array.fill(p.minWords + rng.nextInt(math.max(p.maxWords - p.minWords, 1)))(Vocab(rng.nextInt(Vocab.length)))
+    val spans = ArrayBuffer.empty[Span]
+    var off = 0
+    var t = 0
+    val per = math.max(words.length / nText, 1)
+    while (t < nText) {
+      val slice = words.slice(t * per, if (t == nText - 1) words.length else (t + 1) * per)
+      spans += Span.text(slice.mkString(" "), off)
+      off += 1
+      t += 1
+    }
+    var m = 0
+    while (m < nMedia) {
+      spans += Span.media(s"synth://e$e-m$m", off)
+      off += 1
+      m += 1
+    }
+    out += LabeledDoc(Doc(f"d$e%08d-0", spans.toSeq), e.toLong)
 
-      if (rng.nextDouble() < p.dupRate) {
-        val nd = 1 + rng.nextInt(p.maxDups)
-        var d = 1
-        while (d <= nd) {
-          out += LabeledDoc(perturb(e, d, words, nText, nMedia, new Rng(Hashing.hash64(p.seed ^ 0x647570L, e * 131L + d))), e.toLong)
-          d += 1
-        }
+    if (rng.nextDouble() < p.dupRate) {
+      val nd = 1 + rng.nextInt(p.maxDups)
+      var d = 1
+      while (d <= nd) {
+        out += LabeledDoc(perturb(e, d, words, nText, nMedia, new Rng(Hashing.hash64(p.seed ^ 0x647570L, e * 131L + d))), e.toLong)
+        d += 1
       }
-      e += 1
     }
     out.toSeq
+  }
+
+  def generate(p: Params): Seq[LabeledDoc] =
+    (0 until p.entities).flatMap(entityDocs(p, _))
+
+  /** Distributed generation — the only shape that exists at 10^12 docs: no
+    * driver-side materialization, no multi-MB task payloads; each partition
+    * synthesizes its entity range independently. Byte-identical docs to
+    * `generate` (same per-entity seeding).
+    */
+  def generateDistributed(spark: org.apache.spark.sql.SparkSession,
+                          p: Params, partitions: Int = 64):
+      org.apache.spark.sql.Dataset[LabeledDoc] = {
+    implicit val enc: org.apache.spark.sql.Encoder[LabeledDoc] =
+      org.apache.spark.sql.Encoders.product[LabeledDoc]
+    spark.range(0, p.entities.toLong, 1L, partitions)
+      .flatMap((e: java.lang.Long) => entityDocs(p, e.toInt))
   }
 
   /** Near-duplicate: drop ≤3% of words, swap one adjacent pair, keep media

@@ -120,4 +120,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(java.lang.Long.bitCount(hb ^ hn) < 8)
     assert(java.lang.Long.bitCount(hb ^ hf) >= 11)
   }
+
+  test("distributed corpus generation is byte-identical to local generation") {
+    val p = Corpus.Params(entities = 200)
+    val local = Corpus.generate(p)
+      .map(ld => (ld.label, ld.doc.doc_id, ld.doc.spans)).sortBy(_._2)
+    val dist = Corpus.generateDistributed(spark, p, partitions = 7)
+      .collect().toSeq
+      .map(ld => (ld.label, ld.doc.doc_id, ld.doc.spans)).sortBy(_._2)
+    assert(dist == local)
+  }
 }
