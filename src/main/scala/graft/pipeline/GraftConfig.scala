@@ -31,6 +31,12 @@ final case class GraftConfig(
                               // low-similarity band collisions are cut by the
                               // minhashGate cascade before expensive scoring
     simhashPrefilter: Int = 26, // loose cheap filter on banded text candidates
+    minTextBands: Int = 2,    // text candidacy = >= this many shared MinHash
+                              // bands (multi-band vote): one 4-row band match
+                              // at background Jaccard ~0.05 is a ~6e-6 event
+                              // whose expected count grows O(N²); requiring 2
+                              // squares it while near-dups (Jaccard ≥ 0.8)
+                              // share ≥2 of 32 bands with prob ≈ 1
     // phase-2 scoring: fused linear score over present modalities
     scoreTextCap: Int = 512,  // chars of concatenated text scored by JW/levenshtein
     minhashGate: Double = 0.35, // cheap-feature cascade: pairs below this
