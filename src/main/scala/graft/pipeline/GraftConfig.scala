@@ -47,6 +47,11 @@ final case class GraftConfig(
     wMinhash: Double = 0.2,
     tau: Double = 0.67,       // fused cutoff; media-only reduces to ham < 22 ⇔ sim ≥ 0.671875
     // skew handling
+    exactPrecollapse: Boolean = true, // collapse exact-content copies to one
+                                // representative before fuzzy blocking: a
+                                // k-copy duplicate farm costs O(k), not the
+                                // O(k²) within-block pairs identical content
+                                // otherwise generates
     hotBlockSize: Int = 2048,   // blocks larger than this get salted replication
     maxBlockSize: Int = 100000, // degenerate blocks dropped (counts logged, never silent)
     saltFactor: Int = 16,

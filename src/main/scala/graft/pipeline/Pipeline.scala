@@ -71,9 +71,30 @@ object Pipeline {
       out
     }
 
+    // 0. exact-duplicate pre-collapse: group docs by content digest and run
+    // the fuzzy pipeline on one REPRESENTATIVE per group (min doc_id). A
+    // duplicate farm of k identical docs costs O(k) — one narrow digest map,
+    // one (digest, doc_id) shuffle — instead of the O(k²) within-block pair
+    // blowup no blocking scheme can avoid for identical content. Copies
+    // inherit their representative's cluster at expansion (stage 6); since
+    // the representative is the min doc_id of its copies, cluster_id
+    // semantics (min doc_id in component) are unchanged.
+    val (pipelineDocs, expansion) = if (cfg.exactPrecollapse) {
+      val keyed = docs.map(d => (d.doc_id, d.contentDigest)).toDF("doc_id", "digest")
+      val reps = keyed.groupBy("digest").agg(min(col("doc_id")).as("rep"))
+      val mapping = keyed.join(reps, "digest").select("doc_id", "rep")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = mapping.count()
+      val repDocs = docs.join(mapping.filter(col("doc_id") === col("rep"))
+          .select("doc_id"), Seq("doc_id"), "left_semi").as[Doc]
+      log.info(s"stage collapse: $nDocs docs -> distinct-content reps")
+      cached += mapping
+      (repDocs, Some(mapping))
+    } else (docs, None)
+
     // 1. signatures (+ bad-media side output)
     val sigResults = materialize("signatures", baseKey) {
-      Signatures.derive(docs, cfg, resolver).toDF()
+      Signatures.derive(pipelineDocs, cfg, resolver).toDF()
     }
     val sigs: Dataset[DocSig] = sigResults.select("sig.*").as[DocSig]
     val badMedia = sigResults.select(explode(col("errors")).as("e")).select("e.*")
@@ -94,11 +115,23 @@ object Pipeline {
       Components.connectedComponents(edges, cfg.maxCcIterations)
     }
 
-    // 6. join back to input docs; singletons cluster as themselves
-    val out = docs.toDF()
-      .join(assignments, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .select("doc_id", "cluster_id", "spans")
+    // 6. join back to input docs; singletons cluster as themselves. With
+    // pre-collapse, every doc routes through its representative's
+    // assignment (exact copies of an otherwise-singleton rep still cluster
+    // together under the rep's id).
+    val out = expansion match {
+      case Some(mapping) =>
+        docs.toDF()
+          .join(mapping, Seq("doc_id"))
+          .join(assignments.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("rep")))
+          .select("doc_id", "cluster_id", "spans")
+      case None =>
+        docs.toDF()
+          .join(assignments, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .select("doc_id", "cluster_id", "spans")
+    }
 
     Result(out, edges, badMedia, stats, () => cached.foreach(_.unpersist()))
   }

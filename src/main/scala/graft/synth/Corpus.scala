@@ -57,7 +57,12 @@ object Corpus {
                           mediaSpanProb: Double = 0.5,
                           minWords: Int = 20,
                           maxWords: Int = 60,
-                          seed: Long = 42L)
+                          seed: Long = 42L,
+                          // duplicate-farm skew: entity 0 additionally gets
+                          // this many EXACT copies (byte-identical spans,
+                          // distinct doc_ids) — the adversarial shape that
+                          // exercises exact pre-collapse + block skew paths
+                          hotEntityCopies: Int = 0)
 
   /** Deterministic per-call RNG: a splitmix64 stream keyed by (seed, tags). */
   private final class Rng(seed: Long) {
@@ -101,6 +106,15 @@ object Corpus {
       while (d <= nd) {
         out += LabeledDoc(perturb(e, d, words, nText, nMedia, new Rng(Hashing.hash64(p.seed ^ 0x647570L, e * 131L + d))), e.toLong)
         d += 1
+      }
+    }
+    if (e == 0 && p.hotEntityCopies > 0) {
+      val base = out.head.doc
+      var c = 1
+      while (c <= p.hotEntityCopies) {
+        // ids sort AFTER the base so the base stays the representative
+        out += LabeledDoc(Doc(f"${base.doc_id}x$c%07d", base.spans), 0L)
+        c += 1
       }
     }
     out.toSeq

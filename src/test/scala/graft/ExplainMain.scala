@@ -16,7 +16,9 @@ object ExplainMain {
     spark.sparkContext.setLogLevel("WARN")
     val sf = "/root/testdata/sf0.01"
     val interesting = Seq("q1_agg", "q_top_customers", "q_exact_dedup",
-      "q_hamming_pairs", "q_lev_pairs", "q_cosine_topk", "q_minhash_lsh")
+      "q_hamming_pairs", "q_lev_pairs", "q_cosine_topk", "q_minhash_lsh",
+      "q_embed_near_dup", "q_jw_pairs", "q_cluster_groups", "q_survivorship",
+      "q_list_filter")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

@@ -121,6 +121,41 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(java.lang.Long.bitCount(hb ^ hf) >= 11)
   }
 
+  test("exact-duplicate farm: k copies collapse to O(k) and cluster with their base") {
+    implicit val s = spark
+    import s.implicits._
+    val p = Corpus.Params(entities = 300, hotEntityCopies = 2000)
+    val labeled = Corpus.generate(p)
+    val docs = s.createDataset(labeled.map(_.doc))
+    val r = Pipeline.run(s, docs, Corpus.RecommendedConfig)
+    val clusters = r.clusters.select("doc_id", "cluster_id").collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(clusters.size == labeled.size) // every doc assigned, invariant kept
+    // every exact copy inherits the base's cluster
+    val baseCluster = clusters("d00000000-0")
+    (1 to 5).foreach(c => assert(clusters(f"d00000000-0x$c%07d") == baseCluster))
+    assert(clusters(f"d00000000-0x${p.hotEntityCopies}%07d") == baseCluster)
+    // perturbed near-dups of entity 0 still land in the same cluster
+    labeled.filter(ld => ld.label == 0L).foreach(ld =>
+      assert(clusters(ld.doc.doc_id) == baseCluster, ld.doc.doc_id))
+    // the farm generated NO quadratic pair blowup: edges stay proportional
+    // to the number of DISTINCT contents, not the 2M pairs of a 2000-farm
+    val nEdges = r.edges.count()
+    assert(nEdges < 5000, s"farm leaked into pair generation: $nEdges edges")
+    r.release()
+  }
+
+  test("pre-collapse off reproduces identical clusters on a dup-free corpus") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = s.createDataset(Corpus.generate(Corpus.Params(entities = 120)).map(_.doc))
+    def run(collapse: Boolean) =
+      Pipeline.run(s, docs, Corpus.RecommendedConfig.copy(exactPrecollapse = collapse))
+        .clusters.select("doc_id", "cluster_id").collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(run(true) == run(false))
+  }
+
   test("distributed corpus generation is byte-identical to local generation") {
     val p = Corpus.Params(entities = 200)
     val local = Corpus.generate(p)
