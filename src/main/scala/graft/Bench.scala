@@ -51,9 +51,15 @@ object Bench {
       .map(_.doc)(org.apache.spark.sql.Encoders.product[graft.model.Doc])
       .cache()
     val nDocs = docs.count() // materialize input outside the timed window
+    // A/B knob for isolating the exact-precollapse stage's cost on dup-free
+    // corpora (SPARK_GRAFT_COLLAPSE=0 disables)
+    val benchCfg =
+      if (sys.env.get("SPARK_GRAFT_COLLAPSE").contains("0"))
+        Corpus.RecommendedConfig.copy(exactPrecollapse = false)
+      else Corpus.RecommendedConfig
     val trialSecs = (1 to math.max(1, trials)).map { _ =>
       val t0 = System.nanoTime()
-      val result = Pipeline.run(spark, docs, Corpus.RecommendedConfig)
+      val result = Pipeline.run(spark, docs, benchCfg)
       val outRows = result.clusters.count()
       require(outRows == nDocs)
       result.release()

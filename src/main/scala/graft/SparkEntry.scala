@@ -502,6 +502,20 @@ object SparkEntry {
       cand.select("a", "b", "cos").orderBy("a", "b")
     }),
 
+    // IVF ANN (coarse-quantizer scale path; deterministic centroids —
+    // golden-snapshot oracle): top-3 cosine neighbours of the first 50
+    // vectors probing 4 of 8 cells
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embTable(s, dir)
+      val model = graft.ann.Ivf.fit(e, "embedding", "vec_id", k = 8)
+      val queries = e.filter(col("vec_id") < 50)
+      graft.ann.Ivf.topK(queries, e, model, "embedding", "vec_id",
+          k = 3, nprobe = 4,
+          (a, b) => round(dotCol(a, b) / (normCol(a) * normCol(b)), 6))
+        .select("q", "n", "rank", "cos")
+        .orderBy("q", "rank")
+    }),
+
     // ---- relational coverage (scan/filter/agg/join/window/sort/set ops) ---
 
     "q1_agg" -> ((s, dir) => {
@@ -583,6 +597,7 @@ object SparkEntry {
     name -> s"SELECT * FROM read_parquet('/root/repo/golden/$name/*.parquet') ORDER BY ALL"
 
   def oracleSql: Map[String, String] = Map(
+    golden("q_ann_ivf"),
     golden("q_ann_lsh"),
     golden("q_compare_target"),
     golden("q_doc_stats"),

@@ -1,0 +1,120 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour over embedding columns —
+  * the coarse-quantizer scale path complementing the sign-LSH buckets
+  * (`q_ann_lsh`): vectors are partitioned into K centroid cells; a query
+  * probes its `nprobe` nearest cells and rescores exactly within them.
+  *
+  * At 100 TB the corpus side is a cell-partitioned table (one shuffle at
+  * build, reused by every query batch) and queries touch nprobe/K of the
+  * data — the IVF trade every vector store makes. Recall depends on the
+  * data's cluster structure: on clustered embeddings nprobe/K small recovers
+  * ~1; on isotropic data (like the synthetic test embeddings) Voronoi cells
+  * cut neighbourhoods arbitrarily, so the spec locks a measured floor
+  * rather than a theoretical one.
+  *
+  * Everything is deterministic (golden-oracle safe): the k-means sample is
+  * ordered by a seeded hash, Lloyd iterations run in a fixed order in
+  * doubles on the driver (sample-sized, not data-sized), and assignment is
+  * a pure per-row argmin.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) extends Serializable {
+    def k: Int = centroids.length
+  }
+
+  /** Deterministic spherical k-means on a seeded, hash-ordered sample.
+    * Driver-side on `sampleSize` rows only — the model is centroids, data
+    * never leaves the cluster.
+    */
+  def fit(vectors: DataFrame, vecCol: String, idCol: String, k: Int,
+          sampleSize: Int = 512, iters: Int = 5, seed: Long = 42L): Model = {
+    val sample = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty input for Ivf.fit")
+    val dim = sample(0).length
+    def normalize(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      n = math.sqrt(n)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var cents = Array.tabulate(math.min(k, sample.length))(i => normalize(sample(i)))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        val c = nearest(cents, v)
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = sums.zip(counts).zipWithIndex.map { case ((s, n), i) =>
+        if (n == 0) cents(i) else normalize(s)
+      }
+      it += 1
+    }
+    Model(cents)
+  }
+
+  private def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestDot = Double.MinValue; var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += cents(c)(i) * v(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCells(cents: Array[Array[Double]], v: Seq[Float], n: Int): Seq[Int] = {
+    val dots = cents.indices.map { c =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += cents(c)(i) * v(i); i += 1 }
+      (c, d)
+    }
+    dots.sortBy { case (c, d) => (-d, c) }.take(n).map(_._1)
+  }
+
+  /** Corpus side: one cell per vector (the build-time partitioning). */
+  def withCell(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val cellUdf = udf((v: Seq[Float]) => nearestCells(model.centroids, v, 1).head)
+    df.withColumn("cell", cellUdf(col(vecCol)))
+  }
+
+  /** Query side: nprobe nearest cells, exploded to one row per probe. */
+  def withProbes(df: DataFrame, vecCol: String, model: Model, nprobe: Int): DataFrame = {
+    val probeUdf = udf((v: Seq[Float]) => nearestCells(model.centroids, v, nprobe))
+    df.withColumn("cell", explode(probeUdf(col(vecCol))))
+  }
+
+  /** Top-k cosine neighbours of each query among its probed cells.
+    * `dot`/`norm` columns are caller-supplied expressions so engines keep
+    * their exact-arithmetic conventions (see SparkEntry.dotCol).
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, model: Model, vecCol: String,
+           idCol: String, k: Int, nprobe: Int,
+           cosine: (Column, Column) => Column): DataFrame = {
+    val q = withProbes(queries, vecCol, model, nprobe)
+      .select(col(idCol).as("q"), col(vecCol).as("qv"), col("cell"))
+    val c = withCell(corpus, vecCol, model)
+      .select(col(idCol).as("n"), col(vecCol).as("nv"), col("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("q") =!= col("n"))
+      .select(col("q"), col("n"), cosine(col("qv"), col("nv")).as("cos"))
+      .groupBy("q", "n").agg(max("cos").as("cos")) // dedup multi-probe hits
+    val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -28,22 +28,6 @@ final case class Doc(doc_id: String, spans: Seq[Span]) {
     case Span(Span.Text, t, _, _) if t != null => t
   }.mkString(" ")
 
-  /** Content digest over the ordered span sequence (kind, text, media_ref,
-    * offset) — two docs share it iff their content is identical. Drives the
-    * exact-duplicate pre-collapse (Pipeline.run stage 0).
-    */
-  def contentDigest: Long = {
-    var h = graft.text.Hashing.hash64("graft-doc")
-    spans.sortBy(_.offset).foreach { s =>
-      h = graft.text.Hashing.hash64(h, graft.text.Hashing.hash64(s.kind))
-      h = graft.text.Hashing.hash64(h,
-        if (s.text == null) 0x6e756c6cL else graft.text.Hashing.hash64(s.text))
-      h = graft.text.Hashing.hash64(h,
-        if (s.media_ref == null) 0x6e756c6cL else graft.text.Hashing.hash64(s.media_ref))
-      h = graft.text.Hashing.hash64(h, s.offset.toLong)
-    }
-    h
-  }
 }
 
 /** Per-document signature record — output of the signature stage. `media`

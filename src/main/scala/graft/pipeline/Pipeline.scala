@@ -80,16 +80,29 @@ object Pipeline {
     // the representative is the min doc_id of its copies, cluster_id
     // semantics (min doc_id in component) are unchanged.
     val (pipelineDocs, expansion) = if (cfg.exactPrecollapse) {
-      val keyed = docs.map(d => (d.doc_id, d.contentDigest)).toDF("doc_id", "digest")
-      val reps = keyed.groupBy("digest").agg(min(col("doc_id")).as("rep"))
-      val mapping = keyed.join(reps, "digest").select("doc_id", "rep")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nDocs = mapping.count()
-      val repDocs = docs.join(mapping.filter(col("doc_id") === col("rep"))
-          .select("doc_id"), Seq("doc_id"), "left_semi").as[Doc]
-      log.info(s"stage collapse: $nDocs docs -> distinct-content reps")
-      cached += mapping
-      (repDocs, Some(mapping))
+      val t0 = System.nanoTime()
+      // columnar 128-bit content digest: md5 over the canonical JSON of the
+      // span array — whole-stage codegen, no typed deserialization, and
+      // collision-safe at 10^12 docs (a 64-bit digest would birthday-collide
+      // there and silently merge unrelated docs)
+      val keyed = docs.toDF()
+        .select(col("doc_id"), md5(to_json(col("spans"))).as("digest"))
+      // cheap detection first: one aggregate, no join — corpora with no
+      // exact duplicates (the common case) pay ONLY this digest scan
+      val head = keyed.agg(count(lit(1)), count_distinct(col("digest"))).head()
+      val (nDocs, nReps) = (head.getLong(0), head.getLong(1))
+      log.info(f"stage collapse: ${(System.nanoTime() - t0) / 1e9}%.2f s, $nDocs docs -> $nReps distinct-content reps")
+      if (nReps == nDocs) (docs, None)
+      else {
+        val reps = keyed.groupBy("digest").agg(min(col("doc_id")).as("rep"))
+        val mapping = keyed.join(reps, "digest").select("doc_id", "rep")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mapping.count()
+        val repDocs = docs.join(mapping.filter(col("doc_id") === col("rep"))
+            .select("doc_id"), Seq("doc_id"), "left_semi").as[Doc]
+        cached += mapping
+        (repDocs, Some(mapping))
+      }
     } else (docs, None)
 
     // 1. signatures (+ bad-media side output)

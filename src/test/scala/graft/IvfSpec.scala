@@ -1,0 +1,56 @@
+package graft
+
+import graft.ann.Ivf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF coarse-quantizer ANN: determinism, cell partition sanity, and
+  * measured recall vs the brute-force top-k on the sf0.01 embeddings.
+  */
+class IvfSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("fit is deterministic and assigns every vector to a valid cell") {
+    val m1 = Ivf.fit(emb, "embedding", "vec_id", k = 8)
+    val m2 = Ivf.fit(emb, "embedding", "vec_id", k = 8)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    val cells = Ivf.withCell(emb, "embedding", m1)
+      .groupBy("cell").count().collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(cells.map(_._2).sum == 500L)
+    assert(cells.forall { case (c, n) => c >= 0 && c < 8 && n > 0 })
+  }
+
+  test("nprobe=k degenerates to exact brute-force top-k") {
+    val m = Ivf.fit(emb, "embedding", "vec_id", k = 8)
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = (0 until 64).map(i =>
+        element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
+        .reduceLeft(_ + _)
+      def nrm(c: org.apache.spark.sql.Column) = sqrt((0 until 64).map { i =>
+        val v = element_at(c, i + 1).cast("double"); v * v
+      }.reduceLeft(_ + _))
+      dot / (nrm(a) * nrm(b))
+    }
+    val q = emb.filter(col("vec_id") < 20)
+    val full = Ivf.topK(q, emb, m, "embedding", "vec_id", k = 3, nprobe = 8, cos)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force ground truth
+    val a = q.select(col("vec_id").as("q"), col("embedding").as("qv"))
+    val b = emb.select(col("vec_id").as("n"), col("embedding").as("nv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q")
+      .orderBy(col("cos").desc, col("n"))
+    val brute = a.join(b, col("q") =!= col("n"))
+      .select(col("q"), col("n"), cos(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+    // and the measured recall floor at nprobe=4 on ISOTROPIC data (the
+    // hardest case for IVF — documented in Ivf's Scaladoc)
+    val probed = Ivf.topK(q, emb, m, "embedding", "vec_id", k = 3, nprobe = 4, cos)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (probed & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, f"nprobe=4/8 recall $recall%.2f below measured floor")
+  }
+}
