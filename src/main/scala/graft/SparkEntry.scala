@@ -335,6 +335,31 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // multimodal: audio fingerprint near-dup join (stub decode — no codec
+    // libs in this container; real per-window fingerprint join plumbing).
+    // Near-dup = sharing >= 6 of 8 (window, value) fingerprint slots
+    "q_audio_near_dups" -> ((s, dir) => {
+      import s.implicits._
+      val media = docsTable(s, dir).select(col("doc_id")).as[Long]
+        .filter(_ % 15 == 0).flatMap { id =>
+          val bytes = Array.tabulate[Byte](512)(i => ((id * 31 + i) % 101).toByte)
+          val base = graft.media.Multimodal.MediaRow(s"a$id", s"aud-$id", "audio/wav", bytes)
+          // every 4th clip also appears as an exact re-upload
+          if (id % 60 == 0)
+            Seq(base, graft.media.Multimodal.MediaRow(s"a$id-re", s"aud-$id", "audio/wav", bytes))
+          else Seq(base)
+        }
+      val feats = graft.media.Multimodal.audioFeatures(media)(s)
+      val f = feats.select(col("doc_id"),
+        posexplode(col("audio_fp")).as(Seq("w", "v"))).distinct()
+      val l = f.select(col("doc_id").as("a"), col("w"), col("v"))
+      val r = f.select(col("doc_id").as("b"), col("w"), col("v"))
+      l.join(r, Seq("w", "v")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared_windows"))
+        .filter(col("shared_windows") >= 6)
+        .orderBy("a", "b")
+    }),
+
     // per-doc text analysis rollup: heuristic language id, quality score,
     // BPE-ish token estimate, winnow fingerprint count (kernel surface;
     // no SQL analog)
@@ -599,6 +624,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     golden("q_ann_ivf"),
     golden("q_ann_lsh"),
+    golden("q_audio_near_dups"),
     golden("q_compare_target"),
     golden("q_doc_stats"),
     golden("q_fingerprint"),
