@@ -57,6 +57,56 @@ object StreamDedup {
   final case class DupTag(doc_id: String, exact_key: String,
                           is_duplicate: Boolean, first_doc_id: String, copy_number: Long)
 
+  final case class BandState(recent: List[(String, Long)]) // (doc_id, simhash), newest first
+  final case class NearDupTag(doc_id: String, band0: Long,
+                              is_near_dup: Boolean, matched_doc_id: String, sim_ham: Int)
+
+  /** Keyed streaming NEAR-duplicate tagging: stream docs are grouped by
+    * their first MinHash band (the streaming analog of the batch band
+    * blocking) and compared by SimHash Hamming distance against a BOUNDED
+    * ring of recent signatures per band — state is O(bands × maxStatePerKey),
+    * never O(stream). A doc whose best in-band match is within
+    * `hammingThreshold` is tagged with that match. Docs in different bands
+    * are never compared — the same recall trade the batch blocking makes,
+    * tightened here by the ring bound (an old near-dup beyond the ring is
+    * missed: the windowed-recall trade every streaming dedup makes).
+    * Same trigger caveat as [[tagDuplicates]] when `stateTtl` is set.
+    */
+  def tagNearDuplicates(sigs: Dataset[StreamSig], hammingThreshold: Int = 8,
+                        maxStatePerKey: Int = 64,
+                        stateTtl: Option[String] = Some("1 hour"))(
+      implicit spark: SparkSession): Dataset[NearDupTag] = {
+    import spark.implicits._
+    val timeoutConf = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+    sigs.groupByKey(_.band0)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (band: Long, rows: Iterator[StreamSig], state: GroupState[BandState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic intra-batch order
+            val sorted = rows.toSeq.sortBy(s => (s.event_time.getTime, s.doc_id))
+            var ring = state.getOption.map(_.recent).getOrElse(Nil)
+            val out = sorted.map { s =>
+              val best = ring.iterator
+                .map { case (id, h) => (id, java.lang.Long.bitCount(h ^ s.simhash)) }
+                .foldLeft(("", Int.MaxValue)) { (acc, c) =>
+                  if (c._2 < acc._2 || (c._2 == acc._2 && c._1 < acc._1)) c else acc
+                }
+              ring = ((s.doc_id, s.simhash) :: ring).take(maxStatePerKey)
+              if (best._2 <= hammingThreshold)
+                NearDupTag(s.doc_id, band, is_near_dup = true, best._1, best._2)
+              else NearDupTag(s.doc_id, band, is_near_dup = false, "", -1)
+            }
+            state.update(BandState(ring))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Keyed streaming dedup with explicit state: the first doc of each
     * exact-content key is the keeper; later arrivals are tagged duplicates
     * (reference keep-first survivorship, `cmd/dedupe/main.go:226-236`,

@@ -64,6 +64,31 @@ class StreamDedupSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup tagging: banded simhash match across batches, bounded state") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Doc, java.sql.Timestamp)](s)
+    val tags = StreamDedup.tagNearDuplicates(
+      StreamDedup.signatures(input.toDS()), stateTtl = None)
+    val q = tags.writeStream.format("memory").queryName("neartags")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    try {
+      input.addData((doc("n1", base), ts(1)))
+      q.processAllAvailable()
+      // one word changed: same shingle band, tiny simhash distance
+      input.addData((doc("n2", base.replace("tonight", "today")), ts(5)),
+        (doc("n3", "completely unrelated content about databases and engines"), ts(6)))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, is_near_dup, matched_doc_id FROM neartags ORDER BY doc_id")
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+      assert(rows.toSeq == Seq(
+        ("n1", false, ""),
+        ("n2", true, "n1"), // matched across the batch boundary
+        ("n3", false, "")))
+    } finally q.stop()
+  }
+
   test("state TTL evicts idle keys: a re-arrival after expiry is a fresh keeper") {
     implicit val s = spark
     import s.implicits._
