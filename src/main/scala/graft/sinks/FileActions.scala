@@ -37,18 +37,22 @@ object FileActions {
   def plan(clusters: DataFrame, action: String, destDir: String = "",
            keepFirst: Boolean = true): DataFrame = {
     require(Set("move", "copy", "delete")(action), s"unknown action $action")
+    // keep doc_id in its NATIVE type until survivorship is decided: casting
+    // to string first would silently switch the keeper to the LEXICOGRAPHIC
+    // min ("10" < "2") for numeric ids — caught by SurvivorshipPropertySpec
     val members = clusters.select(
-      col("doc_id").cast("string").as("doc_id"),
+      col("doc_id"),
       col("cluster_id").cast("string").as("cluster_id"),
       col("path").cast("string").as("src"))
     // multi-member clusters only: singletons are not duplicates
     val sizes = members.groupBy("cluster_id").agg(count(lit(1)).as("n"))
     val dupMembers = members.join(sizes.filter(col("n") > 1).select("cluster_id"), "cluster_id")
-    val inScope = if (action == "delete" && keepFirst) {
+    val inScope0 = if (action == "delete" && keepFirst) {
       // survivorship as an anti-join: keepers never enter the plan
       val keepers = dupMembers.groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
       dupMembers.join(keepers, Seq("cluster_id", "doc_id"), "left_anti")
     } else dupMembers
+    val inScope = inScope0.withColumn("doc_id", col("doc_id").cast("string"))
     val dest =
       if (action == "delete") lit("")
       else concat(lit(destDir.stripSuffix("/") + "/group-"), col("cluster_id"),
