@@ -49,6 +49,54 @@ object JaroWinklerExpr {
     JaroWinkler.jaroWinkler(a.toString, b.toString)
 }
 
+/** MinHash agreement fraction (the cheap Jaccard estimate of the scoring
+  * gate) as a native expression: operates directly on catalyst ArrayData —
+  * no Seq[Long] materialization per row — and inlines into whole-stage
+  * codegen. Empty or length-mismatched signatures estimate 0.0 (the
+  * round-1 UDF's semantics, preserved bit-for-bit).
+  */
+case class MinhashAgreeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_agree"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_agree expects (array<bigint>, array<bigint>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MinhashAgreeExpr.agree(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.MinhashAgreeExpr.agree($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashAgreeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinhashAgreeExpr {
+  def agree(a: org.apache.spark.sql.catalyst.util.ArrayData,
+            b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0 || n != b.numElements()) return 0.0
+    var same = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) same += 1; i += 1 }
+    same.toDouble / n
+  }
+}
+
 /** Column + SQL surface for the graft-native expressions. */
 object GraftFunctions {
 
@@ -56,6 +104,11 @@ object GraftFunctions {
   def jw(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       JaroWinklerExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API: MinHash slot-agreement fraction (codegen'd). */
+  def minhashAgree(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      MinhashAgreeExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   private[functions] val registryEntries: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(

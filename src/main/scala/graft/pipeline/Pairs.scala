@@ -28,20 +28,15 @@ object Pairs {
 
   private val GateSlots = 32 // minhash prefix used for the cheap estimate
 
-  private val minhashEstUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-    if (a == null || b == null || a.isEmpty || b.isEmpty || a.length != b.length) 0.0
-    else {
-      var agree = 0
-      var i = 0
-      while (i < a.length) { if (a(i) == b(i)) agree += 1; i += 1 }
-      agree.toDouble / a.length
-    }
-  }
+  // Native codegen expressions (graft.functions) replaced the round-1 UDFs:
+  // null/empty semantics preserved via the wrappers below (the expressions
+  // are nullIntolerant; the UDFs mapped null/empty to 0.0).
+  private def minhashEst(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    coalesce(graft.functions.GraftFunctions.minhashAgree(a, b), lit(0.0))
 
-  private val jwUdf = udf { (a: String, b: String) =>
-    if (a == null || b == null || a.isEmpty || b.isEmpty) 0.0
-    else JaroWinkler.jaroWinkler(a, b)
-  }
+  private def jwScore(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    when(a.isNull || b.isNull || length(a) === 0 || length(b) === 0, lit(0.0))
+      .otherwise(graft.functions.GraftFunctions.jw(a, b))
 
   /** candidates: (a, b, media_dist, sim_ham). Returns scored pairs with `is_dup`. */
   def score(candidates: DataFrame, sigs: Dataset[DocSig], cfg: GraftConfig)(
@@ -61,7 +56,7 @@ object Pairs {
       side.withColumnRenamed("doc_id", "b")
         .withColumnRenamed("mh", "mh_b").withColumnRenamed("text_cap", "t_b"), Seq("b"))
     val gated = withB
-      .withColumn("minhash_est", minhashEstUdf(col("mh_a"), col("mh_b")))
+      .withColumn("minhash_est", minhashEst(col("mh_a"), col("mh_b")))
       .filter(col("media_dist") < cfg.mediaThreshold ||
         col("minhash_est") >= cfg.minhashGate)
       .select("a", "b", "media_dist", "minhash_est", "t_a", "t_b")
@@ -73,7 +68,7 @@ object Pairs {
     val hasText = length(col("t_a")) > 0 && length(col("t_b")) > 0
     val maxLen = greatest(length(col("t_a")), length(col("t_b")))
     val scored = withTb
-      .withColumn("jw", jwUdf(col("t_a"), col("t_b")))
+      .withColumn("jw", jwScore(col("t_a"), col("t_b")))
       .withColumn("lev_norm",
         when(hasText, levenshtein(col("t_a"), col("t_b")) / maxLen.cast("double"))
           .otherwise(lit(1.0)))
