@@ -97,6 +97,71 @@ object MinhashAgreeExpr {
   }
 }
 
+/** Minimum summed-slot Hamming distance over the media-span pairs of two
+  * docs — the reference metric (`vptree/vptree.go:60-69`) generalized to
+  * multi-span documents, as a native ternary expression on catalyst
+  * ArrayData. Sentinel 9999 when either side has no media (the round-1
+  * UDF's convention, preserved bit-for-bit). Runs inside the band join's
+  * codegen span on every candidate row — the hottest expression in the
+  * pipeline.
+  */
+case class MediaDistExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_media_dist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_media_dist expects (array<bigint>, array<bigint>, int), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any, s: Any): Any =
+    MediaDistExpr.dist(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      s.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, s) => s"graft.functions.MediaDistExpr.dist($a, $b, $s)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MediaDistExpr =
+    copy(first = f, second = s, third = t)
+}
+
+object MediaDistExpr {
+  def dist(ma: org.apache.spark.sql.catalyst.util.ArrayData,
+           mb: org.apache.spark.sql.catalyst.util.ArrayData, slots: Int): Int = {
+    val na = ma.numElements()
+    val nb = mb.numElements()
+    if (na == 0 || nb == 0) return 9999
+    var best = Int.MaxValue
+    var i = 0
+    while (i + slots <= na) {
+      var j = 0
+      while (j + slots <= nb) {
+        var d = 0
+        var k = 0
+        while (k < slots) {
+          d += java.lang.Long.bitCount(ma.getLong(i + k) ^ mb.getLong(j + k))
+          k += 1
+        }
+        if (d < best) best = d
+        j += slots
+      }
+      i += slots
+    }
+    best
+  }
+}
+
 /** Column + SQL surface for the graft-native expressions. */
 object GraftFunctions {
 
@@ -109,6 +174,11 @@ object GraftFunctions {
   def minhashAgree(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       MinhashAgreeExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API: min summed-slot media Hamming distance (codegen'd). */
+  def mediaDist(a: Column, b: Column, slots: Column): Column =
+    GraftSqlBridge.column(MediaDistExpr(GraftSqlBridge.expression(a),
+      GraftSqlBridge.expression(b), GraftSqlBridge.expression(slots)))
 
   private[functions] val registryEntries: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(

@@ -90,30 +90,13 @@ object Blocking {
 
   /** Summed-slot Hamming distance, minimized over media-span pairs —
     * the reference metric (`vptree/vptree.go:60-69`) generalized to
-    * multi-span docs. Sentinel 9999 when either side has no media.
+    * multi-span docs. Sentinel 9999 when either side has no media. Native
+    * codegen expression (graft.functions.MediaDistExpr) — the hottest
+    * predicate in the pipeline runs inside the band join's codegen span.
     */
-  val mediaDistUdf = udf { (ma: Seq[Long], mb: Seq[Long], slots: Int) =>
-    if (ma == null || mb == null || ma.isEmpty || mb.isEmpty) 9999
-    else {
-      var best = Int.MaxValue
-      var i = 0
-      while (i + slots <= ma.length) {
-        var j = 0
-        while (j + slots <= mb.length) {
-          var d = 0
-          var k = 0
-          while (k < slots) {
-            d += java.lang.Long.bitCount(ma(i + k) ^ mb(j + k))
-            k += 1
-          }
-          if (d < best) best = d
-          j += slots
-        }
-        i += slots
-      }
-      best
-    }
-  }
+  def mediaDistUdf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                   slots: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(graft.functions.GraftFunctions.mediaDist(a, b, slots), lit(9999))
 
   final case class BlockStats(droppedBlocks: Long, droppedRows: Long, saltedBlocks: Long)
 
