@@ -187,6 +187,18 @@ object GraftFunctions {
       { args =>
         require(args.length == 2, "graft_jw expects exactly 2 arguments")
         JaroWinklerExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_minhash_agree"),
+      new ExpressionInfo(classOf[MinhashAgreeExpr].getName, "graft_minhash_agree"),
+      { args =>
+        require(args.length == 2, "graft_minhash_agree expects exactly 2 arguments")
+        MinhashAgreeExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_media_dist"),
+      new ExpressionInfo(classOf[MediaDistExpr].getName, "graft_media_dist"),
+      { args =>
+        require(args.length == 3, "graft_media_dist expects exactly 3 arguments")
+        MediaDistExpr(args(0), args(1), args(2))
       }))
 
   /** Register the SQL functions on a LIVE session (tests, notebooks). */

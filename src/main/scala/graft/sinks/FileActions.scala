@@ -67,9 +67,21 @@ object FileActions {
     */
   def execute(spark: SparkSession, planDf: DataFrame): Dataset[ActionResult] = {
     import spark.implicits._
+    // Ship the session's Hadoop conf to executors (fs.defaultFS, credentials,
+    // object-store settings): Configuration isn't serializable and Spark's
+    // SerializableConfiguration is private[spark], so capture the entries
+    // and rebuild per partition — a fresh Configuration() would silently
+    // drop the session's filesystem config on a real cluster.
+    val confEntries: Seq[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.result()
+    }
     planDf.select("doc_id", "cluster_id", "src", "dest", "action").as[PlannedAction]
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         it.map { a =>
           try {
             val srcPath = new org.apache.hadoop.fs.Path(a.src)

@@ -33,6 +33,22 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(err.getMessage.contains("2 arguments"))
   }
 
+  test("SQL registration: graft_minhash_agree and graft_media_dist") {
+    GraftFunctions.register(spark)
+    val agree = spark.sql(
+      "SELECT graft_minhash_agree(array(1L,2L,3L,4L), array(1L,9L,3L,8L)) AS v")
+      .collect()(0).getDouble(0)
+    assert(agree == 0.5)
+    val dist = spark.sql(
+      "SELECT graft_media_dist(array(0L), array(3L), 1) AS d")
+      .collect()(0).getInt(0)
+    assert(dist == 2) // popcount(0 xor 3)
+    val none = spark.sql(
+      "SELECT graft_media_dist(CAST(array() AS ARRAY<BIGINT>), array(3L), 1) AS d")
+      .collect()(0).getInt(0)
+    assert(none == 9999) // sentinel: no media on one side
+  }
+
   test("null semantics: null input yields null, not an exception") {
     import spark.implicits._
     val got = Seq(("x", Option("y")), ("x", None)).toDF("a", "b")
