@@ -416,18 +416,21 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
-    // language guess from stopword-marker hit counts (same heuristic in SQL)
+    // language guess from stopword-marker hit counts (same heuristic in SQL).
+    // Single tokenize pass: ONE split of the lowered text + four array-filter
+    // membership counts — versus the round-2 form's 24 full-text
+    // length+regexp_replace scans (12 markers × 2 passes), which made this
+    // the slowest driver query at 25.9 s. The marker-count definition is
+    // token-based in BOTH engines (list_filter mirror below).
     "q_lang_guess" -> ((s, dir) => {
-      def hits(marker: String): Column = {
-        val padded = concat(lit(" "), lower(col("text")), lit(" "))
-        ((length(padded) - length(regexp_replace(padded, lit(s" $marker "), lit("")))) /
-          (marker.length + 2)).cast("long")
-      }
+      def hits(markers: Seq[String]): Column =
+        size(filter(col("toks"), t => t.isin(markers: _*))).cast("long")
       docsTable(s, dir)
-        .withColumn("h_en", hits("the") + hits("and") + hits("of"))
-        .withColumn("h_de", hits("der") + hits("und") + hits("das"))
-        .withColumn("h_fr", hits("le") + hits("et") + hits("les"))
-        .withColumn("h_es", hits("el") + hits("que") + hits("los"))
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("h_en", hits(Seq("the", "and", "of")))
+        .withColumn("h_de", hits(Seq("der", "und", "das")))
+        .withColumn("h_fr", hits(Seq("le", "et", "les")))
+        .withColumn("h_es", hits(Seq("el", "que", "los")))
         .withColumn("pred",
           when(col("h_en") >= greatest(col("h_de"), col("h_fr"), col("h_es")) &&
             col("h_en") > 0, "en")
@@ -778,18 +781,10 @@ object SparkEntry {
     "q_lang_guess" ->
       """WITH h AS (
         |  SELECT lang,
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ''))) // 5 +
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' and ', ''))) // 5 +
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' of ', ''))) // 4 AS h_en,
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' der ', ''))) // 5 +
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' und ', ''))) // 5 +
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' das ', ''))) // 5 AS h_de,
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' le ', ''))) // 4 +
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' et ', ''))) // 4 +
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' les ', ''))) // 5 AS h_fr,
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' el ', ''))) // 4 +
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' que ', ''))) // 5 +
-        |    (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' los ', ''))) // 5 AS h_es
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of'))) AS h_en,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','und','das'))) AS h_de,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','et','les'))) AS h_fr,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','que','los'))) AS h_es
         |  FROM documents)
         |SELECT lang,
         |  CASE WHEN h_en >= greatest(h_de, h_fr, h_es) AND h_en > 0 THEN 'en'

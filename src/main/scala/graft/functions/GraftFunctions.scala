@@ -141,7 +141,12 @@ object MediaDistExpr {
            mb: org.apache.spark.sql.catalyst.util.ArrayData, slots: Int): Int = {
     val na = ma.numElements()
     val nb = mb.numElements()
-    if (na == 0 || nb == 0) return 9999
+    // 9999 sentinel covers every "no comparable media" case: empty arrays,
+    // arrays shorter than one slot group, and non-positive slots. The
+    // function is SQL-registered, so arbitrary user-supplied slots values
+    // reach this code — slots <= 0 must not loop forever (j += slots would
+    // never advance), and a short array must not leak Int.MaxValue.
+    if (slots <= 0 || na < slots || nb < slots) return 9999
     var best = Int.MaxValue
     var i = 0
     while (i + slots <= na) {

@@ -207,6 +207,13 @@ object Blocking {
     // p ≥ 0.4/band over 32 bands) still collide on ≥2 with prob ≈ 1 —
     // measured: candidate volume at 850k docs fell from 8.2/doc
     // (quadratic regime) to O(1)/doc.
+    //
+    // Known recall narrowing (documented, accepted): a pair reachable ONLY
+    // via a shared MEDIA band whose media_dist >= mediaThreshold but
+    // sim_ham < simhashPrefilter (text-scorable, media-dissimilar) used to
+    // reach phase-2 scoring and now needs >= minTextBands shared TEXT bands
+    // too. For true text near-dups (Jaccard >= 0.8) P(>= 2 of 32 bands) ~ 1,
+    // so the labeled-corpus F1 gate (PipelineSpec) holds with the vote on.
     val pairs = normalPairs.unionByName(hotPairs)
       .groupBy(col("a"), col("b"))
       .agg(min(col("media_dist")).as("media_dist"), min(col("sim_ham")).as("sim_ham"),

@@ -31,13 +31,16 @@ object Pipeline {
 
   /** Resume key root = config digest ⊕ input-data digest: reusing a
     * checkpointDir with CHANGED input data (same config) invalidates every
-    * stage. The input digest is order-independent (count + bit_xor of
-    * xxhash64(doc_id)) and costs one narrow column scan — only paid when
-    * checkpointing is enabled.
+    * stage. The digest is order-independent (count + bit_xor over per-row
+    * hashes) and covers CONTENT, not just ids — xxhash64(doc_id,
+    * to_json(spans)) changes when a doc's spans change under a stable
+    * doc_id, which would otherwise silently reuse every stale stage table.
+    * One narrow scan, only paid when checkpointing is enabled.
     */
   def resumeBaseKey(docs: Dataset[Doc], cfg: GraftConfig): Long = {
     val row = docs.toDF().selectExpr(
-      "count(*) AS n", "coalesce(bit_xor(xxhash64(doc_id)), 0L) AS dg").head()
+      "count(*) AS n",
+      "coalesce(bit_xor(xxhash64(doc_id, to_json(spans))), 0L) AS dg").head()
     Hashing.hash64(Hashing.hash64(cfg.configHash, row.getLong(0)), row.getLong(1))
   }
 

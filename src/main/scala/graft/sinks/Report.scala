@@ -18,13 +18,29 @@ object Report {
 
   /** (doc_id, cluster_id, ...) → (cluster_id, n_members, members) with
     * members sorted ascending (keeper first), multi-member clusters only.
+    *
+    * `maxMembers` bounds the aggregation BUFFER, not just the output width:
+    * members are rank-filtered per cluster BEFORE `collect_list`, so an
+    * adversarial million-member cluster materializes at most `maxMembers`
+    * entries in any buffer. `n_members` still counts every member (plain
+    * map-side-combined hash aggregate). Singleton clusters — the bulk of a
+    * dedup result — are filtered out before the rank window, so the
+    * shuffle+sort only sees actual duplicate-group rows.
     */
-  def groups(clusters: DataFrame, maxMembers: Int = 100000): DataFrame =
-    clusters
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, maxMembers).as("members"))
-      .filter(col("n_members") > 1)
+  def groups(clusters: DataFrame, maxMembers: Int = 100000): DataFrame = {
+    val counts = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val multi = clusters.select("cluster_id", "doc_id")
+      .join(counts.filter(col("n_members") > 1), "cluster_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy("doc_id")
+    // row_number ascending keeps the smallest maxMembers doc_ids — the same
+    // keeper-first prefix the previous slice(sort_array(...)) produced
+    multi.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxMembers)
+      .groupBy("cluster_id", "n_members")
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .select("cluster_id", "n_members", "members")
+  }
 
   /** S7 CSV sink: one comma-joined row per group, keeper first — the exact
     * shape of the reference's `csv.Writer.Write(group)` rows. Partitioned

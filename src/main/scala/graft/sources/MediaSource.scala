@@ -46,15 +46,19 @@ object MediaSource {
       .otherwise("other")
 
   /** Scanned files → Dataset[Doc]: one single-media-span doc per file,
-    * doc_id = file basename (the reference keys its FileMapper by path;
-    * basename matches its report rows). Top-level scan only reads `path` —
-    * decode happens later in the signature stage via MediaResolver.
+    * doc_id = full path (the reference keys its FileMapper by path and its
+    * report rows ARE paths — `cmd/dedupe/main.go:151-160`). A basename key
+    * would collide for same-named files in different directories under
+    * recursive scans, violating the pipeline's doc_id-uniqueness assumption
+    * (pre-collapse mapping joins and keeper selection would then act on the
+    * wrong file). Top-level scan only reads `path` — decode happens later in
+    * the signature stage via MediaResolver.
     */
   def asDocs(spark: SparkSession, files: DataFrame): Dataset[Doc] = {
     import spark.implicits._
     files.select(col("path")).as[String].map { p =>
-      val base = p.substring(p.lastIndexOf('/') + 1)
-      Doc(base, Seq(Span.media(p.stripPrefix("file:"), 0)))
+      val local = p.stripPrefix("file:")
+      Doc(local, Seq(Span.media(local, 0)))
     }
   }
 

@@ -30,8 +30,10 @@ class CatsAcceptanceSpec extends AnyFunSuite with SparkTestBase {
     // with the image-extension glob — zero driver-side directory walking
     val docs = graft.sources.MediaSource.asDocs(s,
       graft.sources.MediaSource.scanImages(s, root, recursive = true))
+    // doc_id is the full path (collision-safe under recursion); this corpus
+    // has unique basenames, so key the assertions by basename for brevity
     Pipeline.run(s, docs, cfg).clusters.select("doc_id", "cluster_id")
-      .collect().map(x => (x.getString(0), x.getString(1))).toMap
+      .collect().map(x => (x.getString(0).split('/').last, x.getString(1))).toMap
   }
 
   private lazy val dct = runPipeline(GraftConfig()) // DCT, radius 22 (defaults)

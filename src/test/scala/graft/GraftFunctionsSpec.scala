@@ -49,6 +49,21 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(none == 9999) // sentinel: no media on one side
   }
 
+  test("graft_media_dist guards: slots <= 0 and short arrays return the sentinel") {
+    GraftFunctions.register(spark)
+    // slots <= 0 is user-reachable via SQL and must not hang the slot loop
+    Seq(0, -1).foreach { s =>
+      val d = spark.sql(s"SELECT graft_media_dist(array(1L), array(2L), $s) AS d")
+        .collect()(0).getInt(0)
+      assert(d == 9999, s"slots=$s")
+    }
+    // non-empty array shorter than one slot group: no slot pair fits
+    val short = spark.sql(
+      "SELECT graft_media_dist(array(1L), array(2L,3L), 2) AS d")
+      .collect()(0).getInt(0)
+    assert(short == 9999)
+  }
+
   test("null semantics: null input yields null, not an exception") {
     import spark.implicits._
     val got = Seq(("x", Option("y")), ("x", None)).toDF("a", "b")

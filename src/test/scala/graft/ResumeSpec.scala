@@ -77,6 +77,30 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
       "signatures stage reused a checkpoint from different input data")
   }
 
+  test("content change under STABLE doc_ids invalidates the resume key") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = tempDir().toString
+    val base = Corpus.generate(Corpus.Params(entities = 30)).map(_.doc)
+    val docs = s.createDataset(base)
+    Pipeline.run(s, docs, Corpus.RecommendedConfig, checkpointDir = Some(dir)).clusters.count()
+    val sigManifest = java.nio.file.Paths.get(dir, "signatures", "_graft_manifest.json")
+    val mtime = Files.getLastModifiedTime(sigManifest)
+    Thread.sleep(20)
+    // same doc_id SET, one doc's spans edited: an id-only digest would
+    // silently reuse every stale stage table (round-2 advisory)
+    val edited = base.map { d =>
+      if (d.doc_id == base.head.doc_id)
+        d.copy(spans = d.spans.map(sp =>
+          if (sp.kind == "text") sp.copy(text = sp.text + " EDITED") else sp))
+      else d
+    }
+    Pipeline.run(s, s.createDataset(edited), Corpus.RecommendedConfig,
+      checkpointDir = Some(dir)).clusters.count()
+    assert(Files.getLastModifiedTime(sigManifest) != mtime,
+      "signatures stage reused a checkpoint after doc CONTENT changed")
+  }
+
   test("a killed run resumes mid-pipeline: later stages compute, earlier ones reuse") {
     implicit val s = spark
     import s.implicits._

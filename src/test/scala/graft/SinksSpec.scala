@@ -30,6 +30,22 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(g(1).getSeq[Long](g(1).fieldIndex("members")) == Seq(5L, 6L))
   }
 
+  test("Report.groups maxMembers bounds the aggregation buffer (100k-member cluster)") {
+    import spark.implicits._
+    // one adversarial 100k-member cluster + one normal pair
+    val big = spark.range(0, 100000).select(col("id").as("doc_id"), lit(0L).as("cluster_id"))
+    val df = big.union(Seq((200000L, 200000L), (200001L, 200000L)).toDF("doc_id", "cluster_id"))
+    val g = Report.groups(df, maxMembers = 10)
+    // the cap is applied BEFORE collect_list: a rank filter feeds the agg
+    val plan = g.queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number"), plan.take(800))
+    val rows = g.orderBy("cluster_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_members") == 100000L) // counts ALL members
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("members")) == (0L until 10L))
+    assert(rows(1).getSeq[Long](rows(1).fieldIndex("members")) == Seq(200000L, 200001L))
+  }
+
   test("Report.writeGroupsCsv emits one comma-joined row per group") {
     val out = Files.createTempDirectory("graft-csv").resolve("groups").toString
     Report.writeGroupsCsv(Report.groups(clustersDf()), out, coalesce1 = true)

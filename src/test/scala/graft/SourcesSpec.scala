@@ -51,6 +51,28 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq("image", "video", "audio", "other", "image"))
   }
 
+  test("asDocs: same basename in different directories yields distinct doc_ids") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toFile
+    try {
+      Seq("a", "b").foreach { d =>
+        val dir = new java.io.File(tmp, d); dir.mkdirs()
+        val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, "cat.png"))
+      }
+      val docs = MediaSource.asDocs(spark,
+        MediaSource.scanImages(spark, tmp.getAbsolutePath, recursive = true)).collect()
+      assert(docs.length == 2)
+      assert(docs.map(_.doc_id).distinct.length == 2, "basename collision in doc_id")
+      // doc_id doubles as the span's media_ref: both resolve to real files
+      docs.foreach(d => assert(new java.io.File(d.doc_id).isFile, d.doc_id))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("restrictTo semi-joins docs against an external id list") {
     import spark.implicits._
     val docs = spark.createDataset(Seq(
