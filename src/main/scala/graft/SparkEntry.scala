@@ -65,19 +65,91 @@ object SparkEntry {
     dot / (na * nb)
   }
 
+  /** Banded-MinHash blocking for the string-scorer query family
+    * (q_lev_pairs, q_jw_pairs, q_ngram_jaccard, levEdges → CC/report/
+    * survivorship). Round 2 blocked these on (lang, len-bucket, 4-char
+    * prefix); BASELINE.md's census showed that key family's max block size
+    * growing 2.8× per 10× docs (vocabulary saturation — a quadratic regime
+    * at 100 TB). These keys are 4 bands × 3 rows of a 12-function MinHash
+    * over 8-char character shingles of the first 120 chars; base hash =
+    * 28 bits of md5 hex, rows = affine transforms mod a <2³⁰ prime (all
+    * arithmetic stays < 2⁶³ — overflow-free in BOTH engines). Candidacy
+    * (shares ≥ 1 band) is DEFINED identically in the DuckDB oracles (the
+    * LSH-candidacy-contract pattern proven on q_embed_near_dup), so the
+    * engines agree bit-exactly by construction.
+    *
+    * Measured (DuckDB, all-pairs ground truth lev<15 on 60-char prefixes):
+    * recall 25/25 at sf0.01 and 256/256 at sf0.1 — versus the prefix key's
+    * 6/25 — with max band-block size 3 → 7 (flat) and ~0.1 candidates/doc.
+    */
+  private val SBandP = 1073741789L // prime < 2^30
+  private val SBandAB: IndexedSeq[(Long, Long)] = Vector(
+    (686579304L, 119540831L), (26855093L, 796233790L), (295310486L, 262950628L),
+    (239670712L, 149827706L), (790779947L, 110053353L), (726600540L, 795285932L),
+    (957970517L, 585582861L), (93349857L, 634036506L), (453035111L, 34126396L),
+    (31994524L, 100604502L), (234760739L, 249817734L), (542621109L, 646412689L))
+
+  /** Position-tagged band keys (array of 4 strings) for one text column. */
+  private[graft] def sBandKeys(text: Column): Column = {
+    val t = substring(text, 1, 120)
+    val shingles = transform(sequence(lit(1), greatest(length(t) - 7, lit(1))),
+      i => conv(substring(md5(t.substr(i, lit(8))), 1, 7), 16, 10).cast("long"))
+    val mins = SBandAB.map { case (a, b) =>
+      array_min(transform(shingles, x => (lit(a) * x + lit(b)) % SBandP)) }
+    array((0 until 4).map(i =>
+      concat_ws(":", lit(i), mins(3 * i), mins(3 * i + 1), mins(3 * i + 2))): _*)
+  }
+
+  /** Candidate (a, b) pairs sharing ≥ 1 band: explode → equi-join →
+    * distinct. Payload columns are rejoined by id AFTER the distinct —
+    * the band shuffle only ever carries (doc_id, band_key).
+    */
+  private[graft] def sBandCandidates(s: SparkSession, dir: String): DataFrame = {
+    val d = docsTable(s, dir)
+      .select(col("doc_id"), explode(sBandKeys(col("text"))).as("bk"))
+    d.select(col("doc_id").as("a"), col("bk"))
+      .join(d.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** DuckDB mirror of [[sBandKeys]]/[[sBandCandidates]]: CTEs `raw`→`m`→`d`
+    * (d has band0..band3 + t + toks) and the shared ≥1-band join predicate.
+    */
+  private val sBandCte: String = {
+    val mins = SBandAB.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(H, h -> ($a*h + $b) % $SBandP)) AS m$j"
+    }.mkString(",\n      ")
+    s"""raw AS (
+       |  SELECT doc_id, lang, substr(text,1,60) AS t,
+       |    list_distinct(string_split_regex(trim(substr(text,1,120)), '\\s+')) AS toks,
+       |    list_transform(range(1, greatest(length(substr(text,1,120))-7,1)+1),
+       |      i -> CAST(('0x' || substr(md5(substr(substr(text,1,120), CAST(i AS INT), 8)),1,7)) AS BIGINT)) AS H
+       |  FROM documents),
+       |m AS (SELECT doc_id, lang, t, toks,
+       |      $mins
+       |      FROM raw),
+       |d AS (SELECT doc_id, lang, t, toks,
+       |        concat_ws(':', 0, m0, m1, m2) AS band0,
+       |        concat_ws(':', 1, m3, m4, m5) AS band1,
+       |        concat_ws(':', 2, m6, m7, m8) AS band2,
+       |        concat_ws(':', 3, m9, m10, m11) AS band3 FROM m)""".stripMargin
+  }
+  private val sBandCond =
+    "(l.band0 = r.band0 OR l.band1 = r.band1 OR l.band2 = r.band2 OR l.band3 = r.band3)"
+
   /** Shared near-dup edge relation for the CC/report/survivorship queries:
-    * content-keyed blocks (lang, length-bucket, 4-char prefix) → levenshtein
-    * < 15 on 60-char prefixes. Mirrored exactly by the recursive-CTE oracles.
+    * band candidates → levenshtein < 15 on 60-char prefixes. Mirrored
+    * exactly by the recursive-CTE oracles.
     */
   private def levEdges(s: SparkSession, dir: String): DataFrame = {
-    val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
-      expr("n_chars div 50").as("b"), substring(col("text"), 1, 60).as("t"))
-      .withColumn("p4", substring(col("t"), 1, 4))
-    val l = d.select(col("doc_id").as("src"), col("lang"), col("b"), col("p4"), col("t").as("ta"))
-    val r = d.select(col("doc_id").as("dst"), col("lang"), col("b"), col("p4"), col("t").as("tb"))
-    l.join(r, Seq("lang", "b", "p4")).filter(col("src") < col("dst"))
+    val t = docsTable(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+    sBandCandidates(s, dir)
+      .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+      .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
       .filter(levenshtein(col("ta"), col("tb")) < 15)
-      .select("src", "dst")
+      .select(col("a").as("src"), col("b").as("dst"))
   }
 
   /** Documents table → Dataset[Doc]: one text span per row; every 10th doc
@@ -141,32 +213,28 @@ object SparkEntry {
         .orderBy("block_key")
     }),
 
-    // edit-distance near-dup pairs in (lang, length-bucket) blocks (graft text scorer)
+    // edit-distance near-dup pairs over banded-MinHash blocks (graft text scorer)
     "q_lev_pairs" -> ((s, dir) => {
-      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
-        expr("n_chars div 50").as("b"), substring(col("text"), 1, 60).as("t"))
-        .withColumn("p4", substring(col("t"), 1, 4))
-      val l = d.select(col("doc_id").as("a"), col("lang"), col("b"), col("p4"), col("t").as("ta"))
-      val r = d.select(col("doc_id").as("b2"), col("lang"), col("b"), col("p4"), col("t").as("tb"))
-      l.join(r, Seq("lang", "b", "p4")).filter(col("a") < col("b2"))
+      val t = docsTable(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      sBandCandidates(s, dir)
+        .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
         .withColumn("d", levenshtein(col("ta"), col("tb")))
         .filter(col("d") < 15)
-        .select(col("a"), col("b2").as("b"), col("d"))
+        .select("a", "b", "d")
         .orderBy("a", "b")
     }),
 
-    // Jaro-Winkler scoring over content-keyed blocks (graft-added scorer, §2.8).
-    // Block key includes a 4-char text prefix: content-derived, so block
-    // cardinality grows with the corpus and max block size stays flat —
-    // unlike the fixed (lang, length-bucket) key, which is a quadratic
-    // skew bomb at 100x (round-1 verdict item 2).
+    // Jaro-Winkler scoring over banded-MinHash blocks (graft-added scorer,
+    // §2.8); per-lang stats keyed by the SMALLER doc_id's lang (pairs can
+    // cross langs now that the block key is purely content-derived)
     "q_jw_pairs" -> ((s, dir) => {
-      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
-        expr("n_chars div 50").as("b"), substring(col("text"), 1, 60).as("t"))
-        .withColumn("p4", substring(col("t"), 1, 4))
-      val l = d.select(col("doc_id").as("a"), col("lang"), col("b"), col("p4"), col("t").as("ta"))
-      val r = d.select(col("doc_id").as("b2"), col("lang"), col("b"), col("p4"), col("t").as("tb"))
-      l.join(r, Seq("lang", "b", "p4")).filter(col("a") < col("b2"))
+      val d = docsTable(s, dir)
+        .select(col("doc_id"), col("lang"), substring(col("text"), 1, 60).as("t"))
+      sBandCandidates(s, dir)
+        .join(d.select(col("doc_id").as("a"), col("lang"), col("t").as("ta")), "a")
+        .join(d.select(col("doc_id").as("b"), col("t").as("tb")), "b")
         .withColumn("jw", graft.functions.GraftFunctions.jw(col("ta"), col("tb")))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_pairs"),
@@ -175,20 +243,19 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
-    // word n-gram Jaccard near-dup (set ops on token arrays); blocked on a
-    // content-derived 4-char prefix key so block sizes stay flat at 100x
+    // word n-gram Jaccard near-dup (set ops on token arrays) over
+    // banded-MinHash blocks
     "q_ngram_jaccard" -> ((s, dir) => {
-      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
-        expr("n_chars div 50").as("b"), substring(col("text"), 1, 4).as("p4"),
+      val d = docsTable(s, dir).select(col("doc_id"),
         array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
-      val l = d.select(col("doc_id").as("a"), col("lang"), col("b"), col("p4"), col("toks").as("tA"))
-      val r = d.select(col("doc_id").as("b2"), col("lang"), col("b"), col("p4"), col("toks").as("tB"))
-      l.join(r, Seq("lang", "b", "p4")).filter(col("a") < col("b2"))
+      sBandCandidates(s, dir)
+        .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
+        .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
         .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
         .withColumn("uni", size(col("tA")) + size(col("tB")) - col("inter"))
         .withColumn("jac", round(col("inter").cast("double") / col("uni"), 6))
         .filter(col("jac") >= 0.6)
-        .select("a", "b2", "jac").withColumnRenamed("b2", "b")
+        .select("a", "b", "jac")
         .orderBy("a", "b")
     }),
 
@@ -665,98 +732,84 @@ object SparkEntry {
         |SELECT h >> 48 AS block_key, count(*) AS n_docs, min(vec_id) AS min_vec
         |FROM e GROUP BY 1 HAVING count(*) > 1 ORDER BY block_key""".stripMargin,
 
+    // the band CTEs + >=1-shared-band predicate ARE the candidacy
+    // definition shared with the Spark band join (see sBandKeys Scaladoc)
     "q_lev_pairs" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t,
-        |                  substr(text,1,4) AS p4
-        |           FROM documents)
-        |SELECT l.doc_id AS a, r.doc_id AS b, levenshtein(l.t, r.t) AS d
-        |FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.p4 = r.p4
-        |                 AND l.doc_id < r.doc_id
-        |WHERE levenshtein(l.t, r.t) < 15 ORDER BY a, b""".stripMargin,
+      s"""WITH $sBandCte
+         |SELECT l.doc_id AS a, r.doc_id AS b, levenshtein(l.t, r.t) AS d
+         |FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |WHERE $sBandCond AND levenshtein(l.t, r.t) < 15 ORDER BY a, b""".stripMargin,
 
     "q_jw_pairs" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t,
-        |                  substr(text,1,4) AS p4
-        |           FROM documents)
-        |SELECT l.lang AS lang, count(*) AS n_pairs,
-        |       CAST(sum(CASE WHEN jaro_winkler_similarity(l.t, r.t) >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
-        |       round(sum(round(jaro_winkler_similarity(l.t, r.t), 6)), 2) AS sum_jw
-        |FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.p4 = r.p4
-        |                 AND l.doc_id < r.doc_id
-        |GROUP BY 1 ORDER BY lang""".stripMargin,
+      s"""WITH $sBandCte
+         |SELECT l.lang AS lang, count(*) AS n_pairs,
+         |       CAST(sum(CASE WHEN jaro_winkler_similarity(l.t, r.t) >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+         |       round(sum(round(jaro_winkler_similarity(l.t, r.t), 6)), 2) AS sum_jw
+         |FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |WHERE $sBandCond
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,4) AS p4,
-        |                  list_distinct(string_split_regex(trim(substr(text,1,120)), '\s+')) AS toks
-        |           FROM documents)
-        |SELECT l.doc_id AS a, r.doc_id AS b,
-        |       round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
-        |             (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) AS jac
-        |FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.p4 = r.p4
-        |                 AND l.doc_id < r.doc_id
-        |WHERE round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
-        |            (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) >= 0.6
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH $sBandCte
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |       round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+         |             (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) AS jac
+         |FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |WHERE $sBandCond
+         |  AND round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+         |            (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) >= 0.6
+         |ORDER BY a, b""".stripMargin,
 
     "q_cc_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t,
-        |         substr(text,1,4) AS p4 FROM documents),
-        |e AS (
-        |  SELECT l.doc_id AS src, r.doc_id AS dst
-        |  FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.p4 = r.p4
-        |                   AND l.doc_id < r.doc_id
-        |  WHERE levenshtein(l.t, r.t) < 15),
-        |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
-        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $sBandCte,
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
     "q_cluster_groups" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t,
-        |         substr(text,1,4) AS p4 FROM documents),
-        |e AS (
-        |  SELECT l.doc_id AS src, r.doc_id AS dst
-        |  FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.p4 = r.p4
-        |                   AND l.doc_id < r.doc_id
-        |  WHERE levenshtein(l.t, r.t) < 15),
-        |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-        |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-        |       FROM reach GROUP BY u)
-        |SELECT cluster_id, count(*) AS n_members,
-        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
-        |FROM cc GROUP BY cluster_id HAVING count(*) > 1
-        |ORDER BY cluster_id""".stripMargin,
+      s"""WITH RECURSIVE $sBandCte,
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM reach GROUP BY u)
+         |SELECT cluster_id, count(*) AS n_members,
+         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+         |FROM cc GROUP BY cluster_id HAVING count(*) > 1
+         |ORDER BY cluster_id""".stripMargin,
 
     "q_survivorship" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, n_chars // 50 AS b, substr(text,1,60) AS t,
-        |         substr(text,1,4) AS p4 FROM documents),
-        |e AS (
-        |  SELECT l.doc_id AS src, r.doc_id AS dst
-        |  FROM d l JOIN d r ON l.lang = r.lang AND l.b = r.b AND l.p4 = r.p4
-        |                   AND l.doc_id < r.doc_id
-        |  WHERE levenshtein(l.t, r.t) < 15),
-        |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-        |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-        |       FROM reach GROUP BY u),
-        |k AS (SELECT cluster_id, min(doc_id) AS keeper FROM cc GROUP BY cluster_id)
-        |SELECT cc.doc_id, cc.cluster_id, k.keeper, 'delete' AS action
-        |FROM cc JOIN k ON cc.cluster_id = k.cluster_id
-        |WHERE cc.doc_id <> k.keeper
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $sBandCte,
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM reach GROUP BY u),
+         |k AS (SELECT cluster_id, min(doc_id) AS keeper FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, k.keeper, 'delete' AS action
+         |FROM cc JOIN k ON cc.cluster_id = k.cluster_id
+         |WHERE cc.doc_id <> k.keeper
+         |ORDER BY doc_id""".stripMargin,
 
     "q_list_filter" ->
       """SELECT doc_id, lang, n_chars FROM documents
