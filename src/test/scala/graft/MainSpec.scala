@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+
+/** End-to-end CLI spec (reference surface `cmd/dedupe/main.go:30-95,164-236`):
+  * flag parsing incl. the stdin list source, the cats-corpus CSV groups, the
+  * targeted-compare mode, and a keep-first delete on a scratch copy. All
+  * discovery is the distributed binaryFile listing (zero driver-side walks).
+  */
+class MainSpec extends AnyFunSuite with SparkTestBase {
+
+  private val root = "/root/reference/testimages"
+  private def available: Boolean = new java.io.File(s"$root/cats/cat.jpg").exists()
+
+  test("parse: flags, aliases, stdin list source, and errors") {
+    val ok = Main.parse(Seq("--recursive", "--hash", "dhash", "--threshold", "7",
+      "--move", "/tmp/x", "-q", "a", "b"), Iterator.empty).toOption.get
+    assert(ok.recursive && ok.hashName == "dhash" && ok.threshold == 7 &&
+      ok.moveTo == "/tmp/x" && ok.quiet && ok.targets == Seq("a", "b"))
+    // `-` splices whitespace-separated stdin targets in place
+    val fromStdin = Main.parse(Seq("x.jpg", "-"),
+      Iterator("a.jpg b.jpg", "c.jpg")).toOption.get
+    assert(fromStdin.targets == Seq("x.jpg", "a.jpg", "b.jpg", "c.jpg"))
+    assert(Main.parse(Seq("--bogus", "d"), Iterator.empty).isLeft)
+    assert(Main.parse(Seq("--hash", "sha1", "d"), Iterator.empty).isLeft)
+    assert(Main.parse(Seq(), Iterator.empty).isLeft) // no targets
+    // --delete-all implies delete with keepFirst off
+    val da = Main.parse(Seq("--delete-all", "d"), Iterator.empty).toOption.get
+    assert(da.delete && da.deleteAll)
+  }
+
+  test("E1: cats corpus groups — cat transforms in ONE csv row, keeper first") {
+    assume(available)
+    val cli = Main.CliConfig(targets = Seq(root), recursive = true)
+    val buf = new java.io.ByteArrayOutputStream()
+    val code = Main.run(spark, cli, new java.io.PrintStream(buf, true, "UTF-8"))
+    assert(code == 0)
+    val rows = buf.toString("UTF-8").linesIterator.toSeq
+    val catRow = rows.filter(_.contains("/cat.jpg"))
+    assert(catRow.size == 1, rows.mkString("\n"))
+    val members = catRow.head.split(',').map(_.split('/').last).toSet
+    // README.md:9-14 transform set under DCT radius 22 (incl. the inverted
+    // cat, whose DCT distance is 6 — see CatsAcceptanceSpec)
+    Seq("cat.jpg", "cat-dark.jpg", "cat-greyscale.jpg", "cat-distorted.jpg",
+      "cat-upscaled.jpg", "cat-saturated.jpg", "cat-skewed.jpg", "cat-shrink.jpg")
+      .foreach(t => assert(members.contains(t), s"$t missing from ${members}"))
+    assert(!members.contains("cat-on-couch.jpg") && !members.contains("kitten.jpg"))
+    // keeper (min path) leads each row
+    assert(catRow.head.split(',').head == catRow.head.split(',').min)
+    // the kitten copies form their own row
+    assert(rows.exists(r => r.contains("/kitten.jpg") && r.contains("copy-of-kitten.jpg")))
+  }
+
+  test("E1: --csv sink writes the same group rows to a directory") {
+    assume(available)
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft-cli-csv").resolve("groups").toString
+    val cli = Main.CliConfig(targets = Seq(root), recursive = true, csvOut = out, quiet = true)
+    assert(Main.run(spark, cli, new java.io.PrintStream(new java.io.ByteArrayOutputStream())) == 0)
+    val lines = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".txt"))
+      .flatMap(p => Files.readAllLines(p).asScala).toList
+    assert(lines.exists(_.contains("/cat.jpg")))
+  }
+
+  test("E2: first-arg image without --search compares against the rest") {
+    assume(available)
+    val cli = Main.parse(Seq(s"$root/cats/cat.jpg", s"$root/cats"), Iterator.empty).toOption.get
+    val buf = new java.io.ByteArrayOutputStream()
+    val code = Main.run(spark, cli, new java.io.PrintStream(buf, true, "UTF-8"))
+    assert(code == 0)
+    val members = buf.toString("UTF-8").trim.split(',').map(_.split('/').last).toSet
+    assert(members.contains("cat-dark.jpg") && members.contains("cat-shrink.jpg"))
+    assert(!members.contains("cat.jpg"), "target itself must not be in its duplicate list")
+    assert(!members.contains("cat-on-couch.jpg"))
+  }
+
+  test("exit code 1 when no duplicates are found") {
+    assume(available)
+    // two visually unrelated wallpapers
+    val cli = Main.CliConfig(targets = Seq(
+      s"$root/06d8ab52-f423-4507-8555-ca105db9e820.jpg",
+      s"$root/abbee063-3963-47ad-be61-0bba171eb8ab.jpg"), search = true, quiet = true)
+    val code = Main.run(spark, cli, new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
+    assert(code == 1)
+  }
+
+  test("--delete keep-first: survivors are exactly the per-group keepers") {
+    assume(available)
+    // scratch copy of the cats dir (never touch the read-only reference)
+    val tmp = Files.createTempDirectory("graft-cli-del")
+    val src = Paths.get(s"$root/cats")
+    Files.list(src).iterator().forEachRemaining { p =>
+      Files.copy(p, tmp.resolve(p.getFileName.toString))
+    }
+    try {
+      val cliGroups = Main.CliConfig(targets = Seq(tmp.toString))
+      val expected = Main.duplicateGroups(spark, cliGroups)
+        .select("members").collect()
+        .map(_.getSeq[String](0)).map(m => (m.min, m.toSet)).toSeq
+      assert(expected.nonEmpty)
+      val cli = cliGroups.copy(delete = true, quiet = true)
+      assert(Main.run(spark, cli, new java.io.PrintStream(new java.io.ByteArrayOutputStream())) == 0)
+      expected.foreach { case (keeper, members) =>
+        assert(Files.exists(Paths.get(keeper)), s"keeper deleted: $keeper")
+        (members - keeper).foreach(m =>
+          assert(!Files.exists(Paths.get(m)), s"duplicate survived: $m"))
+      }
+      // singletons (not in any duplicate group) are never touched
+      Seq("cat-on-couch.jpg", "kitten-looking-up.jpg").foreach(f =>
+        assert(Files.exists(tmp.resolve(f)), s"singleton deleted: $f"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(tmp)
+    }
+  }
+}
