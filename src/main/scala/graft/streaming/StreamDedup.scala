@@ -128,6 +128,53 @@ object StreamDedup {
     * timeout-check batches back-to-back — and
     * StreamingQuery.processAllAvailable never quiesces (livelock).
     */
+  /** [[tagDuplicates]] with an EVENT-time TTL: a key whose last-seen event
+    * time is more than `ttl` behind the WATERMARK is evicted. Unlike the
+    * processing-time variant, eviction is a function of the DATA, not the
+    * wall clock — replaying the same stream ages state identically on every
+    * run (deterministic backfills), and a paused-then-resumed query does not
+    * spuriously evict its whole working set while no data flowed.
+    *
+    * The input must carry a watermark — this method applies one
+    * (`watermarkDelay`) on `event_time`. Timeout timestamps must exceed the
+    * current watermark, so a key whose events arrive later than
+    * watermark − ttl re-arms at watermark + 1 ms (evicted at the next
+    * watermark advance) rather than throwing.
+    *
+    * No trigger caveat: EventTimeTimeout only schedules timeout batches
+    * when the watermark ADVANCES, so `processAllAvailable` quiesces and the
+    * default trigger is safe (the ProcessingTimeTimeout livelock documented
+    * on [[tagDuplicates]] does not apply).
+    */
+  def tagDuplicatesEventTime(sigs: Dataset[StreamSig],
+                             ttl: java.time.Duration = java.time.Duration.ofHours(1),
+                             watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[DupTag] = {
+    import spark.implicits._
+    val ttlMs = ttl.toMillis
+    sigs.withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.exact_key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[StreamSig], state: GroupState[SeenState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.doc_id)
+            var st = state.getOption.getOrElse(SeenState(sorted.head.doc_id, 0L))
+            val out = sorted.map { s =>
+              st = st.copy(copies = st.copies + 1)
+              DupTag(s.doc_id, key, s.doc_id != st.firstDocId, st.firstDocId, st.copies)
+            }
+            state.update(st)
+            val lastSeen = sorted.map(_.event_time.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, lastSeen + ttlMs))
+            out.iterator
+          }
+      }
+  }
+
   def tagDuplicates(sigs: Dataset[StreamSig],
                     stateTtl: Option[String] = Some("1 hour"))(
       implicit spark: SparkSession): Dataset[DupTag] = {

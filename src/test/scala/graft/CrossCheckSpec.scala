@@ -1,0 +1,71 @@
+package graft
+
+import graft.text.Tokenize
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent value-level cross-checks for golden-snapshot oracles
+  * (round-2 verdict item 6): golden parquet locks determinism, not
+  * correctness — a kernel bug present at GoldenGen time would freeze green.
+  * These tests re-derive the expected VALUES from first principles
+  * (exact set Jaccard computed outside the MinHash kernel; the known
+  * construction of the compare probe), so a frozen-wrong golden fails here.
+  */
+class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q_minhash_lsh: banded estimates track EXACT shingle Jaccard; no high-Jaccard pair missed") {
+    val rows = SparkEntry.queries("q_minhash_lsh")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0).toString -> r.getString(1)).toMap
+    val shingleSets: Map[String, Set[Long]] =
+      texts.map { case (id, t) => id -> Tokenize.shingleHashes(t, 5).toSet }
+
+    def exactJaccard(a: String, b: String): Double = {
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      if (sa.isEmpty && sb.isEmpty) 0.0
+      else {
+        val inter = sa.count(sb.contains)
+        inter.toDouble / (sa.size + sb.size - inter)
+      }
+    }
+
+    // precision + estimator accuracy: every emitted estimate is close to the
+    // true set Jaccard (128 minhash slots: stderr ~ sqrt(j(1-j)/128) < 0.045,
+    // so 0.15 is a > 3-sigma bound), and emitted pairs are genuinely similar
+    rows.foreach { case (a, b, est) =>
+      val exact = exactJaccard(a, b)
+      assert(math.abs(est - exact) <= 0.15, s"($a,$b): est=$est exact=$exact")
+      assert(exact >= 0.3, s"($a,$b): emitted but true Jaccard only $exact")
+    }
+
+    // recall: EVERY pair with true Jaccard >= 0.8 must be emitted (such a
+    // pair misses all 32 bands w.p. (1-0.8^4)^32 ~ 1e-4, and its estimate
+    // clears the 0.5 cut w.p. ~ 1) — checked against the full O(n^2) truth
+    val ids = shingleSets.keys.toSeq.sortBy(_.toLong)
+    val emitted = rows.map { case (a, b, _) => (a, b) }.toSet
+    var checked = 0
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      if (exactJaccard(a, b) >= 0.8) {
+        checked += 1
+        // the query orders pairs by STRING doc_id ("245" < "8")
+        val key = if (a < b) (a, b) else (b, a)
+        assert(emitted.contains(key), s"high-Jaccard pair $key not emitted")
+      }
+    }
+    assert(checked > 0, "corpus has no high-Jaccard pairs to check recall on")
+  }
+
+  test("q_compare_target: the perturbed probe links back to exactly doc 7") {
+    // the probe is CONSTRUCTED from doc 7's text with one middle word
+    // dropped, so the correct duplicate set is {7} — independent of any
+    // golden snapshot
+    val rows = SparkEntry.queries("q_compare_target")(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("7"), rows.mkString(", "))
+    assert(rows.head.getDouble(1) >= 0.67, s"score ${rows.head.getDouble(1)} below tau")
+  }
+}

@@ -89,6 +89,49 @@ class StreamDedupSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time TTL: replayed batches age state by the watermark, deterministically") {
+    implicit val s = spark
+    import s.implicits._
+    def run(queryName: String): Seq[(String, Boolean, String)] = {
+      val input = MemoryStream[(Doc, java.sql.Timestamp)](s)
+      val tags = StreamDedup.tagDuplicatesEventTime(
+        StreamDedup.signatures(input.toDS()),
+        ttl = java.time.Duration.ofMinutes(5), watermarkDelay = "0 seconds")
+      // EventTimeTimeout fires on watermark advance, so processAllAvailable
+      // quiesces — no interval trigger needed (unlike ProcessingTimeTimeout)
+      val q = tags.writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try {
+        // batch 1: keeper at 10:01 (watermark after this batch: 10:01)
+        input.addData((doc("k1", "payload x"), ts(1)))
+        q.processAllAvailable()
+        // batch 2: within TTL (10:03 < 10:01 + 5 min) — still a duplicate;
+        // watermark advances to 10:03
+        input.addData((doc("k2", "payload x"), ts(3)))
+        q.processAllAvailable()
+        // batch 3: unrelated key pushes the watermark to 10:30, past the
+        // key's last-seen (10:03) + 5 min — k1/k2 state evicts
+        input.addData((doc("w1", "watermark mover"), ts(30)))
+        q.processAllAvailable()
+        // batch 4: same content re-arrives at 10:31 — fresh keeper
+        input.addData((doc("k9", "payload x"), ts(31)))
+        q.processAllAvailable()
+        s.sql(s"SELECT doc_id, is_duplicate, first_doc_id FROM $queryName ORDER BY doc_id")
+          .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
+      } finally q.stop()
+    }
+    val expected = Seq(
+      ("k1", false, "k1"),
+      ("k2", true, "k1"),  // within event-time TTL: still the same keeper
+      ("k9", false, "k9"), // after watermark passed last-seen + ttl: evicted
+      ("w1", false, "w1"))
+    val first = run("evttl1")
+    assert(first == expected, first.mkString(", "))
+    // determinism: replaying the identical event sequence ages state the
+    // same way (the whole point of event-time over processing-time TTL)
+    assert(run("evttl2") == expected)
+  }
+
   test("state TTL evicts idle keys: a re-arrival after expiry is a fresh keeper") {
     implicit val s = spark
     import s.implicits._
