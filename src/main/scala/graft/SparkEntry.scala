@@ -89,16 +89,42 @@ object SparkEntry {
     (957970517L, 585582861L), (93349857L, 634036506L), (453035111L, 34126396L),
     (31994524L, 100604502L), (234760739L, 249817734L), (542621109L, 646412689L))
 
-  /** Position-tagged band keys (array of 4 strings) for one text column. */
-  private[graft] def sBandKeys(text: Column): Column = {
-    val t = substring(text, 1, 120)
-    val shingles = transform(sequence(lit(1), greatest(length(t) - 7, lit(1))),
-      i => conv(substring(md5(t.substr(i, lit(8))), 1, 7), 16, 10).cast("long"))
-    val mins = SBandAB.map { case (a, b) =>
-      array_min(transform(shingles, x => (lit(a) * x + lit(b)) % SBandP)) }
-    array((0 until 4).map(i =>
-      concat_ws(":", lit(i), mins(3 * i), mins(3 * i + 1), mins(3 * i + 2))): _*)
+  /** Position-tagged band keys (array of 4 strings) for one text column.
+    *
+    * ONE udf call per document: a column-expression formulation
+    * (12 × array_min(transform(..md5..))) re-evaluates the interpreted
+    * higher-order md5 pass per hash function — measured 25-30 s per query
+    * at sf0.1 vs ~1 s for this kernel. The kernel reproduces the SQL
+    * definition bit-for-bit: shingle i (1-based, 8 chars, shorter only when
+    * the whole text is < 8 chars) → md5 → first 7 hex chars as a 28-bit
+    * int (= top 28 bits of the digest) → 12 affine mins mod SBandP →
+    * "pos:m:m:m" keys. Texts are ASCII in this corpus; for non-BMP safety
+    * the kernel would need code-point indexing like SQL substr.
+    */
+  private val sBandUdf = udf { (text: String) =>
+    val full = if (text == null) "" else text
+    val t = full.substring(0, math.min(120, full.length))
+    val n = math.max(t.length - 7, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(12)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(t.substring(i, math.min(i + 8, t.length)).getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      var j = 0
+      while (j < 12) {
+        val v = (SBandAB(j)._1 * h + SBandAB(j)._2) % SBandP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    Array.tabulate(4)(b => s"$b:${mins(3 * b)}:${mins(3 * b + 1)}:${mins(3 * b + 2)}")
   }
+
+  private[graft] def sBandKeys(text: Column): Column = sBandUdf(text)
 
   /** Candidate (a, b) pairs sharing ≥ 1 band: explode → equi-join →
     * distinct. Payload columns are rejoined by id AFTER the distinct —

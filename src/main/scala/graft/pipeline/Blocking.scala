@@ -139,14 +139,19 @@ object Blocking {
     // Columnar block derivation: ONE udf call per document emitting its
     // ~44 band keys, exploded natively — versus a typed flatMap, this keeps
     // the 40-80M-row block relation inside whole-stage codegen instead of
-    // paying per-row object/encoder churn. NOT persisted: it re-derives from
-    // the persisted signature table cheaply on each of its 3 consumers.
+    // paying per-row object/encoder churn. Persisted: it has 3 consumers
+    // (census, join left, join right), and re-deriving it costs a signature
+    // scan + band udf each time — the band rows are compact (doc_id, 1-4
+    // media longs, simhash, key), so MEMORY_AND_DISK holds them in memory at
+    // bench scale and spills rather than OOMs at cluster scale. Released by
+    // the cleanup thunk once candidates are materialized.
     val b = sigs.toDF().select(
       col("doc_id"), col("media"), col("slots"), col("simhash"),
       (col("text").isNotNull && length(col("text")) > 0).as("hasText"),
       explode(bandKeysUdf(cfg)(col("media"), col("slots"), col("minhash"))).as("bk"))
       .select(col("doc_id"), col("media"), col("slots"), col("simhash"),
         col("hasText"), col("bk._1").as("block_key"), col("bk._2").as("is_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Hot/degenerate block census via map-side-combined groupBy — NOT a
     // window over the full block table: a window would shuffle+sort every
@@ -222,6 +227,6 @@ object Blocking {
         col("n_text_bands") >= cfg.minTextBands)
       .drop("n_text_bands")
     // caller invokes the cleanup thunk once `pairs` is materialized
-    (pairs, stats0, () => ())
+    (pairs, stats0, () => { b.unpersist(); () })
   }
 }

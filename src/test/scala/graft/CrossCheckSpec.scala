@@ -60,6 +60,33 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(checked > 0, "corpus has no high-Jaccard pairs to check recall on")
   }
 
+  test("sBandKeys kernel matches the DuckDB band-key definition on fixed vectors") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // expected values computed by running the oracle CTE's expressions in
+    // DuckDB verbatim (28-bit md5 shingle hash -> 12 affine mins mod the
+    // prime -> position-tagged keys); covers short/empty/exact-8 edge cases
+    val vectors = Seq(
+      "hello world this is a band-key parity vector for the graft" -> Seq(
+        "0:34947720:53674115:58104872", "1:1228485:11980268:9610189",
+        "2:7734319:2326464:24231415", "3:8845198:15365708:49162193"),
+      "tiny" -> Seq(
+        "0:166395487:734688631:271171135", "1:188682302:117647183:865273591",
+        "2:195672476:983683396:165406410", "3:463864311:118087908:270948393"),
+      "" -> Seq(
+        "0:623475597:668093428:18914732", "1:655480589:655926022:396514411",
+        "2:375560391:663463870:608812591", "3:185775381:374277659:458001997"),
+      "exactly8" -> Seq(
+        "0:804006203:600787964:1066334935", "1:21123125:157240778:399249980",
+        "2:157281825:107393878:405980443", "3:713421706:925322600:351030566"))
+    val got = vectors.map(_._1).toDF("text")
+      .select(SparkEntry.sBandKeys(col("text")).as("keys"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    vectors.map(_._2).zip(got).foreach { case (want, have) =>
+      assert(have == want, s"want $want got $have")
+    }
+  }
+
   test("q_compare_target: the perturbed probe links back to exactly doc 7") {
     // the probe is CONSTRUCTED from doc 7's text with one middle word
     // dropped, so the correct duplicate set is {7} — independent of any
