@@ -71,19 +71,40 @@ object Main {
       case ("--copy" | "-c") :: p :: t => loop(t, acc.copy(copyTo = p))
       case ("--delete" | "-d") :: t => loop(t, acc.copy(delete = true))
       case "--delete-all" :: t => loop(t, acc.copy(delete = true, deleteAll = true))
-      case "-" :: t =>
-        // stdin list source (reference cmd/dedupe/main.go:110-117)
-        val fromStdin = stdin.flatMap(_.split(' ')).filter(_.nonEmpty).toVector
-        loop(t, acc.copy(targets = acc.targets ++ fromStdin))
+      case "-" :: t => loop(t, acc.copy(targets = acc.targets :+ "-"))
       case f :: _ if f.startsWith("--") => Left(s"unknown flag $f\n$usage")
       case f :: t => loop(t, acc.copy(targets = acc.targets :+ f))
     }
-    loop(args.toList, CliConfig()).filterOrElse(_.targets.nonEmpty, s"no targets provided\n$usage")
+    loop(args.toList, CliConfig())
+      .map { acc =>
+        // stdin list source (reference cmd/dedupe/main.go:110-117): when `-`
+        // appears ANYWHERE among the targets, the whitespace-separated stdin
+        // list REPLACES the positional targets entirely (slices.Contains
+        // semantics — positional args alongside `-` are ignored)
+        if (acc.targets.contains("-"))
+          acc.copy(targets = stdin.flatMap(_.split(' ')).filter(_.nonEmpty).toVector)
+        else acc
+      }
+      .filterOrElse(_.targets.nonEmpty, s"no targets provided\n$usage")
   }
 
   private val imageExts = Seq(".png", ".jpg", ".jpeg")
-  private def isImageFile(p: String): Boolean =
-    imageExts.exists(p.toLowerCase.endsWith) && new java.io.File(p).isFile
+
+  /** Hadoop-FS target classification: works for local paths AND remote URIs
+    * (hdfs://, s3a://) — java.io.File would silently drop remote targets
+    * while the sink layer ships the Hadoop conf precisely to support them.
+    * One driver-side status call per explicit CLI target.
+    */
+  private def fsStatus(spark: SparkSession, p: String): Option[org.apache.hadoop.fs.FileStatus] = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(fs.getFileStatus(path)) else None
+  }
+  private def isImageFile(spark: SparkSession, p: String): Boolean =
+    imageExts.exists(p.toLowerCase.endsWith) && fsStatus(spark, p).exists(_.isFile)
+  /** Absolute form for local paths; remote URIs pass through untouched. */
+  private def canonical(p: String): String =
+    if (p.contains("://")) p else new java.io.File(p).getAbsolutePath
 
   /** GraftConfig for the CLI's media-only pipeline: dct/dhash radius with
     * the reference defaults, --threshold override (strict `<`, F4).
@@ -100,84 +121,137 @@ object Main {
     */
   def collectDocs(spark: SparkSession, cli: CliConfig): Dataset[Doc] = {
     import spark.implicits._
-    val (dirs, files) = cli.targets.partition(t => new java.io.File(t).isDirectory)
-    val imageFiles = files.filter(isImageFile)
+    val classified = cli.targets.map(t => (t, fsStatus(spark, t)))
+    classified.collect { case (t, None) => t }.foreach(t =>
+      System.err.println(s"[graft] skipping missing target: $t"))
+    val dirs = classified.collect { case (t, Some(st)) if st.isDirectory => t }
+    val imageFiles = classified.collect {
+      case (t, Some(st)) if st.isFile && imageExts.exists(t.toLowerCase.endsWith) => t
+    }
     val dirDocs = dirs.map(d =>
       MediaSource.asDocs(spark, MediaSource.scanImages(spark, d, cli.recursive)))
     val fileDocs =
       if (imageFiles.isEmpty) None
-      else Some(spark.createDataset(imageFiles.map(p =>
-        Doc(new java.io.File(p).getAbsolutePath,
-          Seq(Span.media(new java.io.File(p).getAbsolutePath, 0))))))
+      else Some(spark.createDataset(imageFiles.map { p =>
+        val c = canonical(p)
+        Doc(c, Seq(Span.media(c, 0)))
+      }))
     (dirDocs ++ fileDocs).reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[Doc])
   }
 
   /** E1: duplicate groups over every target image —
-    * (cluster_id, n_members, members) for multi-member clusters.
+    * (cluster_id, n_members, members) for multi-member clusters, eagerly
+    * materialized so the pipeline's cached stage tables can be released
+    * before returning (long-lived sessions would otherwise accumulate
+    * storage memory per call). NOTE: `members` is display-capped by
+    * Report.groups' maxMembers — action planning inside [[run]] uses the
+    * uncapped cluster relation, never this.
     */
   def duplicateGroups(spark: SparkSession, cli: CliConfig): DataFrame = {
-    val docs = collectDocs(spark, cli)
-    Report.groups(Pipeline.run(spark, docs, graftConfig(cli)).clusters)
+    val result = Pipeline.run(spark, collectDocs(spark, cli), graftConfig(cli))
+    val groups = Report.groups(result.clusters).localCheckpoint(true)
+    result.release()
+    groups
   }
 
   /** E2: paths among `candidates` that duplicate the single target image. */
   def compareTarget(spark: SparkSession, cli: CliConfig): DataFrame = {
-    val target = cli.targets.head
+    val target = canonical(cli.targets.head)
     val rest = cli.copy(targets = cli.targets.tail)
-    val targetDoc = Doc(new java.io.File(target).getAbsolutePath,
-      Seq(Span.media(new java.io.File(target).getAbsolutePath, 0)))
+    val targetDoc = Doc(target, Seq(Span.media(target, 0)))
     Pipeline.compare(spark, targetDoc, collectDocs(spark, rest), graftConfig(cli))
   }
 
-  /** Execute the parsed CLI against a session. Returns the exit code. */
-  def run(spark: SparkSession, cli: CliConfig,
-          out: java.io.PrintStream = System.out): Int = {
-    val compareMode = isImageFile(cli.targets.head) && !cli.search
-    // groups as (cluster_id, members[path]) — compare mode yields ONE group
-    // of the target's duplicates, mirroring the reference's single-row CSV
-    val groups: DataFrame =
-      if (compareMode) {
-        val dups = compareTarget(spark, cli)
-        dups.agg(collect_list(col("doc_id")).as("members"))
-          .select(lit("target").as("cluster_id"), size(col("members")).as("n_members"),
-            sort_array(col("members")).as("members"))
-          .filter(col("n_members") > 0)
-      } else duplicateGroups(spark, cli)
+  private def cliAction(cli: CliConfig): Option[(String, String, Boolean)] =
+    if (cli.moveTo.nonEmpty) Some(("move", cli.moveTo, true))
+    else if (cli.copyTo.nonEmpty) Some(("copy", cli.copyTo, true))
+    else if (cli.delete) Some(("delete", "", !cli.deleteAll))
+    else None
 
+  /** Plan + execute one file action; returns the failure count. */
+  private def runActions(spark: SparkSession, members: DataFrame,
+                         kind: String, dest: String, keepFirst: Boolean,
+                         minGroupSize: Int, quiet: Boolean,
+                         out: java.io.PrintStream): Int = {
+    // eager checkpoint: the mapPartitions sink is SIDE-EFFECTING, so it
+    // must execute exactly once — a second action on the raw plan would
+    // re-run every move/copy/delete
+    val results = FileActions.execute(spark,
+      FileActions.plan(members, kind, dest, keepFirst, minGroupSize)).localCheckpoint(true)
+    val failed = results.filter(!_.ok).collect()
+    failed.foreach(r => System.err.println(s"[graft] $kind failed: ${r.src}: ${r.error}"))
+    if (!quiet) out.println(s"${results.count() - failed.length} files ${kind}d")
+    failed.length
+  }
+
+  private def emitRows(groups: DataFrame, cli: CliConfig,
+                       out: java.io.PrintStream): Long = {
     val rows = groups.select(col("cluster_id").cast("string"),
         array_join(transform(col("members"), _.cast("string")), ",").as("row"))
       .orderBy("cluster_id")
     val collected = rows.select("row").collect().map(_.getString(0))
-
-    if (collected.isEmpty) {
-      if (!cli.quiet) out.println("No duplicate images found")
-      return 1
+    if (collected.nonEmpty) {
+      if (cli.csvOut.nonEmpty && cli.csvOut != "-")
+        Report.writeGroupsCsv(groups, cli.csvOut, coalesce1 = true)
+      else collected.foreach(out.println)
     }
-    if (cli.csvOut.nonEmpty && cli.csvOut != "-")
-      Report.writeGroupsCsv(groups, cli.csvOut, coalesce1 = true)
-    else collected.foreach(out.println)
+    collected.length.toLong
+  }
 
-    // survivorship actions over the full-dedup clusters (reference applies
-    // them group-by-group on the driver; here they are a distributed plan)
-    val action =
-      if (cli.moveTo.nonEmpty) Some(("move", cli.moveTo, true))
-      else if (cli.copyTo.nonEmpty) Some(("copy", cli.copyTo, true))
-      else if (cli.delete) Some(("delete", "", !cli.deleteAll))
-      else None
-    action.foreach { case (kind, dest, keepFirst) =>
-      val members = groups.select(col("cluster_id"), explode(col("members")).as("doc_id"))
-        .withColumn("path", col("doc_id"))
-      // eager checkpoint: the mapPartitions sink is SIDE-EFFECTING, so it
-      // must execute exactly once — a second action on the raw plan would
-      // re-run every move/copy/delete
-      val results = FileActions.execute(spark,
-        FileActions.plan(members, kind, dest, keepFirst)).localCheckpoint(true)
-      val failed = results.filter(!_.ok).collect()
-      failed.foreach(r => System.err.println(s"[graft] $kind failed: ${r.src}: ${r.error}"))
-      if (!cli.quiet) out.println(s"${results.count() - failed.length} files ${kind}d")
+  /** Execute the parsed CLI against a session. Exit codes: 0 = duplicates
+    * found (and every requested action succeeded), 1 = no duplicates (the
+    * reference returns an error here so callers can branch), 2 = usage
+    * error (from [[main]]), 3 = duplicates found but one or more file
+    * actions FAILED — mirroring the reference's errors.Join(err) nonzero
+    * exit; a cleanup script must not read all-actions-failed as success.
+    */
+  def run(spark: SparkSession, cli: CliConfig,
+          out: java.io.PrintStream = System.out): Int = {
+    import spark.implicits._
+    val compareMode = isImageFile(spark, cli.targets.head) && !cli.search
+
+    if (compareMode) {
+      val dups = compareTarget(spark, cli).select("doc_id")
+        .collect().map(_.getString(0)).sorted
+      if (dups.isEmpty) {
+        if (!cli.quiet) out.println("No duplicate images found")
+        return 1
+      }
+      val groupsDf = Seq(("target", dups.length.toLong, dups.toSeq))
+        .toDF("cluster_id", "n_members", "members")
+      emitRows(groupsDf, cli, out)
+      // reference compare-mode actions (main.go:208-236 over the single
+      // results group): they apply to the DUPLICATES only — never the
+      // target — keep-first keeps the first duplicate, and a 1-duplicate
+      // group is still acted on (hence minGroupSize = 1)
+      val failures = cliAction(cli).map { case (kind, dest, keepFirst) =>
+        val members = dups.toSeq.toDF("doc_id")
+          .select(col("doc_id"), lit("target").as("cluster_id"),
+            col("doc_id").as("path"))
+        runActions(spark, members, kind, dest, keepFirst, 1, cli.quiet, out)
+      }.getOrElse(0)
+      if (failures > 0) 3 else 0
+    } else {
+      val result = Pipeline.run(spark, collectDocs(spark, cli), graftConfig(cli))
+      try {
+        val clusters = result.clusters
+          .select(col("doc_id").cast("string").as("doc_id"),
+            col("cluster_id").cast("string").as("cluster_id"))
+          .localCheckpoint(true) // consumed by report AND action plan
+        if (emitRows(Report.groups(clusters), cli, out) == 0) {
+          if (!cli.quiet) out.println("No duplicate images found")
+          return 1
+        }
+        // actions plan from the UNCAPPED cluster relation — the report's
+        // maxMembers display cap must never truncate a delete plan
+        val failures = cliAction(cli).map { case (kind, dest, keepFirst) =>
+          val members = clusters.withColumn("path", col("doc_id"))
+          runActions(spark, members, kind, dest, keepFirst, 2, cli.quiet, out)
+        }.getOrElse(0)
+        if (failures > 0) 3 else 0
+      } finally result.release()
     }
-    0
   }
 
   def main(args: Array[String]): Unit = {

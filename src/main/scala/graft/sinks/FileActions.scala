@@ -33,9 +33,15 @@ object FileActions {
     * @param destDir  target root for move/copy (ignored for delete)
     * @param keepFirst delete only: survivors (min doc_id per cluster) are
     *                  anti-joined OUT of the plan; false = reference -delete-all
+    * @param minGroupSize smallest cluster the plan acts on. Default 2:
+    *                  singletons are not duplicates in full-dedup mode.
+    *                  Targeted-compare groups hold ONLY the target's
+    *                  duplicates (the target itself is excluded), so a
+    *                  single duplicate is a legitimate 1-member group —
+    *                  pass 1 there or the action silently no-ops.
     */
   def plan(clusters: DataFrame, action: String, destDir: String = "",
-           keepFirst: Boolean = true): DataFrame = {
+           keepFirst: Boolean = true, minGroupSize: Int = 2): DataFrame = {
     require(Set("move", "copy", "delete")(action), s"unknown action $action")
     // keep doc_id in its NATIVE type until survivorship is decided: casting
     // to string first would silently switch the keeper to the LEXICOGRAPHIC
@@ -44,9 +50,9 @@ object FileActions {
       col("doc_id"),
       col("cluster_id").cast("string").as("cluster_id"),
       col("path").cast("string").as("src"))
-    // multi-member clusters only: singletons are not duplicates
     val sizes = members.groupBy("cluster_id").agg(count(lit(1)).as("n"))
-    val dupMembers = members.join(sizes.filter(col("n") > 1).select("cluster_id"), "cluster_id")
+    val dupMembers = members.join(
+      sizes.filter(col("n") >= minGroupSize).select("cluster_id"), "cluster_id")
     val inScope0 = if (action == "delete" && keepFirst) {
       // survivorship as an anti-join: keepers never enter the plan
       val keepers = dupMembers.groupBy("cluster_id").agg(min("doc_id").as("doc_id"))

@@ -54,6 +54,8 @@ object StreamDedup {
   }
 
   final case class SeenState(firstDocId: String, copies: Long)
+  /** Event-time variant state: lastSeenMs = max event time observed. */
+  final case class SeenStateEv(firstDocId: String, copies: Long, lastSeenMs: Long)
   final case class DupTag(doc_id: String, exact_key: String,
                           is_duplicate: Boolean, first_doc_id: String, copy_number: Long)
 
@@ -155,19 +157,26 @@ object StreamDedup {
     sigs.withWatermark("event_time", watermarkDelay)
       .groupByKey(_.exact_key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: String, rows: Iterator[StreamSig], state: GroupState[SeenState]) =>
+        (key: String, rows: Iterator[StreamSig], state: GroupState[SeenStateEv]) =>
           if (rows.isEmpty && state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val sorted = rows.toSeq.sortBy(_.doc_id)
-            var st = state.getOption.getOrElse(SeenState(sorted.head.doc_id, 0L))
+            var st = state.getOption.getOrElse(
+              SeenStateEv(sorted.head.doc_id, 0L, Long.MinValue))
             val out = sorted.map { s =>
               st = st.copy(copies = st.copies + 1)
               DupTag(s.doc_id, key, s.doc_id != st.firstDocId, st.firstDocId, st.copies)
             }
+            // last-seen is the MAX event time ever observed for this key —
+            // carried in state so a late (out-of-order, within-watermark)
+            // batch with OLDER events cannot rewind the eviction deadline
+            // below lastSeen + ttl
+            val lastSeen = math.max(st.lastSeenMs,
+              sorted.map(_.event_time.getTime).max)
+            st = st.copy(lastSeenMs = lastSeen)
             state.update(st)
-            val lastSeen = sorted.map(_.event_time.getTime).max
             state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs() + 1, lastSeen + ttlMs))
             out.iterator

@@ -18,10 +18,11 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
       "--move", "/tmp/x", "-q", "a", "b"), Iterator.empty).toOption.get
     assert(ok.recursive && ok.hashName == "dhash" && ok.threshold == 7 &&
       ok.moveTo == "/tmp/x" && ok.quiet && ok.targets == Seq("a", "b"))
-    // `-` splices whitespace-separated stdin targets in place
+    // `-` anywhere makes stdin REPLACE the positional targets (reference
+    // slices.Contains semantics, cmd/dedupe/main.go:110-117)
     val fromStdin = Main.parse(Seq("x.jpg", "-"),
       Iterator("a.jpg b.jpg", "c.jpg")).toOption.get
-    assert(fromStdin.targets == Seq("x.jpg", "a.jpg", "b.jpg", "c.jpg"))
+    assert(fromStdin.targets == Seq("a.jpg", "b.jpg", "c.jpg"))
     assert(Main.parse(Seq("--bogus", "d"), Iterator.empty).isLeft)
     assert(Main.parse(Seq("--hash", "sha1", "d"), Iterator.empty).isLeft)
     assert(Main.parse(Seq(), Iterator.empty).isLeft) // no targets
@@ -84,6 +85,38 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
       s"$root/abbee063-3963-47ad-be61-0bba171eb8ab.jpg"), search = true, quiet = true)
     val code = Main.run(spark, cli, new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
     assert(code == 1)
+  }
+
+  test("E2 + --delete: a SINGLE duplicate of the target is still acted on") {
+    assume(available)
+    // 1-member compare group — with the full-dedup minGroupSize=2 filter
+    // this was a silent no-op (round-3 review finding)
+    val tmp = Files.createTempDirectory("graft-cli-single")
+    Files.copy(Paths.get(s"$root/cats/cat-dark.jpg"), tmp.resolve("cat-dark.jpg"))
+    try {
+      val cli = Main.parse(Seq(s"$root/cats/cat.jpg", tmp.toString, "--delete-all", "-q"),
+        Iterator.empty).toOption.get
+      val code = Main.run(spark, cli, new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
+      assert(code == 0)
+      assert(!Files.exists(tmp.resolve("cat-dark.jpg")), "single duplicate not deleted")
+      assert(Files.exists(Paths.get(s"$root/cats/cat.jpg")), "target must never be acted on")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(tmp)
+    }
+  }
+
+  test("action failures are counted (exit-3 path): nonexistent files fail the plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val members = Seq(("/nope/a.jpg", "g1"), ("/nope/b.jpg", "g1"))
+      .toDF("doc_id", "cluster_id").withColumn("path", col("doc_id"))
+    val results = graft.sinks.FileActions.execute(spark,
+      graft.sinks.FileActions.plan(members, "delete", keepFirst = false))
+      .collect()
+    assert(results.length == 2 && results.forall(!_.ok),
+      results.mkString(", "))
   }
 
   test("--delete keep-first: survivors are exactly the per-group keepers") {

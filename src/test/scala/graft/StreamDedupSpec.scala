@@ -132,6 +132,42 @@ class StreamDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(run("evttl2") == expected)
   }
 
+  test("event-time TTL: a LATE in-order-tolerant batch cannot rewind the eviction deadline") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Doc, java.sql.Timestamp)](s)
+    val tags = StreamDedup.tagDuplicatesEventTime(
+      StreamDedup.signatures(input.toDS()),
+      ttl = java.time.Duration.ofMinutes(5), watermarkDelay = "30 minutes")
+    val q = tags.writeStream.format("memory").queryName("evrewind")
+      .outputMode("append").start()
+    try {
+      // keeper at 10:20 → deadline 10:25 (watermark lags 30 min: 9:50)
+      input.addData((doc("k1", "payload x"), ts(20)))
+      q.processAllAvailable()
+      // LATE copy at 10:05 (within the watermark delay, so accepted): the
+      // deadline must stay anchored at max-seen (10:20) + ttl, not rewind
+      // to 10:05 + ttl = 10:10
+      input.addData((doc("k2", "payload x"), ts(5)))
+      q.processAllAvailable()
+      // watermark mover: 10:48 - 30 min = 10:18 — past the REWOUND deadline
+      // (10:10) but before the correct one (10:25)
+      input.addData((doc("w1", "watermark mover"), ts(48)))
+      q.processAllAvailable()
+      // re-arrival at 10:24: with the rewind bug the key was evicted at
+      // 10:18 and this becomes a fresh keeper; correct state keeps it a dup
+      input.addData((doc("k3", "payload x"), ts(24)))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, is_duplicate, first_doc_id FROM evrewind ORDER BY doc_id")
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+      assert(rows.toSeq == Seq(
+        ("k1", false, "k1"),
+        ("k2", true, "k1"),
+        ("k3", true, "k1"), // deadline NOT rewound by the late batch
+        ("w1", false, "w1")), rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("state TTL evicts idle keys: a re-arrival after expiry is a fresh keeper") {
     implicit val s = spark
     import s.implicits._
