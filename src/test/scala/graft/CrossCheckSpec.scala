@@ -87,6 +87,40 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q_simhash: banded emission is exact-precision and pigeonhole-complete for d<=3") {
+    // the query blocks on 4 bands of 16 bits (2^-16 selectivity — the
+    // scale-correct choice; 16 narrow bands would bucket 102k docs into 16
+    // values per band = quadratic). Pigeonhole therefore GUARANTEES recall
+    // only for d <= bands-1 = 3; d in 4..7 is probabilistic by contract.
+    // Independent check: (1) every emitted (a,b,d) matches the brute-force
+    // distance (precision is exact), (2) every all-pairs d<=3 pair is
+    // emitted (the guaranteed-recall region has no misses).
+    import graft.text.SimHash
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0).toString -> r.getString(1))
+    val hashes = texts.map { case (id, t) => id -> SimHash.simhash64(t) }
+    val brute = (for {
+      i <- hashes.indices.iterator
+      j <- (i + 1) until hashes.length
+      d = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
+      if d < 8
+    } yield {
+      val (a, b) = (hashes(i)._1, hashes(j)._1)
+      if (a < b) ((a, b), d) else ((b, a), d)
+    }).toMap
+    val emitted = SparkEntry.queries("q_simhash")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getInt(2))).toMap
+    emitted.foreach { case (pair, d) =>
+      assert(brute.get(pair).contains(d), s"$pair: emitted d=$d, brute=${brute.get(pair)}")
+    }
+    val guaranteed = brute.filter(_._2 <= 3)
+    assert(guaranteed.nonEmpty)
+    guaranteed.foreach { case (pair, d) =>
+      assert(emitted.contains(pair), s"pigeonhole miss: $pair at d=$d")
+    }
+  }
+
   test("q_compare_target: the perturbed probe links back to exactly doc 7") {
     // the probe is CONSTRUCTED from doc 7's text with one middle word
     // dropped, so the correct duplicate set is {7} — independent of any
