@@ -535,6 +535,61 @@ object SparkEntry {
         .orderBy("lang", "pred")
     }),
 
+    // benchmark decontamination: flag corpus docs sharing ANY 13-word-gram
+    // with a held-out benchmark set (doc_id % 20 == 0 stands in for the
+    // eval set) — the training-data hygiene op. Gram keys are 60-bit md5
+    // hashes, computed by ONE udf call per doc (the interpreted
+    // transform+md5 column form costs ~4× more — same lesson as sBandKeys);
+    // "first 15 md5 hex chars" == top 60 bits of the digest, identical to
+    // the oracle's CAST('0x'||substr(md5(...),1,15)). The benchmark gram
+    // table is small by construction, so the probe side broadcasts instead
+    // of shuffling the full corpus gram relation.
+    "q_decontam" -> ((s, dir) => {
+      val gram13 = udf { (w: Seq[String]) =>
+        if (w == null || w.length < 13) Array.empty[Long]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          Array.tabulate(w.length - 12) { i =>
+            md.reset()
+            val d = md.digest(w.slice(i, i + 13).mkString(" ").getBytes("UTF-8"))
+            ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+              ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+              ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+          }
+        }
+      }
+      // the sf parquet is a single file = one input partition, which would
+      // serialize the hash kernel on one core; spread docs first (at real
+      // scale the scan has many partitions and this repartition is moot)
+      val grams = docsTable(s, dir)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"),
+          explode(gram13(split(trim(col("text")), "\\s+"))).as("g"))
+      val bench = grams.filter(col("doc_id") % 20 === 0).select("g").distinct()
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // repetition / diversity quality signals: type-token ratio and adjacent
+    // token repeats per lang (boilerplate and degenerate-generation filter)
+    "q_repetition" -> ((s, dir) => {
+      val t = docsTable(s, dir).select(col("doc_id"), col("lang"),
+        split(trim(col("text")), "\\s+").as("w"))
+      val r = t.select(col("lang"),
+        round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6).as("ttr"),
+        size(filter(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (x, y) => x === y), b => b)).cast("long").as("n_adj_repeats"))
+      r.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        round(sum(col("ttr").cast("decimal(28,10)")).cast("double"), 6).as("sum_ttr"),
+        sum(col("n_adj_repeats")).as("sum_adj_repeats"),
+        sum(when(col("ttr") < 0.4, 1L).otherwise(0L)).as("n_low_ttr"))
+        .orderBy("lang")
+    }),
+
     // winnowing fingerprints (no SQL analog — rows-only check)
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -873,6 +928,32 @@ object SparkEntry {
         |       ELSE 'und' END AS pred,
         |  count(*) AS n
         |FROM h GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+
+    "q_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-12, 0)+1),
+        |    i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+12], ' ')),1,15)) AS BIGINT))) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id % 20 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr,
+        |         CAST(len(list_filter(list_zip(w[1:len(w)-1], w[2:len(w)]), p -> p[1] = p[2])) AS BIGINT) AS n_adj_repeats
+        |  FROM t)
+        |SELECT lang, count(*) AS n_docs,
+        |       round(CAST(sum(CAST(ttr AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_ttr,
+        |       CAST(sum(n_adj_repeats) AS BIGINT) AS sum_adj_repeats,
+        |       CAST(sum(CASE WHEN ttr < 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_ttr
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH s AS (
