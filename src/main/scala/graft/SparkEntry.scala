@@ -590,6 +590,39 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // deterministic stratified train/val/test split — the data-mixing
+    // primitive: bucket = top-60-bits(md5("split:" ++ doc_id)) mod 100, so
+    // membership is a pure function of the id (reproducible across runs,
+    // engines, and cluster sizes; no sampling state to coordinate). The
+    // salt prefix makes independent splits composable (different salt ⇒
+    // independent hash). Narrow map + one agg shuffle; at 100 TB the split
+    // column costs one projection over the scan.
+    "q_sample_split" -> ((s, dir) => {
+      val bucket = conv(substring(
+        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100
+      docsTable(s, dir)
+        .withColumn("split",
+          when(bucket < 5, "test").when(bucket < 10, "val").otherwise("train"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("lang", "split")
+    }),
+
+    // vocabulary document-frequency table (IDF/stopword construction): two
+    // explicit aggregation stages — (token, doc_id) then (token) — so BOTH
+    // get map-side partial combine; a count(DISTINCT doc_id) over the raw
+    // explode would carry every (token, doc_id) pair through one shuffle
+    // without pre-collapse. Top-20 by df with a total tiebreak (token asc).
+    "q_vocab_df" -> ((s, dir) => {
+      val toks = docsTable(s, dir).select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      toks.groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("token").agg(count(lit(1)).as("df"), sum(col("c")).as("tf"))
+        .orderBy(col("df").desc, col("token")).limit(20)
+    }),
+
     // winnowing fingerprints (no SQL analog — rows-only check)
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -954,6 +987,25 @@ object SparkEntry {
         |       CAST(sum(n_adj_repeats) AS BIGINT) AS sum_adj_repeats,
         |       CAST(sum(CASE WHEN ttr < 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_ttr
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sample_split" ->
+      """WITH b AS (
+        |  SELECT *, CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, n_chars, doc_id,
+        |         CASE WHEN bucket < 5 THEN 'test' WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
+        |  FROM b)
+        |SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q_vocab_df" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |per AS (SELECT token, doc_id, count(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT token, count(*) AS df, CAST(sum(c) AS BIGINT) AS tf
+        |FROM per GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH s AS (
