@@ -1,0 +1,106 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.length
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the training-data hygiene queries added in round 3
+  * (q_decontam / q_sample_split / q_vocab_df / q_repetition). The DuckDB
+  * oracle proves engine parity; these tests prove the CONTRACT — planted
+  * contamination is caught at exactly the 13-gram boundary, the split is a
+  * pure function of doc_id (recomputed here from first principles with
+  * java MessageDigest, independent of both engines' SQL md5), and the DF
+  * table matches a naive in-memory recount.
+  */
+class DataOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  /** Plant a documents.parquet shaped like the driver's sf tables so the
+    * (spark, dir) query surface can run against known content.
+    */
+  private def plantedDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dataops").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_decontam: flags 13-gram overlap with the bench set, not 12-gram or short docs") {
+    val bench = (1 to 30).map(i => s"b$i") // doc_id 0 → bench slice (0 % 20 == 0)
+    val dir = plantedDir(Seq(
+      (0L, bench.mkString(" "), "en", "web"),
+      // 13 consecutive bench words → exactly one shared gram
+      (1L, bench.slice(3, 16).mkString(" "), "en", "web"),
+      // 12 consecutive bench words + a novel tail → its only 13-gram differs
+      (2L, (bench.slice(3, 15) :+ "zzz").mkString(" "), "en", "web"),
+      // under 13 words → produces no grams at all
+      (3L, "x1 x2 x3 x4 x5", "en", "web"),
+      // 14 consecutive bench words → two shared grams
+      (4L, bench.slice(3, 17).mkString(" "), "en", "web")))
+    val got = SparkEntry.queries("q_decontam")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (4L, 2L)))
+  }
+
+  test("q_sample_split: JVM-recomputed split matches and partitions the corpus") {
+    def split(id: Long): String = {
+      val d = MessageDigest.getInstance("MD5").digest(s"split:$id".getBytes("UTF-8"))
+      val bucket = java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16) % 100
+      if (bucket < 5) "test" else if (bucket < 10) "val" else "train"
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy { case (id, lang, _) => (lang, split(id)) }
+      .map { case ((lang, sp), rs) =>
+        (lang, sp, rs.length.toLong, rs.map(_._3).sum, rs.map(_._1).min, rs.map(_._1).max)
+      }.toSet
+    val out = SparkEntry.queries("q_sample_split")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSet == expected)
+    assert(out.map(_._3).sum == docs.length) // every doc in exactly one split
+    // the split is usable: each stratum exists and test/val are minority slices
+    val bySplit = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("test") && bySplit("train") > bySplit("val"))
+  }
+
+  test("q_vocab_df: top-20 document frequencies match a naive in-memory recount") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pairs = texts.flatMap { case (id, t) =>
+      t.trim.split("\\s+").toSeq.map(tok => (tok, id))
+    }
+    val tf = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val df = pairs.distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = df.keys.toSeq
+      .map(tok => (tok, df(tok), tf(tok)))
+      .sortBy { case (tok, d, _) => (-d, tok) }.take(20)
+    val out = SparkEntry.queries("q_vocab_df")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected)
+  }
+
+  test("q_repetition: degenerate docs score as planted (TTR, adjacent repeats, low-TTR count)") {
+    val dir = plantedDir(Seq(
+      (1L, "a a a a a", "en", "web"), // ttr 0.2, 4 adjacent repeats, low-TTR
+      (2L, "x", "en", "web"),         // single token: ttr 1.0, 0 repeats
+      (3L, "p q p q", "en", "web")))  // distinct 2 of 4: ttr 0.5, 0 repeats
+    val out = SparkEntry.queries("q_repetition")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 3L)                    // n_docs
+    assert(math.abs(r.getDouble(2) - 1.7) < 1e-9) // sum_ttr = 0.2 + 1.0 + 0.5
+    assert(r.getLong(3) == 4L)                    // sum_adj_repeats
+    assert(r.getLong(4) == 1L)                    // n_low_ttr (only doc 1)
+  }
+}
