@@ -623,6 +623,44 @@ object SparkEntry {
         .orderBy(col("df").desc, col("token")).limit(20)
     }),
 
+    // cross-source near-duplicate overlap matrix (dataset-contamination
+    // report): which sources copy from which. Rides the SAME banded-MinHash
+    // candidacy + lev<15 edge relation as the CC family — source labels are
+    // joined by id onto the (src, dst) edges, so the matrix costs two
+    // narrow id-keyed joins on top of machinery that already scales.
+    "q_cross_source_dups" -> ((s, dir) => {
+      val src = docsTable(s, dir).select(col("doc_id"), col("source"))
+      levEdges(s, dir)
+        .join(src.select(col("doc_id").as("src"), col("source").as("sa")), "src")
+        .join(src.select(col("doc_id").as("dst"), col("source").as("sb")), "dst")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // token-length percentiles per source via cumulative histogram — the
+    // 100-TB percentile shape: the windows run over the (source, n_tokens)
+    // HISTOGRAM (bounded by max doc length, a few hundred rows), never over
+    // the raw corpus, and the percentile rule is integer arithmetic
+    // (cum·k ≥ tot·q) so both engines agree exactly — no float quantile
+    // interpolation to mismatch on.
+    "q_len_percentiles" -> ((s, dir) => {
+      val h = docsTable(s, dir)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
+      val cum = Window.partitionBy("source").orderBy("n_tokens")
+      h.withColumn("cum", sum(col("c")).over(cum))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(min(when(col("cum") * 2 >= col("tot"), col("n_tokens"))).as("p50"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("n_tokens"))).as("p90"),
+          min(when(col("cum") * 100 >= col("tot") * 99, col("n_tokens"))).as("p99"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy("source")
+    }),
+
     // winnowing fingerprints (no SQL analog — rows-only check)
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -1006,6 +1044,37 @@ object SparkEntry {
         |per AS (SELECT token, doc_id, count(*) AS c FROM toks GROUP BY 1, 2)
         |SELECT token, count(*) AS df, CAST(sum(c) AS BIGINT) AS tf
         |FROM per GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "q_cross_source_dups" ->
+      s"""WITH $sBandCte,
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |       greatest(sa.source, sb.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM e
+         |JOIN documents sa ON e.src = sa.doc_id
+         |JOIN documents sb ON e.dst = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    "q_len_percentiles" ->
+      """WITH h AS (
+        |  SELECT source, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |         sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS tot
+        |  FROM h)
+        |SELECT source,
+        |       CAST(min(CASE WHEN cum*2 >= tot THEN n_tokens END) AS BIGINT) AS p50,
+        |       CAST(min(CASE WHEN cum*10 >= tot*9 THEN n_tokens END) AS BIGINT) AS p90,
+        |       CAST(min(CASE WHEN cum*100 >= tot*99 THEN n_tokens END) AS BIGINT) AS p99,
+        |       max(n_tokens) AS max_tokens
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH s AS (
