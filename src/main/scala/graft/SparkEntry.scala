@@ -312,6 +312,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // golden-record canonicalization: per duplicate cluster pick the
+    // canonical document by a survivorship POLICY (longest text wins,
+    // min doc_id tiebreak) rather than keep-first. The argmax is a single
+    // struct-max aggregate — max(struct(n_chars, -doc_id)) — so the policy
+    // costs ONE map-side-combined shuffle regardless of cluster sizes; no
+    // window over the full relation, no second pass to break ties.
+    "q_golden_record" -> ((s, dir) => {
+      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      val m = cc.join(docsTable(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      m.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("best.nid")).as("canonical_doc"), col("best.nc").as("max_chars"))
+        .orderBy("cluster_id")
+    }),
+
+    // cross-table record linkage (bipartite ER): link the even-id half of
+    // the corpus against the odd-id half — the query-level mirror of
+    // pipeline.Linkage.link. The band relation is derived ONCE and split by
+    // parity, the equi-join generates only cross-side candidates (neither
+    // side's internal pairs exist anywhere in the plan), and only banded
+    // survivors pay the Jaro-Winkler scorer. Linking a batch against a
+    // master corpus this way costs O(batch × bucket), not O(corpus²).
+    "q_record_linkage" -> ((s, dir) => {
+      val bands = docsTable(s, dir)
+        .select(col("doc_id"), explode(sBandKeys(col("text"))).as("bk"))
+      val lhs = bands.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("a"), col("bk"))
+      val rhs = bands.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("b"), col("bk"))
+      val cand = lhs.join(rhs, Seq("bk")).select("a", "b").distinct()
+      val t = docsTable(s, dir).select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      cand.join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+        .withColumn("jw", round(graft.functions.GraftFunctions.jw(col("ta"), col("tb")), 6))
+        .filter(col("jw") >= 0.9)
+        .select(col("a").as("left_id"), col("b").as("right_id"), col("jw"))
+        .orderBy("left_id", "right_id")
+    }),
+
     // MinHash/LSH candidate generation over document text (no SQL analog)
     "q_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
@@ -962,6 +1001,36 @@ object SparkEntry {
          |FROM cc JOIN k ON cc.cluster_id = k.cluster_id
          |WHERE cc.doc_id <> k.keeper
          |ORDER BY doc_id""".stripMargin,
+
+    "q_golden_record" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM reach GROUP BY u),
+         |mem AS (SELECT cc.doc_id, cc.cluster_id, doc.n_chars
+         |        FROM cc JOIN documents doc ON cc.doc_id = doc.doc_id),
+         |g AS (SELECT cluster_id, count(*) AS n_members, max(n_chars) AS max_chars
+         |      FROM mem GROUP BY cluster_id)
+         |SELECT g.cluster_id, g.n_members, min(mem.doc_id) AS canonical_doc, g.max_chars
+         |FROM g JOIN mem ON mem.cluster_id = g.cluster_id AND mem.n_chars = g.max_chars
+         |GROUP BY g.cluster_id, g.n_members, g.max_chars
+         |ORDER BY g.cluster_id""".stripMargin,
+
+    "q_record_linkage" ->
+      s"""WITH $sBandCte
+         |SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+         |       round(jaro_winkler_similarity(l.t, r.t), 6) AS jw
+         |FROM d l JOIN d r ON l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+         |WHERE $sBandCond AND round(jaro_winkler_similarity(l.t, r.t), 6) >= 0.9
+         |ORDER BY left_id, right_id""".stripMargin,
 
     "q_list_filter" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -134,23 +134,31 @@ object Blocking {
       out.result().distinct
   }
 
-  def candidatePairs(sigs: Dataset[DocSig], cfg: GraftConfig)(
-      implicit spark: SparkSession): (DataFrame, BlockStats, () => Unit) = {
-    // Columnar block derivation: ONE udf call per document emitting its
-    // ~44 band keys, exploded natively — versus a typed flatMap, this keeps
-    // the 40-80M-row block relation inside whole-stage codegen instead of
-    // paying per-row object/encoder churn. Persisted: it has 3 consumers
-    // (census, join left, join right), and re-deriving it costs a signature
-    // scan + band udf each time — the band rows are compact (doc_id, 1-4
-    // media longs, simhash, key), so MEMORY_AND_DISK holds them in memory at
-    // bench scale and spills rather than OOMs at cluster scale. Released by
-    // the cleanup thunk once candidates are materialized.
-    val b = sigs.toDF().select(
+  /** Columnar band-row relation: one row per (doc, band key) with the
+    * compact prefilter payload — (doc_id, media, slots, simhash, hasText,
+    * block_key, is_text). ONE udf call per document emitting its ~44 band
+    * keys, exploded natively — versus a typed flatMap, this keeps the
+    * 40-80M-row block relation inside whole-stage codegen instead of paying
+    * per-row object/encoder churn. Shared by the self-join pipeline
+    * ([[candidatePairs]]) and cross-corpus linkage ([[Linkage.link]]).
+    */
+  def bandRowsDF(sigs: Dataset[DocSig], cfg: GraftConfig): DataFrame =
+    sigs.toDF().select(
       col("doc_id"), col("media"), col("slots"), col("simhash"),
       (col("text").isNotNull && length(col("text")) > 0).as("hasText"),
       explode(bandKeysUdf(cfg)(col("media"), col("slots"), col("minhash"))).as("bk"))
       .select(col("doc_id"), col("media"), col("slots"), col("simhash"),
         col("hasText"), col("bk._1").as("block_key"), col("bk._2").as("is_text"))
+
+  def candidatePairs(sigs: Dataset[DocSig], cfg: GraftConfig)(
+      implicit spark: SparkSession): (DataFrame, BlockStats, () => Unit) = {
+    // Persisted: the band relation has 3 consumers (census, join left, join
+    // right), and re-deriving it costs a signature scan + band udf each
+    // time — the band rows are compact (doc_id, 1-4 media longs, simhash,
+    // key), so MEMORY_AND_DISK holds them in memory at bench scale and
+    // spills rather than OOMs at cluster scale. Released by the cleanup
+    // thunk once candidates are materialized.
+    val b = bandRowsDF(sigs, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Hot/degenerate block census via map-side-combined groupBy — NOT a

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.media.{DefaultMedia, MediaResolver}
+import graft.model.{Doc, DocSig}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup: fold a NEW batch of documents into an ALREADY
+  * CLUSTERED corpus without re-scoring the old corpus against itself — the
+  * only shape that works when the corpus is 10^12 docs and the daily batch
+  * is 10^9. A full re-run touches O(corpus × bucket) pairs every day;
+  * this touches O(batch × bucket).
+  *
+  * Correctness rests on supernode contraction: old-old duplicate edges are
+  * already summarized by the old cluster assignment (same config ⇒ same
+  * blocking + scoring would reproduce them), so each old CLUSTER becomes a
+  * single node. The incremental graph is
+  *
+  *   nodes = new doc ids ∪ old cluster ids
+  *   edges = (new×new is_dup pairs) ∪ (new doc → old cluster of matched old doc)
+  *
+  * and connected components over it equal the full-run components projected
+  * onto this node set. Because cluster_id = min doc_id of a component and
+  * an old cluster's id IS the min doc_id of its old members, the component
+  * minimum over {new ids, old cluster ids} is the global minimum — so the
+  * incremental ids equal the full-run ids EXACTLY, not just up to
+  * relabeling (IncrementalSpec asserts byte-equality against a full run).
+  *
+  * Contract: `existingAssign` must come from [[Pipeline.run]] with the SAME
+  * `cfg` over the old corpus, and doc_ids are unique across old ∪ new.
+  * At production scale `existingSigs` is the checkpointed signature table
+  * from the previous run (stage "signatures"), not a recomputation.
+  */
+object Incremental {
+
+  final case class IncrementalResult(
+      assignments: DataFrame, // (doc_id, cluster_id) for every NEW doc
+      remapped: DataFrame, // (old_cluster_id, cluster_id): old clusters whose id changed
+      release: () => Unit)
+
+  def run(spark: SparkSession, existingSigs: Dataset[DocSig],
+          existingAssign: DataFrame, newDocs: Dataset[Doc],
+          cfg: GraftConfig = GraftConfig(),
+          resolver: MediaResolver = DefaultMedia): IncrementalResult = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+
+    val newSigs = Signatures.derive(newDocs, cfg, resolver).map(_.sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // new×new: the standard self-join pipeline on the batch alone
+    val (cands, _, releaseBlocks) = Blocking.candidatePairs(newSigs, cfg)
+    val newEdges = Pairs.edges(Pairs.score(cands, newSigs, cfg))
+    releaseBlocks()
+
+    // new×old: bipartite band linkage — old-old pairs never exist in any plan
+    val cross = Linkage.linkSigs(spark, newSigs, existingSigs, cfg)
+
+    // contract matched old docs to their cluster supernode. The assignment
+    // join is id-keyed and touches only matched old docs; distinct caps the
+    // edge count at (new doc, old cluster) granularity.
+    val crossEdges = cross.matches
+      .join(existingAssign.withColumnRenamed("doc_id", "right_id"), Seq("right_id"))
+      .select(col("left_id").as("src"), col("cluster_id").as("dst"))
+      .distinct()
+
+    val comp = Components.connectedComponents(
+      newEdges.unionByName(crossEdges), cfg.maxCcIterations)
+
+    // new docs: component id, or themselves when untouched by any edge
+    val assignments = newDocs.toDF().select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+
+    // old clusters absorbed under a smaller id (a new doc bridged them to an
+    // earlier cluster or doc): emit the relabel map — the caller applies it
+    // to the old assignment table as a broadcast join over TOUCHED clusters
+    val remapped = comp
+      .join(existingAssign.select(col("cluster_id").as("doc_id")).distinct(), Seq("doc_id"))
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("old_cluster_id"), col("cluster_id"))
+
+    IncrementalResult(assignments, remapped,
+      () => { cross.release(); newSigs.unpersist(); () })
+  }
+}

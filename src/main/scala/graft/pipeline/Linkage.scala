@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import graft.media.{DefaultMedia, MediaResolver}
+import graft.model.Doc
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-corpus record linkage: which documents in `left` match which in
+  * `right`, WITHOUT clustering either side internally — the bipartite
+  * counterpart of [[Pipeline.run]]'s self-dedup (classic ER linkage, e.g.
+  * linking a new vendor feed against a master catalog). Generalizes the
+  * reference's one-target compare (`dedupe.go:127-146`) from 1×N to M×N.
+  *
+  * Scale shape mirrors the pipeline's: both sides derive signatures with a
+  * narrow map, the band equi-join carries only compact (doc_id, band key,
+  * prefilter) rows, candidacy uses the same per-channel vote (media: any
+  * shared block key; text: ≥ cfg.minTextBands shared MinHash bands), and
+  * only gated survivors reach the O(n²) string scorers via
+  * [[Pairs.score]]. Because the join is cross-side only, neither side's
+  * internal pairs are ever generated — linking a 1M-doc batch against a
+  * 10^12-doc corpus costs O(batch × bucket), not O(corpus²).
+  *
+  * Skew: keys whose combined side cardinality exceeds `cfg.hotBlockSize`
+  * are salted (left side keeps one salt, right side is replicated over all
+  * `cfg.saltFactor` salts — every cross pair produced exactly once);
+  * keys above `cfg.maxBlockSize` are degenerate and dropped with logged
+  * counts. The census is an inner join of per-side key counts — keys
+  * present on only one side produce no pairs and never reach the driver.
+  *
+  * Contract: doc_ids must be unique across BOTH sides (they key the
+  * signature rejoin).
+  */
+object Linkage {
+
+  final case class LinkStats(droppedKeys: Long, saltedKeys: Long)
+
+  final case class LinkResult(
+      matches: DataFrame, // (left_id, right_id, score) — is_dup pairs only
+      stats: LinkStats,
+      release: () => Unit)
+
+  def link(spark: SparkSession, left: Dataset[Doc], right: Dataset[Doc],
+           cfg: GraftConfig = GraftConfig(),
+           resolver: MediaResolver = DefaultMedia): LinkResult = {
+    import spark.implicits._
+    val lSigs = Signatures.derive(left, cfg, resolver)(spark).map(_.sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rSigs = Signatures.derive(right, cfg, resolver)(spark).map(_.sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inner = linkSigs(spark, lSigs, rSigs, cfg)
+    inner.copy(release = () => { inner.release(); lSigs.unpersist(); rSigs.unpersist(); () })
+  }
+
+  /** Signature-level entry point: link two already-derived signature sets.
+    * Used by [[link]] and by [[Incremental]] (which links a new batch's
+    * signatures against the persisted corpus signature table).
+    */
+  def linkSigs(spark: SparkSession, lSigs: Dataset[graft.model.DocSig],
+               rSigs: Dataset[graft.model.DocSig],
+               cfg: GraftConfig): LinkResult = {
+    implicit val s: SparkSession = spark
+
+    val lB = Blocking.bandRowsDF(lSigs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rB = Blocking.bandRowsDF(rSigs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // census of joinable keys only (inner join of per-side counts): hot and
+    // degenerate keys are a bounded handful by construction, so the collect
+    // is driver-safe the same way the pipeline's census is
+    val census = lB.groupBy("block_key").agg(count(lit(1)).as("ln"))
+      .join(rB.groupBy("block_key").agg(count(lit(1)).as("rn")), Seq("block_key"))
+      .filter(col("ln") + col("rn") > math.min(cfg.hotBlockSize, cfg.maxBlockSize).toLong)
+      .collect()
+    val degKeys = census.filter(r => r.getLong(1) + r.getLong(2) > cfg.maxBlockSize)
+    val hotKeys = census.filter(r => r.getLong(1) + r.getLong(2) <= cfg.maxBlockSize)
+    if (degKeys.nonEmpty)
+      System.err.println(s"[graft] linkage: dropped ${degKeys.length} degenerate keys")
+    val stats = LinkStats(degKeys.length.toLong, hotKeys.length.toLong)
+
+    val degSet = degKeys.map(_.getLong(0)).toSet
+    val hotSet = hotKeys.map(_.getLong(0)).toSet
+    val isDeg = udf((k: Long) => degSet.contains(k))
+    val isHot = udf((k: Long) => hotSet.contains(k))
+    def live(b: DataFrame) = if (degSet.isEmpty) b else b.filter(!isDeg(col("block_key")))
+    def normal(b: DataFrame) = if (hotSet.isEmpty) live(b) else live(b).filter(!isHot(col("block_key")))
+    def hot(b: DataFrame) = if (hotSet.isEmpty) b.limit(0) else live(b).filter(isHot(col("block_key")))
+
+    // oriented cross join: a = left id, b = right id (no a<b canonicalization
+    // — sides are distinct relations); same prefilter cascade as the
+    // self-join pipeline
+    def crossJoin(l0: DataFrame, r0: DataFrame, extraKey: Seq[String]): DataFrame = {
+      val l = l0.alias("l")
+      val r = r0.alias("r")
+      val keyCond = (Seq("block_key") ++ extraKey)
+        .map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+      l.join(r, keyCond && col("l.doc_id") =!= col("r.doc_id"))
+        .withColumn("media_dist",
+          Blocking.mediaDistUdf(col("l.media"), col("r.media"), col("l.slots")))
+        .withColumn("sim_ham",
+          when(col("l.hasText") && col("r.hasText"),
+            bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
+            .otherwise(lit(9999)))
+        .filter(col("media_dist") < cfg.mediaThreshold ||
+          col("sim_ham") < cfg.simhashPrefilter)
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          col("media_dist"), col("sim_ham"), col("l.is_text").as("is_text"))
+    }
+
+    val normalPairs = crossJoin(normal(lB), normal(rB), Nil)
+    val sf = cfg.saltFactor
+    val hotLeft = hot(lB).withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(sf.toLong)).cast("int"))
+    val hotRight = hot(rB).withColumn("salt", explode(sequence(lit(0), lit(sf - 1))))
+    val hotPairs = crossJoin(hotLeft, hotRight, Seq("salt"))
+
+    val cand = normalPairs.unionByName(hotPairs)
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("media_dist")).as("media_dist"), min(col("sim_ham")).as("sim_ham"),
+        sum(when(col("is_text"), 1L).otherwise(0L)).as("n_text_bands"))
+      .filter(col("media_dist") < cfg.mediaThreshold ||
+        col("n_text_bands") >= cfg.minTextBands)
+      .drop("n_text_bands")
+
+    val scored = Pairs.score(cand, lSigs.union(rSigs), cfg)
+    val matches = scored.filter(col("is_dup"))
+      .select(col("a").as("left_id"), col("b").as("right_id"), col("score"))
+
+    LinkResult(matches, stats, () => { lB.unpersist(); rB.unpersist(); () })
+  }
+}
