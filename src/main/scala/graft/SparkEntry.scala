@@ -178,6 +178,26 @@ object SparkEntry {
       .select(col("a").as("src"), col("b").as("dst"))
   }
 
+  /** Bipartite linkage match relation (left_id, right_id, jw): even-id docs
+    * linked against odd-id docs via shared MinHash bands, scored with the
+    * native Jaro-Winkler expression, thresholded at 0.9 on the ROUNDED value
+    * (both engines threshold the same 6-decimal quantity). Shared by
+    * q_record_linkage and q_linkage_best.
+    */
+  private def linkagePairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = docsTable(s, dir)
+      .select(col("doc_id"), explode(sBandKeys(col("text"))).as("bk"))
+    val lhs = bands.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("a"), col("bk"))
+    val rhs = bands.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("b"), col("bk"))
+    val cand = lhs.join(rhs, Seq("bk")).select("a", "b").distinct()
+    val t = docsTable(s, dir).select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+    cand.join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+      .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+      .withColumn("jw", round(graft.functions.GraftFunctions.jw(col("ta"), col("tb")), 6))
+      .filter(col("jw") >= 0.9)
+      .select(col("a").as("left_id"), col("b").as("right_id"), col("jw"))
+  }
+
   /** Documents table → Dataset[Doc]: one text span per row; every 10th doc
     * also carries a deterministic synthetic media span keyed by doc_id —
     * exercises the interleaved text+media path end-to-end.
@@ -329,6 +349,22 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // per-source duplicate-rate report: fraction of each source's docs that
+    // sit in a multi-member near-dup cluster (CC membership ⇔ has an edge).
+    // The CC relation is tiny relative to the corpus, so the left join is
+    // id-keyed and the aggregate is map-side combined — a corpus-hygiene
+    // dashboard number that costs one narrow join + one agg at any scale.
+    "q_dup_rate" -> ((s, dir) => {
+      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      docsTable(s, dir).select(col("doc_id"), col("source"))
+        .join(cc, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"))
+        .withColumn("dup_rate", round(col("n_dup_docs") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     // cross-table record linkage (bipartite ER): link the even-id half of
     // the corpus against the odd-id half — the query-level mirror of
     // pipeline.Linkage.link. The band relation is derived ONCE and split by
@@ -336,19 +372,19 @@ object SparkEntry {
     // side's internal pairs exist anywhere in the plan), and only banded
     // survivors pay the Jaro-Winkler scorer. Linking a batch against a
     // master corpus this way costs O(batch × bucket), not O(corpus²).
-    "q_record_linkage" -> ((s, dir) => {
-      val bands = docsTable(s, dir)
-        .select(col("doc_id"), explode(sBandKeys(col("text"))).as("bk"))
-      val lhs = bands.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("a"), col("bk"))
-      val rhs = bands.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("b"), col("bk"))
-      val cand = lhs.join(rhs, Seq("bk")).select("a", "b").distinct()
-      val t = docsTable(s, dir).select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
-      cand.join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
-        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
-        .withColumn("jw", round(graft.functions.GraftFunctions.jw(col("ta"), col("tb")), 6))
-        .filter(col("jw") >= 0.9)
-        .select(col("a").as("left_id"), col("b").as("right_id"), col("jw"))
-        .orderBy("left_id", "right_id")
+    "q_record_linkage" -> ((s, dir) =>
+      linkagePairs(s, dir).orderBy("left_id", "right_id")),
+
+    // best-match selection: top-1 right record per left record by (jw desc,
+    // right_id asc) — the assignment step after linkage scoring. The window
+    // partitions by left_id over the MATCH relation (already bucket-bounded),
+    // never over a corpus-sized relation.
+    "q_linkage_best" -> ((s, dir) => {
+      val w = Window.partitionBy("left_id").orderBy(col("jw").desc, col("right_id"))
+      linkagePairs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("left_id")
     }),
 
     // MinHash/LSH candidate generation over document text (no SQL analog)
@@ -1031,6 +1067,41 @@ object SparkEntry {
          |FROM d l JOIN d r ON l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
          |WHERE $sBandCond AND round(jaro_winkler_similarity(l.t, r.t), 6) >= 0.9
          |ORDER BY left_id, right_id""".stripMargin,
+
+    "q_linkage_best" ->
+      s"""WITH $sBandCte,
+         |p AS (
+         |  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+         |         round(jaro_winkler_similarity(l.t, r.t), 6) AS jw
+         |  FROM d l JOIN d r ON l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+         |  WHERE $sBandCond AND round(jaro_winkler_similarity(l.t, r.t), 6) >= 0.9),
+         |rk AS (
+         |  SELECT left_id, right_id, jw,
+         |         row_number() OVER (PARTITION BY left_id
+         |                            ORDER BY jw DESC, right_id) AS rn
+         |  FROM p)
+         |SELECT left_id, right_id, jw FROM rk WHERE rn = 1
+         |ORDER BY left_id""".stripMargin,
+
+    "q_dup_rate" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM reach GROUP BY u)
+         |SELECT doc.source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN cc.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |       round(CAST(sum(CASE WHEN cc.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS dup_rate
+         |FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.doc_id
+         |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
 
     "q_list_filter" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -122,7 +122,10 @@ object Linkage {
         col("n_text_bands") >= cfg.minTextBands)
       .drop("n_text_bands")
 
-    val scored = Pairs.score(cand, lSigs.union(rSigs), cfg)
+    // dropDuplicates guards the side-table rejoin when one doc_id appears on
+    // BOTH sides (self-link): without it the union doubles every signature
+    // row and the score join fans each candidate out into duplicate matches
+    val scored = Pairs.score(cand, lSigs.union(rSigs).dropDuplicates("doc_id"), cfg)
     val matches = scored.filter(col("is_dup"))
       .select(col("a").as("left_id"), col("b").as("right_id"), col("score"))
 

@@ -86,6 +86,10 @@ class LinkageSpec extends AnyFunSuite with SparkTestBase {
     pipe.release()
     val gotCanon = got.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
     assert(got.forall { case (a, b) => a != b }, "diagonal pair leaked")
+    // each unordered pair appears exactly once per orientation — duplicate
+    // rows here mean the shared-id side-table rejoin fanned out
+    assert(got.length == 2 * gotCanon.size,
+      s"duplicate match rows: ${got.length} rows for ${gotCanon.size} pairs")
     assert(gotCanon == pipeEdges,
       s"self-link mismatch vs pipeline edges: missed=${(pipeEdges -- gotCanon).take(5)} " +
         s"spurious=${(gotCanon -- pipeEdges).take(5)}")
