@@ -349,6 +349,25 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // blocking-quality census as a first-class query (reduction-ratio
+    // ingredients): per band position — block count, row mass, max block
+    // size, candidate-pair mass Σ b(b−1)/2. ONE map-side-combined groupBy
+    // over the band relation; the per-position rollup is 4 rows. This is
+    // the number you watch at 100 TB to catch key saturation before it
+    // becomes a quadratic join.
+    "q_blocking_stats" -> ((s, dir) => {
+      val bands = docsTable(s, dir)
+        .select(col("doc_id"), explode(sBandKeys(col("text"))).as("bk"))
+      bands.groupBy("bk").agg(count(lit(1)).as("bsize"))
+        .withColumn("pos", split(col("bk"), ":").getItem(0).cast("int"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("bsize")).as("n_rows"),
+          max(col("bsize")).as("max_block"),
+          sum(col("bsize") * (col("bsize") - 1) / lit(2)).cast("long").as("n_cand_pairs"))
+        .orderBy("pos")
+    }),
+
     // per-source duplicate-rate report: fraction of each source's docs that
     // sit in a multi-member near-dup cluster (CC membership ⇔ has an edge).
     // The CC relation is tiny relative to the corpus, so the left join is
@@ -1082,6 +1101,19 @@ object SparkEntry {
          |  FROM p)
          |SELECT left_id, right_id, jw FROM rk WHERE rn = 1
          |ORDER BY left_id""".stripMargin,
+
+    "q_blocking_stats" ->
+      s"""WITH $sBandCte,
+         |b AS (
+         |  SELECT 0 AS pos, band0 AS bk FROM d
+         |  UNION ALL SELECT 1, band1 FROM d
+         |  UNION ALL SELECT 2, band2 FROM d
+         |  UNION ALL SELECT 3, band3 FROM d),
+         |g AS (SELECT pos, bk, count(*) AS bsize FROM b GROUP BY 1, 2)
+         |SELECT pos, count(*) AS n_blocks, CAST(sum(bsize) AS BIGINT) AS n_rows,
+         |       max(bsize) AS max_block,
+         |       CAST(sum(bsize * (bsize - 1) / 2) AS BIGINT) AS n_cand_pairs
+         |FROM g GROUP BY pos ORDER BY pos""".stripMargin,
 
     "q_dup_rate" ->
       s"""WITH RECURSIVE $sBandCte,

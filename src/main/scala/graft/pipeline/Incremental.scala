@@ -26,10 +26,16 @@ import org.apache.spark.sql.functions._
   * incremental ids equal the full-run ids EXACTLY, not just up to
   * relabeling (IncrementalSpec asserts byte-equality against a full run).
   *
-  * Contract: `existingAssign` must come from [[Pipeline.run]] with the SAME
-  * `cfg` over the old corpus, and doc_ids are unique across old ∪ new.
-  * At production scale `existingSigs` is the checkpointed signature table
-  * from the previous run (stage "signatures"), not a recomputation.
+  * Contract: `existingAssign` must be [[Pipeline.run]]'s full cluster
+  * output (every old doc, singletons included) with the SAME `cfg`, and
+  * doc_ids are unique across old ∪ new. At production scale
+  * `existingSigs` is the checkpointed signature table from the previous
+  * run (stage "signatures"), not a recomputation; under exact
+  * pre-collapse that table holds one representative per content digest,
+  * which is sufficient — an exact copy's signature is identical to its
+  * representative's, so every cross match reachable via a copy is
+  * reachable via the rep, and `existingAssign` already routes the rep's
+  * cluster id.
   */
 object Incremental {
 
