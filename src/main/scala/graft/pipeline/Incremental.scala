@@ -44,10 +44,17 @@ object Incremental {
       remapped: DataFrame, // (old_cluster_id, cluster_id): old clusters whose id changed
       release: () => Unit)
 
+  /** `existingBands`: optionally the old corpus's prebuilt band relation
+    * ([[Blocking.bandRowsDF]] schema, checkpointed by the previous run).
+    * Without it the fold re-derives old band keys — an O(corpus) UDF pass
+    * the production shape avoids (measured by `DiagIncremental`, recorded
+    * in BASELINE.md).
+    */
   def run(spark: SparkSession, existingSigs: Dataset[DocSig],
           existingAssign: DataFrame, newDocs: Dataset[Doc],
           cfg: GraftConfig = GraftConfig(),
-          resolver: MediaResolver = DefaultMedia): IncrementalResult = {
+          resolver: MediaResolver = DefaultMedia,
+          existingBands: Option[DataFrame] = None): IncrementalResult = {
     implicit val s: SparkSession = spark
     import spark.implicits._
 
@@ -60,7 +67,7 @@ object Incremental {
     releaseBlocks()
 
     // new×old: bipartite band linkage — old-old pairs never exist in any plan
-    val cross = Linkage.linkSigs(spark, newSigs, existingSigs, cfg)
+    val cross = Linkage.linkSigs(spark, newSigs, existingSigs, cfg, existingBands)
 
     // contract matched old docs to their cluster supernode. The assignment
     // join is id-keyed and touches only matched old docs; distinct caps the

@@ -54,16 +54,25 @@ object Linkage {
   /** Signature-level entry point: link two already-derived signature sets.
     * Used by [[link]] and by [[Incremental]] (which links a new batch's
     * signatures against the persisted corpus signature table).
+    *
+    * `rBands`: optionally the right side's PREBUILT band relation (the
+    * schema of [[Blocking.bandRowsDF]]) — at production scale the master
+    * corpus's band table is checkpointed by the previous run, and
+    * re-deriving it here would cost O(corpus) per batch, swamping the
+    * O(batch × bucket) the bipartite join itself costs. When given, it is
+    * used as-is and NOT unpersisted by `release`.
     */
   def linkSigs(spark: SparkSession, lSigs: Dataset[graft.model.DocSig],
                rSigs: Dataset[graft.model.DocSig],
-               cfg: GraftConfig): LinkResult = {
+               cfg: GraftConfig,
+               rBands: Option[DataFrame] = None): LinkResult = {
     implicit val s: SparkSession = spark
 
     val lB = Blocking.bandRowsDF(lSigs, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rB = Blocking.bandRowsDF(rSigs, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rBOwned = rBands.isEmpty
+    val rB = rBands.getOrElse(Blocking.bandRowsDF(rSigs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // census of joinable keys only (inner join of per-side counts): hot and
     // degenerate keys are a bounded handful by construction, so the collect
@@ -122,13 +131,14 @@ object Linkage {
         col("n_text_bands") >= cfg.minTextBands)
       .drop("n_text_bands")
 
-    // dropDuplicates guards the side-table rejoin when one doc_id appears on
-    // BOTH sides (self-link): without it the union doubles every signature
-    // row and the score join fans each candidate out into duplicate matches
-    val scored = Pairs.score(cand, lSigs.union(rSigs).dropDuplicates("doc_id"), cfg)
+    // per-side score tables: `a` ids resolve only in lSigs and `b` ids only
+    // in rSigs, so the corpus side is never unioned or dedup-shuffled (and a
+    // self-link with shared ids cannot fan candidates into duplicate rows)
+    val scored = Pairs.scoreSides(cand, lSigs, rSigs, cfg)
     val matches = scored.filter(col("is_dup"))
       .select(col("a").as("left_id"), col("b").as("right_id"), col("score"))
 
-    LinkResult(matches, stats, () => { lB.unpersist(); rB.unpersist(); () })
+    LinkResult(matches, stats,
+      () => { lB.unpersist(); if (rBOwned) { rB.unpersist() }; () })
   }
 }

@@ -40,20 +40,32 @@ object Pairs {
 
   /** candidates: (a, b, media_dist, sim_ham). Returns scored pairs with `is_dup`. */
   def score(candidates: DataFrame, sigs: Dataset[DocSig], cfg: GraftConfig)(
+      implicit spark: SparkSession): DataFrame =
+    scoreSides(candidates, sigs, sigs, cfg)
+
+  /** [[score]] with per-side signature tables: every `a` must resolve in
+    * `aSigs` and every `b` in `bSigs`. For bipartite candidates (linkage,
+    * incremental cross-edges) this keeps the big side's signature relation
+    * out of the `a`-join entirely — with the union form a batch-vs-corpus
+    * fold paid a corpus-wide dedup shuffle of the signature payloads just
+    * to score a few thousand pairs.
+    */
+  def scoreSides(candidates: DataFrame, aSigs: Dataset[DocSig],
+                 bSigs: Dataset[DocSig], cfg: GraftConfig)(
       implicit spark: SparkSession): DataFrame = {
     val cap = cfg.scoreTextCap
 
     // phase A: one side-table join per pair side (minhash gate prefix +
-    // text prefix together — the sig table is shuffled exactly twice);
+    // text prefix together — each sig table is shuffled exactly once);
     // media_dist arrives exact from the block join's radius prefilter
-    val side = sigs.toDF().select(
+    def side(sigs: Dataset[DocSig]) = sigs.toDF().select(
       col("doc_id"), slice(col("minhash"), 1, GateSlots).as("mh"),
       substring(col("text"), 1, cap).as("text_cap"))
     val withA = candidates.join(
-      side.withColumnRenamed("doc_id", "a")
+      side(aSigs).withColumnRenamed("doc_id", "a")
         .withColumnRenamed("mh", "mh_a").withColumnRenamed("text_cap", "t_a"), Seq("a"))
     val withB = withA.join(
-      side.withColumnRenamed("doc_id", "b")
+      side(bSigs).withColumnRenamed("doc_id", "b")
         .withColumnRenamed("mh", "mh_b").withColumnRenamed("text_cap", "t_b"), Seq("b"))
     val gated = withB
       .withColumn("minhash_est", minhashEst(col("mh_a"), col("mh_b")))
