@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * incremental ids equal the full-run ids EXACTLY, not just up to
   * relabeling (IncrementalSpec asserts byte-equality against a full run).
   *
+  * Exactness caveat — census scope: hot/degenerate block decisions are
+  * made per census (old run: old rows; this fold: batch and batch×corpus
+  * rows), while a full run censuses the union. A key that crosses
+  * `cfg.maxBlockSize` only in the union scope is dropped by the full run
+  * but not here (and vice versa), so equality is guaranteed in the
+  * regime where no key is degenerate at either scope — drops are always
+  * logged loudly by both paths, never silent.
+  *
   * Contract: `existingAssign` must be [[Pipeline.run]]'s full cluster
   * output (every old doc, singletons included) with the SAME `cfg`, and
   * doc_ids are unique across old ∪ new. At production scale
@@ -38,6 +46,19 @@ import org.apache.spark.sql.functions._
   * cluster id.
   */
 object Incremental {
+
+  /** Fold a batch using the state a previous [[Pipeline.run]] checkpointed
+    * to `checkpointDir` (signature + assignment stages via
+    * [[Pipeline.readState]]) — the production entry point: yesterday's run
+    * persisted its lineage, today's fold reads it instead of recomputing
+    * anything over the old corpus.
+    */
+  def fromCheckpoint(spark: SparkSession, checkpointDir: String,
+                     newDocs: Dataset[Doc], cfg: GraftConfig = GraftConfig(),
+                     resolver: MediaResolver = DefaultMedia): IncrementalResult = {
+    val (sigs, assign) = Pipeline.readState(spark, checkpointDir)
+    run(spark, sigs, assign, newDocs, cfg, resolver)
+  }
 
   final case class IncrementalResult(
       assignments: DataFrame, // (doc_id, cluster_id) for every NEW doc
@@ -58,13 +79,49 @@ object Incremental {
     implicit val s: SparkSession = spark
     import spark.implicits._
 
-    val newSigs = Signatures.derive(newDocs, cfg, resolver).map(_.sig)
+    // 0. within-batch exact pre-collapse — same digest rule as Pipeline
+    // stage 0 (md5 over the canonical span JSON), same reason: a k-copy
+    // farm inside the batch must cost O(k), not the O(k²) within-block
+    // pairs identical content generates. Copies inherit their
+    // representative's cluster at expansion. (Exact copies STRADDLING the
+    // old/new boundary are linked by the fuzzy path instead — identical
+    // content shares every band and scores 1.0 — so they need no digest
+    // join against the old corpus; the one uncovered case is a new doc
+    // whose content is band-less (no text, no media) AND identical to an
+    // old doc, which a full run would merge by digest.)
+    val tRun = System.nanoTime()
+    def mark(label: String): Unit =
+      System.err.println(f"[graft] incremental $label: ${(System.nanoTime() - tRun) / 1e9}%.2f s elapsed")
+    val (batchDocs, expansion) = if (cfg.exactPrecollapse) {
+      val keyed = newDocs.toDF()
+        .select(col("doc_id"), md5(to_json(col("spans"))).as("digest"))
+      val head = keyed.agg(count(lit(1)), count_distinct(col("digest"))).head()
+      if (head.getLong(1) == head.getLong(0)) (newDocs, None)
+      else {
+        val reps = keyed.groupBy("digest").agg(min(col("doc_id")).as("rep"))
+        val mapping = keyed.join(reps, "digest").select("doc_id", "rep")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mapping.count()
+        val repDocs = newDocs.join(mapping.filter(col("doc_id") === col("rep"))
+          .select("doc_id"), Seq("doc_id"), "left_semi").as[Doc]
+        (repDocs, Some(mapping))
+      }
+    } else (newDocs, None)
+    mark("precollapse")
+
+    val newSigs = Signatures.derive(batchDocs, cfg, resolver).map(_.sig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // new×new: the standard self-join pipeline on the batch alone
+    // new×new: the standard self-join pipeline on the batch alone. The
+    // edge set is materialized BEFORE the block relation is released —
+    // candidatePairs' persist contract — or the band udf would re-run for
+    // both self-join legs when CC later forces the edges.
     val (cands, _, releaseBlocks) = Blocking.candidatePairs(newSigs, cfg)
     val newEdges = Pairs.edges(Pairs.score(cands, newSigs, cfg))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newEdges.count()
     releaseBlocks()
+    mark("new-new edges")
 
     // new×old: bipartite band linkage — old-old pairs never exist in any plan
     val cross = Linkage.linkSigs(spark, newSigs, existingSigs, cfg, existingBands)
@@ -77,13 +134,26 @@ object Incremental {
       .select(col("left_id").as("src"), col("cluster_id").as("dst"))
       .distinct()
 
+    mark("cross link built")
     val comp = Components.connectedComponents(
       newEdges.unionByName(crossEdges), cfg.maxCcIterations)
+    mark("components")
 
-    // new docs: component id, or themselves when untouched by any edge
-    val assignments = newDocs.toDF().select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    // new docs: component id, or themselves when untouched by any edge;
+    // with pre-collapse every copy routes through its representative
+    // (mirrors Pipeline stage 6)
+    val assignments = expansion match {
+      case Some(mapping) =>
+        newDocs.toDF().select(col("doc_id"))
+          .join(mapping, Seq("doc_id"))
+          .join(comp.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("rep")))
+          .select("doc_id", "cluster_id")
+      case None =>
+        newDocs.toDF().select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    }
 
     // old clusters absorbed under a smaller id (a new doc bridged them to an
     // earlier cluster or doc): emit the relabel map — the caller applies it
@@ -94,6 +164,9 @@ object Incremental {
       .select(col("doc_id").as("old_cluster_id"), col("cluster_id"))
 
     IncrementalResult(assignments, remapped,
-      () => { cross.release(); newSigs.unpersist(); () })
+      () => {
+        cross.release(); newSigs.unpersist(); newEdges.unpersist()
+        expansion.foreach(_.unpersist()); ()
+      })
   }
 }

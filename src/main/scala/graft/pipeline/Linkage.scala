@@ -21,14 +21,19 @@ import org.apache.spark.sql.functions._
   * 10^12-doc corpus costs O(batch × bucket), not O(corpus²).
   *
   * Skew: keys whose combined side cardinality exceeds `cfg.hotBlockSize`
-  * are salted (left side keeps one salt, right side is replicated over all
-  * `cfg.saltFactor` salts — every cross pair produced exactly once);
-  * keys above `cfg.maxBlockSize` are degenerate and dropped with logged
-  * counts. The census is an inner join of per-side key counts — keys
-  * present on only one side produce no pairs and never reach the driver.
+  * are salted — the LEFT side (the batch, in batch-vs-corpus usage) is
+  * replicated over all `cfg.saltFactor` salts while each right-side row
+  * keeps one salt, so every cross pair is produced exactly once and the
+  * large side is never replicated. Keys whose pair volume ln×rn exceeds
+  * `cfg.maxBlockSize`² are degenerate and dropped with logged counts —
+  * the product rule makes a self-link's drop set identical to the
+  * self-dedup pipeline's (bsize² > max² ⇔ bsize > max). The census is an
+  * inner join of per-side key counts — keys present on only one side
+  * produce no pairs and never reach the driver.
   *
-  * Contract: doc_ids must be unique across BOTH sides (they key the
-  * signature rejoin).
+  * Contract: doc_ids must be unique WITHIN each side (they key the
+  * signature rejoin). The same id may appear on both sides — a self-link
+  * reproduces the self-dedup pipeline's direct edge set (LinkageSpec).
   */
 object Linkage {
 
@@ -77,12 +82,14 @@ object Linkage {
     // census of joinable keys only (inner join of per-side counts): hot and
     // degenerate keys are a bounded handful by construction, so the collect
     // is driver-safe the same way the pipeline's census is
+    val maxPairs = cfg.maxBlockSize.toLong * cfg.maxBlockSize.toLong
     val census = lB.groupBy("block_key").agg(count(lit(1)).as("ln"))
       .join(rB.groupBy("block_key").agg(count(lit(1)).as("rn")), Seq("block_key"))
-      .filter(col("ln") + col("rn") > math.min(cfg.hotBlockSize, cfg.maxBlockSize).toLong)
+      .filter(col("ln") + col("rn") > cfg.hotBlockSize.toLong ||
+        col("ln") * col("rn") > maxPairs)
       .collect()
-    val degKeys = census.filter(r => r.getLong(1) + r.getLong(2) > cfg.maxBlockSize)
-    val hotKeys = census.filter(r => r.getLong(1) + r.getLong(2) <= cfg.maxBlockSize)
+    val degKeys = census.filter(r => r.getLong(1) * r.getLong(2) > maxPairs)
+    val hotKeys = census.filter(r => r.getLong(1) * r.getLong(2) <= maxPairs)
     if (degKeys.nonEmpty)
       System.err.println(s"[graft] linkage: dropped ${degKeys.length} degenerate keys")
     val stats = LinkStats(degKeys.length.toLong, hotKeys.length.toLong)
@@ -116,11 +123,14 @@ object Linkage {
           col("media_dist"), col("sim_ham"), col("l.is_text").as("is_text"))
     }
 
+    // salting orientation: replicate the LEFT (batch) side over the salts,
+    // give each RIGHT (corpus) row one salt — the large side is scanned
+    // once, never replicated, and each cross pair exists at exactly one salt
     val normalPairs = crossJoin(normal(lB), normal(rB), Nil)
     val sf = cfg.saltFactor
-    val hotLeft = hot(lB).withColumn("salt",
+    val hotLeft = hot(lB).withColumn("salt", explode(sequence(lit(0), lit(sf - 1))))
+    val hotRight = hot(rB).withColumn("salt",
       pmod(xxhash64(col("doc_id")), lit(sf.toLong)).cast("int"))
-    val hotRight = hot(rB).withColumn("salt", explode(sequence(lit(0), lit(sf - 1))))
     val hotPairs = crossJoin(hotLeft, hotRight, Seq("salt"))
 
     val cand = normalPairs.unionByName(hotPairs)

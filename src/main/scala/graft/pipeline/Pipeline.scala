@@ -135,7 +135,7 @@ object Pipeline {
     // pre-collapse, every doc routes through its representative's
     // assignment (exact copies of an otherwise-singleton rep still cluster
     // together under the rep's id).
-    val out = expansion match {
+    val expanded = expansion match {
       case Some(mapping) =>
         docs.toDF()
           .join(mapping, Seq("doc_id"))
@@ -149,7 +149,31 @@ object Pipeline {
           .select("doc_id", "cluster_id", "spans")
     }
 
+    // 7. when checkpointing, the EXPANDED per-doc assignment is itself a
+    // stage table — the durable output, and the state a later
+    // [[Incremental.fromCheckpoint]] fold reads back together with the
+    // signature stage (it must cover every doc, singletons included)
+    val out = io match {
+      case Some(t) =>
+        Checkpoints.stage(spark, t, "assignments", Hashing.hash64(baseKey, 5L))(expanded)
+      case None => expanded
+    }
+
     Result(out, edges, badMedia, stats, () => cached.foreach(_.unpersist()))
+  }
+
+  /** The checkpointed state of a completed [[run]] with `checkpointDir`
+    * set: the signature stage (representatives under pre-collapse) and the
+    * full per-doc assignment stage — exactly the inputs
+    * [[Incremental.run]] needs to fold the next batch in.
+    */
+  def readState(spark: SparkSession, checkpointDir: String)
+      : (Dataset[DocSig], DataFrame) = {
+    import spark.implicits._
+    val io = new ParquetTableIO(checkpointDir)
+    val sigs = io.read(spark, "signatures").select("sig.*").as[DocSig]
+    val assign = io.read(spark, "assignments").select("doc_id", "cluster_id")
+    (sigs, assign)
   }
 
   /** Targeted compare (reference E2, `dedupe.go:127-146`): which candidate
