@@ -65,6 +65,18 @@ object Incremental {
       remapped: DataFrame, // (old_cluster_id, cluster_id): old clusters whose id changed
       release: () => Unit)
 
+  /** The old assignment table with the relabel map applied — a broadcast
+    * join (the remap covers only TOUCHED clusters, a batch-sized relation).
+    * `applyRemap(oldAssign, inc.remapped) union inc.assignments` is the
+    * next generation's full assignment state, ready to checkpoint.
+    */
+  def applyRemap(existingAssign: DataFrame, remapped: DataFrame): DataFrame =
+    existingAssign.join(
+        org.apache.spark.sql.functions.broadcast(remapped),
+        existingAssign("cluster_id") === remapped("old_cluster_id"), "left")
+      .select(existingAssign("doc_id"),
+        coalesce(remapped("cluster_id"), existingAssign("cluster_id")).as("cluster_id"))
+
   /** `existingBands`: optionally the old corpus's prebuilt band relation
     * ([[Blocking.bandRowsDF]] schema, checkpointed by the previous run).
     * Without it the fold re-derives old band keys — an O(corpus) UDF pass

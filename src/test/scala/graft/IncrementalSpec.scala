@@ -111,18 +111,14 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     old.release()
 
     val inc = Incremental.fromCheckpoint(s, dir, ds(newSeq), cfg)
-    val newAssign = inc.assignments.collect()
-      .map(r => (r.getString(0), r.getString(1))).toMap
-    val remap = inc.remapped.collect()
-      .map(r => (r.getString(0), r.getString(1))).toMap
-    inc.release()
-
     val (sigsReread, assignReread) = Pipeline.readState(s, dir)
     assert(sigsReread.count() == oldSeq.size && assignReread.count() == oldSeq.size)
-    val oldFinal = assignReread.collect().map { r =>
-      val c = r.getString(1); (r.getString(0), remap.getOrElse(c, c))
-    }.toMap
-    val incMap = oldFinal ++ newAssign
+    // next-generation state via the library helper (broadcast remap join)
+    val nextState = Incremental.applyRemap(assignReread, inc.remapped)
+      .unionByName(inc.assignments)
+    val incMap = nextState.collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    inc.release()
 
     val full = Pipeline.run(s, ds(oldSeq ++ newSeq), cfg)
     val fullMap = full.clusters.select("doc_id", "cluster_id").collect()
