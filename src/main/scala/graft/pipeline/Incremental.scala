@@ -55,15 +55,43 @@ object Incremental {
     */
   def fromCheckpoint(spark: SparkSession, checkpointDir: String,
                      newDocs: Dataset[Doc], cfg: GraftConfig = GraftConfig(),
-                     resolver: MediaResolver = DefaultMedia): IncrementalResult = {
+                     resolver: MediaResolver = DefaultMedia,
+                     existingBands: Option[DataFrame] = None): IncrementalResult = {
     val (sigs, assign) = Pipeline.readState(spark, checkpointDir)
-    run(spark, sigs, assign, newDocs, cfg, resolver)
+    run(spark, sigs, assign, newDocs, cfg, resolver, existingBands)
   }
 
   final case class IncrementalResult(
       assignments: DataFrame, // (doc_id, cluster_id) for every NEW doc
       remapped: DataFrame, // (old_cluster_id, cluster_id): old clusters whose id changed
       release: () => Unit)
+
+  /** Persist a folded generation as the stage tables [[fromCheckpoint]] /
+    * [[Pipeline.readState]] read — closing the multi-day loop: day N's
+    * fold writes a NEW generation dir (generations are immutable; the
+    * previous dir stays a valid fold source), day N+1 folds from it
+    * without ever re-running the full pipeline.
+    *
+    *   - `sigs`: previous generation's signatures ∪ the batch's (derive
+    *     the batch side with [[Signatures.derive]], or re-read it from
+    *     this fold's own stages)
+    *   - `assignments`: `applyRemap(oldAssign, result.remapped)
+    *     unionByName result.assignments`
+    *   - `generationKey`: any value unique per generation, e.g.
+    *     `Hashing.hash64(previousKey, batchDigest)` — the manifest pair is
+    *     written with the same key derivation [[Pipeline.run]] uses, so
+    *     [[Pipeline.readState]]'s consistency check accepts it.
+    */
+  def writeState(spark: SparkSession, checkpointDir: String,
+                 sigs: Dataset[DocSig], assignments: DataFrame,
+                 generationKey: Long): Unit = {
+    val io = new ParquetTableIO(checkpointDir)
+    io.write("signatures",
+      sigs.toDF().select(org.apache.spark.sql.functions.struct(col("*")).as("sig")),
+      generationKey)
+    io.write("assignments", assignments.select("doc_id", "cluster_id"),
+      graft.text.Hashing.hash64(generationKey, 5L))
+  }
 
   /** The old assignment table with the relabel map applied — a broadcast
     * join (the remap covers only TOUCHED clusters, a batch-sized relation).
@@ -104,21 +132,8 @@ object Incremental {
     val tRun = System.nanoTime()
     def mark(label: String): Unit =
       System.err.println(f"[graft] incremental $label: ${(System.nanoTime() - tRun) / 1e9}%.2f s elapsed")
-    val (batchDocs, expansion) = if (cfg.exactPrecollapse) {
-      val keyed = newDocs.toDF()
-        .select(col("doc_id"), md5(to_json(col("spans"))).as("digest"))
-      val head = keyed.agg(count(lit(1)), count_distinct(col("digest"))).head()
-      if (head.getLong(1) == head.getLong(0)) (newDocs, None)
-      else {
-        val reps = keyed.groupBy("digest").agg(min(col("doc_id")).as("rep"))
-        val mapping = keyed.join(reps, "digest").select("doc_id", "rep")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        mapping.count()
-        val repDocs = newDocs.join(mapping.filter(col("doc_id") === col("rep"))
-          .select("doc_id"), Seq("doc_id"), "left_semi").as[Doc]
-        (repDocs, Some(mapping))
-      }
-    } else (newDocs, None)
+    val (batchDocs, expansion) =
+      if (cfg.exactPrecollapse) Pipeline.precollapse(newDocs) else (newDocs, None)
     mark("precollapse")
 
     val newSigs = Signatures.derive(batchDocs, cfg, resolver).map(_.sig)
@@ -153,19 +168,10 @@ object Incremental {
 
     // new docs: component id, or themselves when untouched by any edge;
     // with pre-collapse every copy routes through its representative
-    // (mirrors Pipeline stage 6)
-    val assignments = expansion match {
-      case Some(mapping) =>
-        newDocs.toDF().select(col("doc_id"))
-          .join(mapping, Seq("doc_id"))
-          .join(comp.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
-          .withColumn("cluster_id", coalesce(col("cluster_id"), col("rep")))
-          .select("doc_id", "cluster_id")
-      case None =>
-        newDocs.toDF().select(col("doc_id"))
-          .join(comp, Seq("doc_id"), "left")
-          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-    }
+    // (the same expansion rule as Pipeline stage 6 — shared helper)
+    val assignments = Pipeline.expandClusters(
+      newDocs.toDF().select(col("doc_id")), expansion, comp)
+      .select("doc_id", "cluster_id")
 
     // old clusters absorbed under a smaller id (a new doc bridged them to an
     // earlier cluster or doc): emit the relabel map — the caller applies it

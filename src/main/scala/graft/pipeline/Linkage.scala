@@ -82,14 +82,18 @@ object Linkage {
     // census of joinable keys only (inner join of per-side counts): hot and
     // degenerate keys are a bounded handful by construction, so the collect
     // is driver-safe the same way the pipeline's census is
+    // degenerate test in DIVISION form (ln > maxPairs div rn ⟺ ln·rn >
+    // maxPairs for positive integers): the direct product wraps Long at
+    // the design point (ln = 10^9, rn = 10^10 ⇒ 10^19 > 2^63), which would
+    // misclassify an ultra-degenerate key as merely hot and salt-join it
     val maxPairs = cfg.maxBlockSize.toLong * cfg.maxBlockSize.toLong
     val census = lB.groupBy("block_key").agg(count(lit(1)).as("ln"))
       .join(rB.groupBy("block_key").agg(count(lit(1)).as("rn")), Seq("block_key"))
       .filter(col("ln") + col("rn") > cfg.hotBlockSize.toLong ||
-        col("ln") * col("rn") > maxPairs)
+        expr(s"ln > $maxPairs div rn"))
       .collect()
-    val degKeys = census.filter(r => r.getLong(1) * r.getLong(2) > maxPairs)
-    val hotKeys = census.filter(r => r.getLong(1) * r.getLong(2) <= maxPairs)
+    val degKeys = census.filter(r => r.getLong(1) > maxPairs / r.getLong(2))
+    val hotKeys = census.filter(r => r.getLong(1) <= maxPairs / r.getLong(2))
     if (degKeys.nonEmpty)
       System.err.println(s"[graft] linkage: dropped ${degKeys.length} degenerate keys")
     val stats = LinkStats(degKeys.length.toLong, hotKeys.length.toLong)

@@ -74,39 +74,15 @@ object Pipeline {
       out
     }
 
-    // 0. exact-duplicate pre-collapse: group docs by content digest and run
-    // the fuzzy pipeline on one REPRESENTATIVE per group (min doc_id). A
-    // duplicate farm of k identical docs costs O(k) — one narrow digest map,
-    // one (digest, doc_id) shuffle — instead of the O(k²) within-block pair
-    // blowup no blocking scheme can avoid for identical content. Copies
-    // inherit their representative's cluster at expansion (stage 6); since
-    // the representative is the min doc_id of its copies, cluster_id
-    // semantics (min doc_id in component) are unchanged.
-    val (pipelineDocs, expansion) = if (cfg.exactPrecollapse) {
-      val t0 = System.nanoTime()
-      // columnar 128-bit content digest: md5 over the canonical JSON of the
-      // span array — whole-stage codegen, no typed deserialization, and
-      // collision-safe at 10^12 docs (a 64-bit digest would birthday-collide
-      // there and silently merge unrelated docs)
-      val keyed = docs.toDF()
-        .select(col("doc_id"), md5(to_json(col("spans"))).as("digest"))
-      // cheap detection first: one aggregate, no join — corpora with no
-      // exact duplicates (the common case) pay ONLY this digest scan
-      val head = keyed.agg(count(lit(1)), count_distinct(col("digest"))).head()
-      val (nDocs, nReps) = (head.getLong(0), head.getLong(1))
-      log.info(f"stage collapse: ${(System.nanoTime() - t0) / 1e9}%.2f s, $nDocs docs -> $nReps distinct-content reps")
-      if (nReps == nDocs) (docs, None)
-      else {
-        val reps = keyed.groupBy("digest").agg(min(col("doc_id")).as("rep"))
-        val mapping = keyed.join(reps, "digest").select("doc_id", "rep")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        mapping.count()
-        val repDocs = docs.join(mapping.filter(col("doc_id") === col("rep"))
-            .select("doc_id"), Seq("doc_id"), "left_semi").as[Doc]
-        cached += mapping
-        (repDocs, Some(mapping))
-      }
-    } else (docs, None)
+    // 0. exact-duplicate pre-collapse (shared with Incremental's batch
+    // path — the byte-equality contract between the two depends on ONE
+    // digest rule, so there is one implementation)
+    val t0Collapse = System.nanoTime()
+    val (pipelineDocs, expansion) =
+      if (cfg.exactPrecollapse) precollapse(docs) else (docs, None)
+    log.info(f"stage collapse: ${(System.nanoTime() - t0Collapse) / 1e9}%.2f s" +
+      (if (expansion.isEmpty) ", no exact duplicates" else ""))
+    expansion.foreach(cached += _)
 
     // 1. signatures (+ bad-media side output)
     val sigResults = materialize("signatures", baseKey) {
@@ -135,19 +111,8 @@ object Pipeline {
     // pre-collapse, every doc routes through its representative's
     // assignment (exact copies of an otherwise-singleton rep still cluster
     // together under the rep's id).
-    val expanded = expansion match {
-      case Some(mapping) =>
-        docs.toDF()
-          .join(mapping, Seq("doc_id"))
-          .join(assignments.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
-          .withColumn("cluster_id", coalesce(col("cluster_id"), col("rep")))
-          .select("doc_id", "cluster_id", "spans")
-      case None =>
-        docs.toDF()
-          .join(assignments, Seq("doc_id"), "left")
-          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-          .select("doc_id", "cluster_id", "spans")
-    }
+    val expanded = expandClusters(docs.toDF(), expansion, assignments)
+      .select("doc_id", "cluster_id", "spans")
 
     // 7. when checkpointing, the EXPANDED per-doc assignment is itself a
     // stage table — the durable output, and the state a later
@@ -162,15 +127,85 @@ object Pipeline {
     Result(out, edges, badMedia, stats, () => cached.foreach(_.unpersist()))
   }
 
+  /** Exact-duplicate pre-collapse: one REPRESENTATIVE (min doc_id) per
+    * content-digest group, so a k-copy farm costs O(k) — one narrow digest
+    * map, one (digest, doc_id) shuffle — instead of the O(k²) within-block
+    * pair blowup no blocking scheme can avoid for identical content. The
+    * digest is a columnar 128-bit md5 over the canonical span JSON —
+    * whole-stage codegen, and collision-safe at 10^12 docs (64 bits would
+    * birthday-collide there and silently merge unrelated docs). Cheap
+    * detection first: a corpus with no exact duplicates (the common case)
+    * pays ONLY the digest scan. Returns (repDocs, mapping) — the mapping is
+    * persisted; the CALLER unpersists it.
+    *
+    * Shared by [[run]] stage 0 and [[Incremental.run]]'s batch path: the
+    * incremental-vs-full byte-equality contract requires both to collapse
+    * under the identical digest rule.
+    */
+  private[pipeline] def precollapse(docs: Dataset[Doc])(
+      implicit spark: SparkSession): (Dataset[Doc], Option[DataFrame]) = {
+    import spark.implicits._
+    val keyed = docs.toDF()
+      .select(col("doc_id"), md5(to_json(col("spans"))).as("digest"))
+    val head = keyed.agg(count(lit(1)), count_distinct(col("digest"))).head()
+    if (head.getLong(1) == head.getLong(0)) (docs, None)
+    else {
+      val reps = keyed.groupBy("digest").agg(min(col("doc_id")).as("rep"))
+      val mapping = keyed.join(reps, "digest").select("doc_id", "rep")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mapping.count()
+      val repDocs = docs.join(mapping.filter(col("doc_id") === col("rep"))
+        .select("doc_id"), Seq("doc_id"), "left_semi").as[Doc]
+      (repDocs, Some(mapping))
+    }
+  }
+
+  /** Per-doc cluster expansion (stage 6 / Incremental assignment): every
+    * row of `docsDF` gets a `cluster_id` — via its pre-collapse
+    * representative when `expansion` is set, directly otherwise; docs
+    * untouched by any edge cluster as themselves. All other `docsDF`
+    * columns pass through.
+    */
+  private[pipeline] def expandClusters(docsDF: DataFrame,
+                                       expansion: Option[DataFrame],
+                                       assignments: DataFrame): DataFrame =
+    expansion match {
+      case Some(mapping) =>
+        docsDF.join(mapping, Seq("doc_id"))
+          .join(assignments.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("rep")))
+          .drop("rep")
+      case None =>
+        docsDF.join(assignments, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    }
+
   /** The checkpointed state of a completed [[run]] with `checkpointDir`
-    * set: the signature stage (representatives under pre-collapse) and the
-    * full per-doc assignment stage — exactly the inputs
-    * [[Incremental.run]] needs to fold the next batch in.
+    * set (or of a generation persisted by [[Incremental.writeState]]): the
+    * signature stage (representatives under pre-collapse) and the full
+    * per-doc assignment stage — exactly the inputs [[Incremental.run]]
+    * needs to fold the next batch in.
+    *
+    * Generation consistency is VERIFIED before anything is read: both
+    * manifests must exist and the assignment stage's resume key must be
+    * `hash64(signature key, 5)` — the derivation both writers use. A dir
+    * where a killed run left stages from different generations (day-N
+    * signatures beside day-N−1 assignments) would otherwise fold
+    * silently into wrong clusters: linkage matches against the newer
+    * signatures inner-join the stale assignment table and simply drop.
     */
   def readState(spark: SparkSession, checkpointDir: String)
       : (Dataset[DocSig], DataFrame) = {
     import spark.implicits._
     val io = new ParquetTableIO(checkpointDir)
+    (io.completedKey("signatures"), io.completedKey("assignments")) match {
+      case (Some(k), Some(a)) if a == Hashing.hash64(k, 5L) => ()
+      case (sk, ak) => throw new IllegalStateException(
+        s"checkpoint $checkpointDir is not a consistent generation: " +
+          s"signatures key=$sk assignments key=$ak — stages come from " +
+          "different runs (or a run died mid-write); re-run the pipeline " +
+          "or fold from an intact generation dir")
+    }
     val sigs = io.read(spark, "signatures").select("sig.*").as[DocSig]
     val assign = io.read(spark, "assignments").select("doc_id", "cluster_id")
     (sigs, assign)

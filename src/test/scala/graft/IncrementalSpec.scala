@@ -103,27 +103,59 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
       "cross-boundary exact copy not linked to the old doc's cluster")
   }
 
-  test("fromCheckpoint folds a batch from a previous run's stage tables") {
+  test("multi-generation loop: fold from checkpoint, writeState, fold again") {
     val s = spark
-    val dir = java.nio.file.Files.createTempDirectory("graft-inc-ckpt").toString
-    val old = Pipeline.run(s, ds(oldSeq), cfg, checkpointDir = Some(dir))
-    old.clusters.count() // materialize the checkpointed stages
+    val gen0 = java.nio.file.Files.createTempDirectory("graft-inc-gen0").toString
+    val gen1 = java.nio.file.Files.createTempDirectory("graft-inc-gen1").toString
+    val (batch1, batch2) = newSeq.splitAt(newSeq.size / 2)
+
+    // generation 0: full pipeline run, checkpointed
+    val old = Pipeline.run(s, ds(oldSeq), cfg, checkpointDir = Some(gen0))
+    old.clusters.count()
     old.release()
 
-    val inc = Incremental.fromCheckpoint(s, dir, ds(newSeq), cfg)
-    val (sigsReread, assignReread) = Pipeline.readState(s, dir)
-    assert(sigsReread.count() == oldSeq.size && assignReread.count() == oldSeq.size)
-    // next-generation state via the library helper (broadcast remap join)
-    val nextState = Incremental.applyRemap(assignReread, inc.remapped)
-      .unionByName(inc.assignments)
-    val incMap = nextState.collect()
-      .map(r => (r.getString(0), r.getString(1))).toMap
-    inc.release()
+    // day 1: fold batch1 from gen0's stage tables, persist generation 1
+    val inc1 = Incremental.fromCheckpoint(s, gen0, ds(batch1), cfg)
+    val (sigs0, assign0) = Pipeline.readState(s, gen0)
+    assert(sigs0.count() == oldSeq.size && assign0.count() == oldSeq.size)
+    val batch1Sigs = graft.pipeline.Signatures
+      .derive(ds(batch1), cfg, graft.media.DefaultMedia)(s)
+      .map(_.sig)(org.apache.spark.sql.Encoders.product)
+    Incremental.writeState(s, gen1,
+      sigs0.unionByName(batch1Sigs),
+      Incremental.applyRemap(assign0, inc1.remapped).unionByName(inc1.assignments),
+      generationKey = 20260817L)
+    inc1.release()
+
+    // day 2: fold batch2 from the WRITTEN generation — no full run anywhere
+    val inc2 = Incremental.fromCheckpoint(s, gen1, ds(batch2), cfg)
+    val (sigs1, assign1) = Pipeline.readState(s, gen1)
+    assert(sigs1.count() == oldSeq.size + batch1.size)
+    val finalMap = Incremental.applyRemap(assign1, inc2.remapped)
+      .unionByName(inc2.assignments)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    inc2.release()
 
     val full = Pipeline.run(s, ds(oldSeq ++ newSeq), cfg)
     val fullMap = full.clusters.select("doc_id", "cluster_id").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     full.release()
-    assert(incMap == fullMap, "checkpoint-fed fold diverged from the full run")
+    assert(finalMap == fullMap, "two-generation fold diverged from the full run")
+  }
+
+  test("readState rejects a mixed-generation checkpoint dir") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-mixed").toString
+    val old = Pipeline.run(s, ds(oldSeq.take(40)), cfg, checkpointDir = Some(dir))
+    old.clusters.count()
+    old.release()
+    // simulate a run killed between the signatures and assignments writes:
+    // corrupt the assignments manifest's resume key
+    val m = java.nio.file.Paths.get(dir, "assignments", "_graft_manifest.json")
+    val json = java.nio.file.Files.readString(m)
+    java.nio.file.Files.writeString(m,
+      json.replaceAll("\"resume_key\":\"-?\\d+\"", "\"resume_key\":\"12345\""))
+    val e = intercept[IllegalStateException] { Pipeline.readState(s, dir) }
+    assert(e.getMessage.contains("not a consistent generation"))
   }
 }
