@@ -64,8 +64,14 @@ object Main {
       case ("--quiet" | "-q") :: t => loop(t, acc.copy(quiet = true))
       case "--hash" :: h :: t if h == "dct" || h == "dhash" => loop(t, acc.copy(hashName = h))
       case "--hash" :: h :: _ => Left(s"unknown hash type '$h' (dct, dhash)")
-      case "--threshold" :: v :: t if v.forall(_.isDigit) && v.nonEmpty =>
-        loop(t, acc.copy(threshold = v.toInt))
+      case "--threshold" :: v :: t =>
+        // Try, not an isDigit guard: "99999999999" and non-ASCII Unicode
+        // digits pass isDigit but blow up toInt — that must be a usage
+        // error (exit 2), never an uncaught crash (exit 1 = "no dups")
+        scala.util.Try(v.toInt).toOption.filter(_ >= 0) match {
+          case Some(n) => loop(t, acc.copy(threshold = n))
+          case None => Left(s"invalid --threshold '$v' (expected a non-negative int)\n$usage")
+        }
       case ("--csv" | "-o") :: p :: t => loop(t, acc.copy(csvOut = p))
       case ("--move" | "-m") :: p :: t => loop(t, acc.copy(moveTo = p))
       case ("--copy" | "-c") :: p :: t => loop(t, acc.copy(copyTo = p))
@@ -82,7 +88,7 @@ object Main {
         // list REPLACES the positional targets entirely (slices.Contains
         // semantics — positional args alongside `-` are ignored)
         if (acc.targets.contains("-"))
-          acc.copy(targets = stdin.flatMap(_.split(' ')).filter(_.nonEmpty).toVector)
+          acc.copy(targets = stdin.flatMap(_.split("\\s+")).filter(_.nonEmpty).toVector)
         else acc
       }
       .filterOrElse(_.targets.nonEmpty, s"no targets provided\n$usage")
@@ -181,22 +187,36 @@ object Main {
       FileActions.plan(members, kind, dest, keepFirst, minGroupSize)).localCheckpoint(true)
     val failed = results.filter(!_.ok).collect()
     failed.foreach(r => System.err.println(s"[graft] $kind failed: ${r.src}: ${r.error}"))
-    if (!quiet) out.println(s"${results.count() - failed.length} files ${kind}d")
+    val verb = kind match {
+      case "copy" => "copied"
+      case "delete" => "deleted"
+      case k => k + "d"
+    }
+    if (!quiet) out.println(s"${results.count() - failed.length} files $verb")
     failed.length
   }
 
   private def emitRows(groups: DataFrame, cli: CliConfig,
                        out: java.io.PrintStream): Long = {
-    val rows = groups.select(col("cluster_id").cast("string"),
-        array_join(transform(col("members"), _.cast("string")), ",").as("row"))
-      .orderBy("cluster_id")
-    val collected = rows.select("row").collect().map(_.getString(0))
-    if (collected.nonEmpty) {
-      if (cli.csvOut.nonEmpty && cli.csvOut != "-")
-        Report.writeGroupsCsv(groups, cli.csvOut, coalesce1 = true)
-      else collected.foreach(out.println)
+    if (cli.csvOut.nonEmpty && cli.csvOut != "-") {
+      // sink path: the report never rides through the driver — persist the
+      // groups relation so the count (exit-code decision) and the CSV write
+      // compute it once, and collect nothing
+      groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = groups.count()
+      if (n > 0) Report.writeGroupsCsv(groups, cli.csvOut, coalesce1 = true)
+      groups.unpersist()
+      n
+    } else {
+      // stdout path (the reference CLI's default): the report is printed,
+      // so a driver collect is inherent
+      val rows = groups.select(col("cluster_id").cast("string"),
+          array_join(transform(col("members"), _.cast("string")), ",").as("row"))
+        .orderBy("cluster_id")
+      val collected = rows.select("row").collect().map(_.getString(0))
+      collected.foreach(out.println)
+      collected.length.toLong
     }
-    collected.length.toLong
   }
 
   /** Execute the parsed CLI against a session. Exit codes: 0 = duplicates

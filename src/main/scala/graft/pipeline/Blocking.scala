@@ -150,6 +150,37 @@ object Blocking {
       .select(col("doc_id"), col("media"), col("slots"), col("simhash"),
         col("hasText"), col("bk._1").as("block_key"), col("bk._2").as("is_text"))
 
+  /** Band equi-join + cheap prefilter cascade over two band-row relations
+    * ([[bandRowsDF]] schema), shared by the self-join pipeline and
+    * cross-corpus [[Linkage]]: ONE implementation of the media-radius /
+    * SimHash gate, so a prefilter tuning cannot silently diverge between
+    * the two (the self-link ≡ pipeline-edge-set equivalence LinkageSpec
+    * gates depends on it). `idCond` is the pair predicate — `_ < _`
+    * canonical dedup for the self-join, `_ =!= _` diagonal drop for the
+    * cross join. Output: (a = l.doc_id, b = r.doc_id, media_dist,
+    * sim_ham, is_text).
+    */
+  private[pipeline] def prefilteredPairs(left: DataFrame, right: DataFrame,
+      extraKey: Seq[String],
+      idCond: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      cfg: GraftConfig): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val keyCond = (Seq("block_key") ++ extraKey)
+      .map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    l.join(r, keyCond && idCond(col("l.doc_id"), col("r.doc_id")))
+      .withColumn("media_dist",
+        mediaDistUdf(col("l.media"), col("r.media"), col("l.slots")))
+      .withColumn("sim_ham",
+        when(col("l.hasText") && col("r.hasText"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
+          .otherwise(lit(9999)))
+      .filter(col("media_dist") < cfg.mediaThreshold ||
+        col("sim_ham") < cfg.simhashPrefilter)
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("media_dist"), col("sim_ham"), col("l.is_text").as("is_text"))
+  }
+
   def candidatePairs(sigs: Dataset[DocSig], cfg: GraftConfig)(
       implicit spark: SparkSession): (DataFrame, BlockStats, () => Unit) = {
     // Persisted: the band relation has 3 consumers (census, join left, join
@@ -185,23 +216,8 @@ object Blocking {
     val normal = if (hotSet.isEmpty) live else live.filter(!isHot(col("block_key")))
     val hot = if (hotSet.isEmpty) live.limit(0) else live.filter(isHot(col("block_key")))
 
-    def pairJoin(left: DataFrame, right: DataFrame, extraKey: Seq[String]): DataFrame = {
-      val l = left.alias("l")
-      val r = right.alias("r")
-      val keyCond = (Seq("block_key") ++ extraKey)
-        .map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
-      l.join(r, keyCond && col("l.doc_id") < col("r.doc_id"))
-        .withColumn("media_dist",
-          mediaDistUdf(col("l.media"), col("r.media"), col("l.slots")))
-        .withColumn("sim_ham",
-          when(col("l.hasText") && col("r.hasText"),
-            bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
-            .otherwise(lit(9999)))
-        .filter(col("media_dist") < cfg.mediaThreshold ||
-          col("sim_ham") < cfg.simhashPrefilter)
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-          col("media_dist"), col("sim_ham"), col("l.is_text").as("is_text"))
-    }
+    def pairJoin(left: DataFrame, right: DataFrame, extraKey: Seq[String]): DataFrame =
+      prefilteredPairs(left, right, extraKey, _ < _, cfg)
 
     val normalPairs = pairJoin(normal, normal, Nil)
 

@@ -32,8 +32,12 @@ import org.apache.spark.sql.functions._
   * produce no pairs and never reach the driver.
   *
   * Contract: doc_ids must be unique WITHIN each side (they key the
-  * signature rejoin). The same id may appear on both sides — a self-link
-  * reproduces the self-dedup pipeline's direct edge set (LinkageSpec).
+  * signature rejoin), and EQUAL ids across sides denote the SAME record —
+  * the diagonal is excluded, which is what makes a self-link reproduce
+  * the self-dedup pipeline's direct edge set (LinkageSpec). Two corpora
+  * with independent id namespaces must be disambiguated first (e.g.
+  * prefix each side's ids), or a coincidental id collision between two
+  * DIFFERENT records would silently suppress their match.
   */
 object Linkage {
 
@@ -106,26 +110,12 @@ object Linkage {
     def normal(b: DataFrame) = if (hotSet.isEmpty) live(b) else live(b).filter(!isHot(col("block_key")))
     def hot(b: DataFrame) = if (hotSet.isEmpty) b.limit(0) else live(b).filter(isHot(col("block_key")))
 
-    // oriented cross join: a = left id, b = right id (no a<b canonicalization
-    // — sides are distinct relations); same prefilter cascade as the
-    // self-join pipeline
-    def crossJoin(l0: DataFrame, r0: DataFrame, extraKey: Seq[String]): DataFrame = {
-      val l = l0.alias("l")
-      val r = r0.alias("r")
-      val keyCond = (Seq("block_key") ++ extraKey)
-        .map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
-      l.join(r, keyCond && col("l.doc_id") =!= col("r.doc_id"))
-        .withColumn("media_dist",
-          Blocking.mediaDistUdf(col("l.media"), col("r.media"), col("l.slots")))
-        .withColumn("sim_ham",
-          when(col("l.hasText") && col("r.hasText"),
-            bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))))
-            .otherwise(lit(9999)))
-        .filter(col("media_dist") < cfg.mediaThreshold ||
-          col("sim_ham") < cfg.simhashPrefilter)
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-          col("media_dist"), col("sim_ham"), col("l.is_text").as("is_text"))
-    }
+    // oriented cross join: a = left id, b = right id (no a<b
+    // canonicalization — sides are distinct relations); the prefilter
+    // cascade is the SHARED Blocking.prefilteredPairs, with the diagonal
+    // dropped: equal ids across sides denote the same record by contract
+    def crossJoin(l0: DataFrame, r0: DataFrame, extraKey: Seq[String]): DataFrame =
+      Blocking.prefilteredPairs(l0, r0, extraKey, _ =!= _, cfg)
 
     // salting orientation: replicate the LEFT (batch) side over the salts,
     // give each RIGHT (corpus) row one salt — the large side is scanned

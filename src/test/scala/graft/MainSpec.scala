@@ -29,6 +29,15 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     // --delete-all implies delete with keepFirst off
     val da = Main.parse(Seq("--delete-all", "d"), Iterator.empty).toOption.get
     assert(da.delete && da.deleteAll)
+    // out-of-range / malformed threshold is a usage ERROR, never a crash
+    // (exit 1 is reserved for "no duplicates" — a stack-trace death there
+    // would read as a clean no-dup run to a calling script)
+    assert(Main.parse(Seq("--threshold", "99999999999", "d"), Iterator.empty).isLeft)
+    assert(Main.parse(Seq("--threshold", "-3", "d"), Iterator.empty).isLeft)
+    assert(Main.parse(Seq("--threshold", "nope", "d"), Iterator.empty).isLeft)
+    // stdin list source splits on ANY whitespace (tabs from cut/join tools)
+    val tabbed = Main.parse(Seq("-"), Iterator("a.jpg\tb.jpg", " c.jpg ")).toOption.get
+    assert(tabbed.targets == Seq("a.jpg", "b.jpg", "c.jpg"))
   }
 
   test("E1: cats corpus groups — cat transforms in ONE csv row, keeper first") {
