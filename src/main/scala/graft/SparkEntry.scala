@@ -349,6 +349,31 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // boilerplate / repeated-span detection: verbatim 8-word phrases
+    // appearing in MORE THAN ONE document (navigation chrome, license
+    // headers, template text — the span-level dedup that doc-level
+    // clustering misses). Word 8-grams rather than sentences because the
+    // span unit must not depend on punctuation conventions. Two agg
+    // stages — (phrase, doc) pre-collapse, then phrase — so both get
+    // map-side combine and repeats WITHIN one doc count once; top-10 by
+    // breadth via a bounded top-k sort, never a global one. Phrases are
+    // md5-keyed in the shuffle at production scale; here the text itself
+    // rides so the report is readable (oracle matches either way).
+    "q_boilerplate" -> ((s, dir) => {
+      val ph = docsTable(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - 7),
+            i => array_join(slice(col("w"), i, lit(8)), " "))).as("phrase"))
+      ph.groupBy("phrase", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occurrences"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("phrase"))
+        .limit(10)
+    }),
+
     // blocking-quality census as a first-class query (reduction-ratio
     // ingredients): per band position — block count, row mass, max block
     // size, candidate-pair mass Σ b(b−1)/2. ONE map-side-combined groupBy
@@ -1101,6 +1126,18 @@ object SparkEntry {
          |  FROM p)
          |SELECT left_id, right_id, jw FROM rk WHERE rn = 1
          |ORDER BY left_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM words),
+        |ph AS (
+        |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS phrase FROM idx),
+        |per AS (SELECT phrase, doc_id, count(*) AS c FROM ph GROUP BY 1, 2)
+        |SELECT phrase, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_occurrences
+        |FROM per GROUP BY phrase HAVING count(*) > 1
+        |ORDER BY n_docs DESC, phrase LIMIT 10""".stripMargin,
 
     "q_blocking_stats" ->
       s"""WITH $sBandCte,

@@ -103,4 +103,19 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(3) == 4L)                    // sum_adj_repeats
     assert(r.getLong(4) == 1L)                    // n_low_ttr (only doc 1)
   }
+
+  test("q_boilerplate: cross-doc 8-word phrase detected; in-doc repeats count as occurrences not docs") {
+    val p = (1 to 8).map(i => s"p$i").mkString(" ")
+    val dir = plantedDir(Seq(
+      (1L, s"$p a b", "en", "web"),        // phrase once, unique tail
+      (2L, s"x $p y", "en", "web"),        // phrase once, shifted position
+      (3L, s"$p z $p", "en", "web"),       // phrase TWICE in one doc
+      (4L, "s1 s2 s3 s4 s5 s6 s7", "en", "web"), // 7 words: no 8-grams at all
+      (5L, (1 to 12).map(i => s"u$i").mkString(" "), "en", "web"))) // all-unique grams
+    val got = SparkEntry.queries("q_boilerplate")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // Only the planted phrase crosses a doc boundary: 3 docs, 4 occurrences
+    // (doc 3's repeat raises occurrences but not breadth).
+    assert(got == Seq((p, 3L, 4L)))
+  }
 }
