@@ -129,4 +129,52 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getString(0)).toSeq == Seq("7"), rows.mkString(", "))
     assert(rows.head.getDouble(1) >= 0.67, s"score ${rows.head.getDouble(1)} below tau")
   }
+
+  test("q_ann_lsh: full output re-derived from first principles (sign bits, bands, cosine) matches exactly") {
+    // From-scratch JVM mirror of the whole operator — sign hash from raw
+    // floats, 8 bands of 8 bits, bucket-sharing candidacy, sequential-fold
+    // cosine, HALF_UP round, strict > 0.3 — sharing NO code with the Spark
+    // column expressions. A frozen-wrong golden (or a kernel bug in
+    // signHash/dotCol/normCol) diverges here.
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def signHash(v: Array[Float]): Long = {
+      var h = 0L; var i = 0
+      while (i < 63) { if (v(i) > 0f) h |= (1L << i); i += 1 }
+      h
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byBucket = vecs.toSeq.flatMap { case (id, v) =>
+      val h = signHash(v)
+      (0 until 8).map(i => (s"$i:${(h >> (i * 8)) & 0xffL}", id))
+    }.groupBy(_._1).values
+    val candPairs: Set[(Long, Long)] = byBucket.flatMap { members =>
+      val ids = members.map(_._2).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield (ids(i), ids(j))
+    }.toSet
+    val expected = candPairs.toSeq
+      .map(p => (p, cos(vecs(p._1), vecs(p._2))))
+      .filter(_._2 > 0.3).toMap
+    val emitted = SparkEntry.queries("q_ann_lsh")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(emitted.nonEmpty)
+    assert(emitted.keySet == expected.keySet,
+      s"pair-set diff: extra=${(emitted.keySet -- expected.keySet).take(5)} " +
+        s"missing=${(expected.keySet -- emitted.keySet).take(5)}")
+    emitted.foreach { case (pair, c) =>
+      assert(math.abs(c - expected(pair)) < 1e-9, s"$pair: emitted $c vs recomputed ${expected(pair)}")
+    }
+  }
 }
