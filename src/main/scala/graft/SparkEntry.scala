@@ -178,6 +178,47 @@ object SparkEntry {
       .select(col("a").as("src"), col("b").as("dst"))
   }
 
+  /** Cluster-cohesion audit (ER precision proxy): per cluster, the pairwise
+    * edit-distance profile of its members — n_pairs, sum/avg distance, and
+    * the minimum round-6 similarity (1 − lev/maxlen). A merged cluster with
+    * low min_sim is a probable over-merge; this is the report a reviewer
+    * reads before approving a survivorship delete.
+    *
+    * Members are capped at `cap` per cluster (row_number over doc_id)
+    * BEFORE the pair expansion, so an adversarial million-member cluster
+    * costs O(cap·k) rows and O(cap²) scored pairs, never O(k²); n_members
+    * still reports the true cluster size. All aggregates are exact integer
+    * sums; the only doubles are per-pair round-6 quotients — bit-identical
+    * across engines.
+    *
+    * @param cc (doc_id, cluster_id) membership, e.g. from
+    *           [[Components.connectedComponents]]
+    * @param t  (doc_id, t) comparison text
+    */
+  private[graft] def clusterCohesion(cc: DataFrame, t: DataFrame,
+                                     cap: Int = 32): DataFrame = {
+    val sz = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val mem = cc.join(t, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy("doc_id")))
+      .filter(col("rk") <= cap)
+    val l = mem.select(col("cluster_id"), col("doc_id").as("a"), col("t").as("ta"))
+    val r = mem.select(col("cluster_id"), col("doc_id").as("b"), col("t").as("tb"))
+    val pairs = l.join(r, "cluster_id").filter(col("a") < col("b"))
+      .withColumn("d", levenshtein(col("ta"), col("tb")))
+      .withColumn("sim", round(lit(1.0) - col("d").cast("double") /
+        greatest(length(col("ta")), length(col("tb"))), 6))
+    pairs.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d")).as("sum_dist"),
+        round(sum(col("d")).cast("double") / count(lit(1)), 6).as("avg_dist"),
+        min(col("sim")).as("min_sim"))
+      .join(sz, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("n_pairs"),
+        col("sum_dist"), col("avg_dist"), col("min_sim"))
+      .orderBy("cluster_id")
+  }
+
   /** Bipartite linkage match relation (left_id, right_id, jw): even-id docs
     * linked against odd-id docs via shared MinHash bands, scored with the
     * native Jaro-Winkler expression, thresholded at 0.9 on the ROUNDED value
@@ -407,6 +448,31 @@ object SparkEntry {
           sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"))
         .withColumn("dup_rate", round(col("n_dup_docs") / col("n_docs"), 6))
         .orderBy("source")
+    }),
+
+    // cluster-cohesion audit (ER precision proxy) — see [[clusterCohesion]]
+    "q_cluster_cohesion" -> ((s, dir) =>
+      clusterCohesion(
+        Components.connectedComponents(levEdges(s, dir))(s),
+        docsTable(s, dir).select(col("doc_id"), substring(col("text"), 1, 60).as("t")))),
+
+    // candidate-score calibration histogram: the distribution of edit
+    // distances over BANDED candidate pairs, bucketed in 5s, with the
+    // cross-source share per bucket. This is how a match threshold gets
+    // chosen at 100 TB: one pass over the candidate relation (already
+    // O(N·bucket) by construction), integer-keyed groupBy, 13 output rows.
+    "q_cand_hist" -> ((s, dir) => {
+      val t = docsTable(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"), col("source"))
+      sBandCandidates(s, dir)
+        .join(t.select(col("doc_id").as("a"), col("t").as("ta"), col("source").as("sa")), "a")
+        .join(t.select(col("doc_id").as("b"), col("t").as("tb"), col("source").as("sb")), "b")
+        .withColumn("d", levenshtein(col("ta"), col("tb")))
+        .withColumn("bucket", floor(col("d") / 5.0).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross_source"))
+        .orderBy("bucket")
     }),
 
     // cross-table record linkage (bipartite ER): link the even-id half of
@@ -1103,6 +1169,50 @@ object SparkEntry {
          |FROM g JOIN mem ON mem.cluster_id = g.cluster_id AND mem.n_chars = g.max_chars
          |GROUP BY g.cluster_id, g.n_members, g.max_chars
          |ORDER BY g.cluster_id""".stripMargin,
+
+    "q_cluster_cohesion" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM reach GROUP BY u),
+         |sz AS (SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY 1),
+         |mem AS (SELECT cc.cluster_id, cc.doc_id, d.t,
+         |        row_number() OVER (PARTITION BY cc.cluster_id ORDER BY cc.doc_id) AS rk
+         |        FROM cc JOIN d ON d.doc_id = cc.doc_id),
+         |p AS (SELECT l.cluster_id, levenshtein(l.t, r.t) AS d,
+         |      round(1.0 - CAST(levenshtein(l.t, r.t) AS DOUBLE)
+         |            / greatest(length(l.t), length(r.t)), 6) AS sim
+         |      FROM mem l JOIN mem r
+         |        ON l.cluster_id = r.cluster_id AND l.doc_id < r.doc_id
+         |      WHERE l.rk <= 32 AND r.rk <= 32)
+         |SELECT p.cluster_id, sz.n_members, count(*) AS n_pairs,
+         |       CAST(sum(p.d) AS BIGINT) AS sum_dist,
+         |       round(CAST(sum(p.d) AS DOUBLE) / count(*), 6) AS avg_dist,
+         |       min(p.sim) AS min_sim
+         |FROM p JOIN sz ON sz.cluster_id = p.cluster_id
+         |GROUP BY p.cluster_id, sz.n_members
+         |ORDER BY p.cluster_id""".stripMargin,
+
+    "q_cand_hist" ->
+      s"""WITH $sBandCte,
+         |pr AS (
+         |  SELECT levenshtein(l.t, r.t) AS d,
+         |         CASE WHEN ls.source <> rs.source THEN 1 ELSE 0 END AS xs
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  JOIN documents ls ON ls.doc_id = l.doc_id
+         |  JOIN documents rs ON rs.doc_id = r.doc_id
+         |  WHERE $sBandCond)
+         |SELECT CAST(floor(d / 5.0) AS INT) AS bucket, count(*) AS n_pairs,
+         |       CAST(sum(xs) AS BIGINT) AS n_cross_source
+         |FROM pr GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_record_linkage" ->
       s"""WITH $sBandCte

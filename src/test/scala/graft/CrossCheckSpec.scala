@@ -177,4 +177,186 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(c - expected(pair)) < 1e-9, s"$pair: emitted $c vs recomputed ${expected(pair)}")
     }
   }
+
+  test("q_fingerprint: winnowing re-derived with a different algorithm (deque sliding-min) matches per doc") {
+    // Independent winnowing: normalization spelled out locally, shingles via
+    // String.sliding, window minimum via a monotonic deque (O(n)) instead of
+    // the kernel's O(n·w) rescan + TreeSet. Only Hashing.hash64 is shared
+    // (it is the fingerprint's definition). A frozen-wrong golden — or a
+    // window/boundary bug in TextStats.winnow — diverges here.
+    def winnowIndep(text: String): Array[Long] = {
+      val norm = Option(text).getOrElse("").toLowerCase.replaceAll("\\s+", " ").trim
+      val grams: Seq[String] =
+        if (norm.isEmpty) Seq.empty
+        else if (norm.length <= 8) Seq(norm)
+        else norm.sliding(8).toSeq
+      if (grams.isEmpty) return Array.empty
+      val hs = grams.map(graft.text.Hashing.hash64(_)).toArray
+      if (hs.length <= 4) return Array(hs.min)
+      val mins = scala.collection.mutable.SortedSet[Long]()
+      val dq = new java.util.ArrayDeque[Int]()
+      for (i <- hs.indices) {
+        while (!dq.isEmpty && hs(dq.peekLast()) >= hs(i)) dq.pollLast()
+        dq.addLast(i)
+        if (dq.peekFirst() <= i - 4) dq.pollFirst()
+        if (i >= 3) mins += hs(dq.peekFirst())
+      }
+      mins.toArray
+    }
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val emitted = SparkEntry.queries("q_fingerprint")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(emitted.keySet == texts.keySet)
+    texts.foreach { case (id, t) =>
+      val fp = winnowIndep(t)
+      val want = (fp.length, if (fp.isEmpty) 0L else fp.min)
+      assert(emitted(id) == want, s"doc $id: emitted ${emitted(id)} vs rederived $want")
+    }
+  }
+
+  test("q_ann_ivf: centroids, cells, probes and top-k re-derived sequentially match exactly") {
+    // From-scratch mirror of the whole IVF operator: Lloyd's iterations,
+    // cell argmax, nprobe selection, candidate generation, cosine and the
+    // (cos desc, n) ranking are all re-implemented here with independent
+    // code; only the sample ORDER (Spark's xxhash64 builtin) is taken from
+    // the engine, because it defines which rows the fit sees.
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val vecs = rows.toMap
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val sampleIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id")).orderBy(xxhash64(col("vec_id"), lit(42L)), col("vec_id"))
+      .limit(512).collect().map(_.getLong(0))
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    def dotD(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val sample = sampleIds.map(id => vecs(id).map(_.toDouble))
+    var cents = sample.take(8).map(normalize)
+    for (_ <- 0 until 5) {
+      val assign = sample.map(v => cents.indices.maxBy(c => (dotD(cents(c), v), -c)))
+      cents = cents.indices.toArray.map { c =>
+        val mine = sample.zip(assign).collect { case (v, a) if a == c => v }
+        if (mine.isEmpty) cents(c)
+        else normalize(mine.transpose.map(_.sum))
+      }
+    }
+    val model = graft.ann.Ivf.fit(spark.read.parquet(s"$dir/embeddings.parquet"),
+      "embedding", "vec_id", k = 8)
+    model.centroids.zip(cents).zipWithIndex.foreach { case ((got, want), c) =>
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"centroid $c: $g vs $w")
+      }
+    }
+    // operator semantics: cell = argmax dot (first wins on tie), probes =
+    // top-4 cells by (dot desc, cell asc), neighbours from probed cells only
+    def dotF(c: Array[Double], v: Array[Float]): Double =
+      v.indices.foldLeft(0.0)((s, i) => s + c(i) * v(i))
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.indices.maxBy(c => (dotF(cents(c), v), -c))
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = vecs.keys.filter(_ < 50).toSeq.sorted.flatMap { q =>
+      val probes = cents.indices
+        .sortBy(c => (-dotF(cents(c), vecs(q)), c)).take(4).toSet
+      vecs.keys.filter(n => n != q && probes.contains(cellOf(n))).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(3).zipWithIndex
+        .map { case ((n, c), i) => (q, n, i + 1, c) }
+    }
+    val emitted = SparkEntry.queries("q_ann_ivf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(emitted == expected,
+      s"first diff: ${emitted.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("q_audio_near_dups: pair set re-derived by sequential brute force over the stub fingerprints") {
+    // The golden locks the distributed posexplode→equi-join→agg plumbing;
+    // this re-derives the SAME answer with nested loops: every item pair,
+    // count windows whose fingerprint values agree, keep >= 6. Shares only
+    // the stub fingerprint math's definition (re-written locally against
+    // graft.text.Hashing).
+    import graft.text.Hashing
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 15 == 0).sorted
+    val items: Seq[(String, Array[Long])] = ids.toSeq.flatMap { id =>
+      val bytes = Array.tabulate[Byte](512)(i => ((id * 31 + i) % 101).toByte)
+      def fp(ref: String): Array[Long] = {
+        val h = Hashing.hash64(ref)
+        (0 until 8).map { i =>
+          var acc = Hashing.mix64(h ^ i.toLong)
+          var j = i
+          while (j < bytes.length) { acc = Hashing.hash64(acc, bytes(j).toLong); j += 64 }
+          acc
+        }.toArray
+      }
+      val base = (s"a$id", fp(s"aud-$id"))
+      if (id % 60 == 0) Seq(base, (s"a$id-re", fp(s"aud-$id"))) else Seq(base)
+    }
+    val expected = (for {
+      i <- items.indices
+      j <- items.indices
+      (da, fa) = items(i)
+      (db, fb) = items(j)
+      if da < db
+      shared = (0 until 8).count(w => fa(w) == fb(w))
+      if shared >= 6
+    } yield ((da, db), shared.toLong)).toMap
+    val emitted = SparkEntry.queries("q_audio_near_dups")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(expected.nonEmpty)
+    assert(emitted == expected,
+      s"extra=${(emitted.keySet -- expected.keySet).take(5)} missing=${(expected.keySet -- emitted.keySet).take(5)}")
+  }
+
+  test("q_video_near_dups: pair set re-derived by sequential brute force over sampled frame hashes") {
+    // Distinct-frame-hash set intersection >= 3, computed with plain Scala
+    // sets over the same deterministic frame synthesis (SynthMedia/PHash are
+    // the frame DEFINITION; their pixel math has independent golden-pixel
+    // coverage in KernelSpec). Verifies the distinct-before-join dedup and
+    // the shared_frames aggregation.
+    import graft.text.Hashing
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 20 == 0).sorted
+    val items: Seq[(String, Set[Long])] = ids.toSeq.flatMap { id =>
+      val bytes = Array.tabulate[Byte](256)(i => ((id + i) % 127).toByte)
+      val digest = Hashing.hash64(s"vid-$id", bytes.length.toLong)
+      val nFrames = 1 + java.lang.Long.remainderUnsigned(digest, 240L).toInt
+      val hashes = (0 until nFrames by 2).take(12).map { i =>
+        graft.imaging.PHash.dct64(
+          graft.media.SynthMedia.render(Hashing.hash64(digest, i.toLong), 0))
+      }.toSet
+      val base = (s"v$id", hashes)
+      if (id % 100 == 0) Seq(base, (s"v$id-copy", hashes)) else Seq(base)
+    }
+    val expected = (for {
+      i <- items.indices
+      j <- items.indices
+      (da, fa) = items(i)
+      (db, fb) = items(j)
+      if da < db
+      shared = fa.intersect(fb).size
+      if shared >= 3
+    } yield ((da, db), shared.toLong)).toMap
+    val emitted = SparkEntry.queries("q_video_near_dups")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(expected.nonEmpty)
+    assert(emitted == expected,
+      s"extra=${(emitted.keySet -- expected.keySet).take(5)} missing=${(expected.keySet -- emitted.keySet).take(5)}")
+  }
 }

@@ -118,4 +118,33 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     // (doc 3's repeat raises occurrences but not breadth).
     assert(got == Seq((p, 3L, 4L)))
   }
+
+  test("clusterCohesion: member cap bounds the pair expansion; n_members reports true size") {
+    import spark.implicits._
+    // one 100-member cluster: the pair stage must see C(32,2) = 496 pairs,
+    // never C(100,2) = 4950 — the cap applies BEFORE the self-join
+    val cc = (1L to 100L).map(i => (i, 1L)).toDF("doc_id", "cluster_id")
+    val t = (1L to 100L).map(i => (i, s"member text $i")).toDF("doc_id", "t")
+    val out = SparkEntry.clusterCohesion(cc, t).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 100L, "n_members must be the uncapped size")
+    assert(r.getLong(2) == 496L, s"n_pairs ${r.getLong(2)} != C(32,2)")
+    // identical-text pair cluster: distance 0, similarity exactly 1.0
+    val cc2 = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val t2 = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "t")
+    val r2 = SparkEntry.clusterCohesion(cc2, t2).collect().head
+    assert(r2.getLong(2) == 1L && r2.getLong(3) == 0L && r2.getDouble(5) == 1.0)
+  }
+
+  test("q_cand_hist: identical cross-source docs land one pair in bucket 0 with cross-source flag") {
+    val text = "calibration histogram probe text shared verbatim by two docs"
+    val dir = plantedDir(Seq(
+      (1L, text, "en", "web"),
+      (2L, text, "en", "cc")))
+    val got = SparkEntry.queries("q_cand_hist")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // identical texts share every band and have edit distance 0
+    assert(got == Seq((0, 1L, 1L)))
+  }
 }
