@@ -1,0 +1,72 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.streaming.StreamIngest
+import graft.synth.Corpus
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-ingest gate: micro-batch folds through the foreachBatch front
+  * door must land EXACTLY on the full-run clusters (byte-equal ids — the
+  * same equality IncrementalSpec proves for the batch fold), with the
+  * generation pointer advancing per batch, committed batches replay-safe,
+  * and pruning keeping the state readable.
+  */
+class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val labeled = Corpus.generate(Corpus.Params(entities = 200, seed = 11))
+  private val cfg = Corpus.RecommendedConfig
+
+  private def ds(docs: Seq[graft.model.Doc]) =
+    spark.createDataset(docs)(org.apache.spark.sql.Encoders.product)
+
+  test("streamed folds converge to the full-run clusters byte-for-byte across micro-batches") {
+    implicit val s = spark
+    import s.implicits._
+    val all = labeled.map(_.doc)
+    // seed = perturbed duplicates, stream = base docs (the IncrementalSpec
+    // split that forces old-cluster merges, so the remap path runs)
+    val seedDocs = all.filterNot(_.doc_id.endsWith("-0"))
+    val streamed = all.filter(_.doc_id.endsWith("-0"))
+    val (b1, b2) = streamed.splitAt(streamed.size / 2)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    StreamIngest.seed(s, ds(seedDocs), stateDir, cfg)
+    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000000"))
+
+    val input = MemoryStream[graft.model.Doc](s)
+    val q = StreamIngest.writer(input.toDS(), stateDir, cfg)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000001"))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
+    } finally q.stop()
+
+    val (sigs, assign) = Pipeline.readState(s, StreamIngest.currentDir(stateDir))
+    assert(sigs.count() == all.size)
+    val got = assign.collect().map(r => (r.getString(0), r.getString(1))).toMap
+
+    val full = Pipeline.run(s, ds(all), cfg)
+    val want = full.clusters.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    full.release()
+    assert(got == want, {
+      val diffs = want.collect { case (k, v) if got.get(k) != Some(v) => (k, got.get(k), v) }
+      s"stream fold diverged from full run: ${diffs.take(5)}"
+    })
+
+    // replaying an already committed batch must be a no-op
+    StreamIngest.foldBatch(s, ds(b2), 1L, stateDir, cfg)
+    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
+
+    // prune retains the newest `keep` committed generations, state readable
+    val pruned = StreamIngest.pruneGenerations(stateDir, keep = 2)
+    assert(pruned == Seq("gen-00000000"), pruned.toString)
+    Pipeline.readState(s, StreamIngest.currentDir(stateDir))
+  }
+}
