@@ -58,7 +58,11 @@ object Incremental {
                      resolver: MediaResolver = DefaultMedia,
                      existingBands: Option[DataFrame] = None): IncrementalResult = {
     val (sigs, assign) = Pipeline.readState(spark, checkpointDir)
-    run(spark, sigs, assign, newDocs, cfg, resolver, existingBands)
+    // prefer the generation's checkpointed band relation (written by
+    // Pipeline.run / writeState) over re-deriving keys with an O(corpus)
+    // UDF pass; explicit caller-supplied bands still win
+    val bands = existingBands.orElse(Pipeline.readBands(spark, checkpointDir))
+    run(spark, sigs, assign, newDocs, cfg, resolver, bands)
   }
 
   final case class IncrementalResult(
@@ -84,11 +88,17 @@ object Incremental {
     */
   def writeState(spark: SparkSession, checkpointDir: String,
                  sigs: Dataset[DocSig], assignments: DataFrame,
-                 generationKey: Long): Unit = {
+                 generationKey: Long,
+                 bands: Option[DataFrame] = None): Unit = {
     val io = new ParquetTableIO(checkpointDir)
     io.write("signatures",
       sigs.toDF().select(org.apache.spark.sql.functions.struct(col("*")).as("sig")),
       generationKey)
+    // optional bands stage (old ∪ batch band rows, [[Blocking.bandRowsDF]]
+    // schema): lets the NEXT fold skip the O(corpus) key re-derivation —
+    // written before assignments, the generation's commit marker
+    bands.foreach(b => io.write("bands", b,
+      graft.text.Hashing.hash64(generationKey, 7L)))
     io.write("assignments", assignments.select("doc_id", "cluster_id"),
       graft.text.Hashing.hash64(generationKey, 5L))
   }

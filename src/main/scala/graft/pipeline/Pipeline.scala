@@ -120,6 +120,16 @@ object Pipeline {
     // signature stage (it must cover every doc, singletons included)
     val out = io match {
       case Some(t) =>
+        // the band relation is ALSO a stage table: tomorrow's incremental
+        // fold links its batch against these checkpointed keys instead of
+        // re-deriving them with an O(corpus) UDF pass (the 40.3 s vs 26.9 s
+        // fold delta measured in BASELINE.md) — see [[readBands]] /
+        // [[Incremental.fromCheckpoint]]. Written BEFORE assignments so the
+        // (signatures, assignments) consistency pair readState checks
+        // remains the generation's commit marker.
+        Checkpoints.stage(spark, t, "bands", Hashing.hash64(baseKey, 7L)) {
+          Blocking.bandRowsDF(sigs, cfg)
+        }
         Checkpoints.stage(spark, t, "assignments", Hashing.hash64(baseKey, 5L))(expanded)
       case None => expanded
     }
@@ -209,6 +219,22 @@ object Pipeline {
     val sigs = io.read(spark, "signatures").select("sig.*").as[DocSig]
     val assign = io.read(spark, "assignments").select("doc_id", "cluster_id")
     (sigs, assign)
+  }
+
+  /** The checkpointed band relation of a generation ([[Blocking.bandRowsDF]]
+    * schema), when present AND belonging to the same generation as the
+    * signature stage (key = hash64(signature key, 7) — the derivation both
+    * [[run]] and [[Incremental.writeState]] use). `None` for generations
+    * written before the bands stage existed — callers fall back to
+    * re-deriving keys from the signature table.
+    */
+  def readBands(spark: SparkSession, checkpointDir: String): Option[DataFrame] = {
+    val io = new ParquetTableIO(checkpointDir)
+    (io.completedKey("signatures"), io.completedKey("bands")) match {
+      case (Some(k), Some(b)) if b == Hashing.hash64(k, 7L) =>
+        Some(io.read(spark, "bands"))
+      case _ => None
+    }
   }
 
   /** Targeted compare (reference E2, `dedupe.go:127-146`): which candidate

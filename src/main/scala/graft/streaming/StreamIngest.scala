@@ -72,6 +72,16 @@ object StreamIngest {
     * fine — the fold is stateless at the STREAM level (all state lives in
     * the generation dirs), so none of the flatMapGroupsWithState trigger
     * caveats documented on [[StreamDedup]] apply.
+    *
+    * Lifecycle contract: `stateDir` and `streamingCheckpoint` are ONE
+    * deployment — the replay guard maps batchId → generation, and batchIds
+    * are monotonic only within one streaming checkpoint. Starting a FRESH
+    * streaming checkpoint against an existing stateDir restarts batchIds
+    * at 0, whose generations are already committed, so genuinely new data
+    * would be skipped as replays. To feed new data from a new stream into
+    * existing state, drive [[foldBatch]] directly with batchIds past the
+    * committed generation (or batch-fold via [[Incremental.fromCheckpoint]]
+    * + [[Incremental.writeState]]).
     */
   def start(stream: Dataset[Doc], stateDir: String,
             streamingCheckpoint: String, cfg: GraftConfig = GraftConfig(),
@@ -110,7 +120,15 @@ object StreamIngest {
     val prevKey = new ParquetTableIO(curDir).completedKey("signatures")
       .getOrElse(throw new IllegalStateException(s"no signature manifest in $curDir"))
 
-    val inc = Incremental.run(spark, sigs, assign, batch, cfg, resolver)
+    // the corpus band relation rides generation to generation: read the
+    // previous generation's checkpointed bands (falling back to one key
+    // re-derivation for pre-bands generations), fold against them, and
+    // write old ∪ batch bands into the next generation — so no fold after
+    // the first ever pays the O(corpus) key derivation again
+    val oldBands = Pipeline.readBands(spark, curDir)
+      .getOrElse(graft.pipeline.Blocking.bandRowsDF(sigs, cfg))
+    val inc = Incremental.run(spark, sigs, assign, batch, cfg, resolver,
+      existingBands = Some(oldBands))
     // next generation = old sigs ∪ batch sigs, old assignments (remapped)
     // ∪ batch assignments; the generation key chains off the previous key
     // so readState's consistency check links the whole lineage
@@ -118,7 +136,9 @@ object StreamIngest {
     Incremental.writeState(spark, s"$stateDir/$next",
       sigs.unionByName(batchSigs),
       Incremental.applyRemap(assign, inc.remapped).unionByName(inc.assignments),
-      generationKey = Hashing.hash64(prevKey, batchId))
+      generationKey = Hashing.hash64(prevKey, batchId),
+      bands = Some(oldBands.unionByName(
+        graft.pipeline.Blocking.bandRowsDF(batchSigs, cfg))))
     inc.release()
     commitPointer(stateDir, next)
   }

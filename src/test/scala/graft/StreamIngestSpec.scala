@@ -60,6 +60,15 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
       s"stream fold diverged from full run: ${diffs.take(5)}"
     })
 
+    // the band relation rode along: seed and every fold checkpoint it, so
+    // no fold after the first pays the O(corpus) key re-derivation
+    Seq("gen-00000000", "gen-00000001", "gen-00000002").foreach { g =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stateDir, g, "bands", "_graft_manifest.json")),
+        s"$g missing checkpointed bands stage")
+    }
+    assert(Pipeline.readBands(s, StreamIngest.currentDir(stateDir)).isDefined)
+
     // replaying an already committed batch must be a no-op
     StreamIngest.foldBatch(s, ds(b2), 1L, stateDir, cfg)
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
