@@ -57,12 +57,32 @@ object Incremental {
                      newDocs: Dataset[Doc], cfg: GraftConfig = GraftConfig(),
                      resolver: MediaResolver = DefaultMedia,
                      existingBands: Option[DataFrame] = None): IncrementalResult = {
-    val (sigs, assign) = Pipeline.readState(spark, checkpointDir)
+    val (sigs0, assign) = Pipeline.readState(spark, checkpointDir)
     // prefer the generation's checkpointed band relation (written by
     // Pipeline.run / writeState) over re-deriving keys with an O(corpus)
-    // UDF pass; explicit caller-supplied bands still win
+    // UDF pass; explicit caller-supplied bands still win.
+    //
+    // Both parquet-backed relations are persisted for the FOLD's duration
+    // (each is consumed 2-3×: linkage census, cross-join side, score side
+    // table), and their parallelism is restored first: a modest checkpoint
+    // parquet yields far fewer splits than the session's shuffle width
+    // (one ~150 MB sig table = 1-2 splits at the default maxPartitionBytes),
+    // which strangles the cross-scoring join until its first shuffle —
+    // measured 21 s vs 6 s for the same join at 102k docs. At production
+    // scale the file count makes the repartition a no-op (guarded), and
+    // the round-robin shuffle rides the one corpus scan the fold pays
+    // anyway to materialize the cache. Released with the result.
+    val width = spark.sessionState.conf.numShufflePartitions
+    def widen[T](ds: Dataset[T]): Dataset[T] =
+      if (ds.rdd.getNumPartitions < width) ds.repartition(width) else ds
+    val sigs = widen(sigs0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = existingBands.orElse(Pipeline.readBands(spark, checkpointDir))
-    run(spark, sigs, assign, newDocs, cfg, resolver, bands)
+      .map(b => widen(b).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val inner = run(spark, sigs, assign, newDocs, cfg, resolver, bands)
+    inner.copy(release = () => {
+      inner.release(); sigs.unpersist(); bands.foreach(_.unpersist()); ()
+    })
   }
 
   final case class IncrementalResult(
@@ -165,11 +185,18 @@ object Incremental {
 
     // contract matched old docs to their cluster supernode. The assignment
     // join is id-keyed and touches only matched old docs; distinct caps the
-    // edge count at (new doc, old cluster) granularity.
+    // edge count at (new doc, old cluster) granularity. MATERIALIZED before
+    // CC — connected components forces its edge relation more than once
+    // (size gate + iterations), and an unmaterialized crossEdges re-runs
+    // the whole cross-scoring join each time (measured: the components
+    // stage of a parquet-backed fold fell from 17.8 s to the in-memory
+    // legs' ~5 s once the edges were persisted; newEdges already was).
     val crossEdges = cross.matches
       .join(existingAssign.withColumnRenamed("doc_id", "right_id"), Seq("right_id"))
       .select(col("left_id").as("src"), col("cluster_id").as("dst"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    crossEdges.count()
 
     mark("cross link built")
     val comp = Components.connectedComponents(
@@ -194,7 +221,7 @@ object Incremental {
     IncrementalResult(assignments, remapped,
       () => {
         cross.release(); newSigs.unpersist(); newEdges.unpersist()
-        expansion.foreach(_.unpersist()); ()
+        crossEdges.unpersist(); expansion.foreach(_.unpersist()); ()
       })
   }
 }

@@ -324,6 +324,129 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
       s"extra=${(emitted.keySet -- expected.keySet).take(5)} missing=${(expected.keySet -- emitted.keySet).take(5)}")
   }
 
+  test("q_pipeline_clusters: whole pipeline re-derived sequentially (all-pairs + union-find) matches exactly") {
+    // The strongest golden check: the ENTIRE flagship pipeline — exact
+    // pre-collapse, band candidacy (media tables + >= 2-text-band vote),
+    // the simhash/media prefilter, the minhash gate, the fused decision
+    // rule, connected components, singleton/copy expansion — re-derived
+    // with plain Scala loops over ALL pairs and a hand-rolled union-find.
+    // Candidacy is deterministic given the band-key kernels, so equality
+    // is exact, not probabilistic. Shared with the engine: the signature
+    // stage and band-key KERNELS (they are the definitions); everything
+    // distributed — joins, votes, gates, CC, expansion — is independent
+    // (JW via graft.text.JaroWinkler, not the codegen expression; edit
+    // distance via a local DP, not Spark's levenshtein).
+    import graft.model.{Doc, DocSig, Span}
+    import graft.pipeline.{Blocking, GraftConfig, Signatures}
+    import graft.text.{JaroWinkler, MinHash}
+    val cfg = GraftConfig(mediaThreshold = 11)
+    // the query's asDocs construction, replicated (part of its definition)
+    val docs: Seq[Doc] = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val spans = Seq(Span.text(r.getString(1), 0)) ++
+          (if (id % 10 == 0) Seq(Span.media(s"synth://doc-${id / 10}", 1)) else Nil)
+        Doc(id.toString, spans)
+      }.toSeq
+    val sigs: Map[String, DocSig] = Signatures
+      .derive(spark.createDataset(docs)(org.apache.spark.sql.Encoders.product),
+        cfg, graft.media.DefaultMedia)(spark)
+      .map(_.sig)(org.apache.spark.sql.Encoders.product)
+      .collect().map(s => s.doc_id -> s).toMap
+
+    // exact pre-collapse: one representative (min doc_id) per identical
+    // span sequence; the synthetic corpus usually has none — the grouping
+    // is still modeled so the check cannot silently depend on that
+    val repOf: Map[String, String] = docs
+      .groupBy(d => d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)))
+      .values.flatMap { g =>
+        val rep = g.map(_.doc_id).min
+        g.map(d => d.doc_id -> rep)
+      }.toMap
+    val reps = repOf.values.toSet.toSeq.sorted
+
+    def bandKeys(s: DocSig): (Set[Long], Set[Long]) = (
+      s.media.zipWithIndex.flatMap { case (h, i) =>
+        Blocking.mediaBandKeys(h, cfg.mediaBlockBits, cfg.mediaBlocksPerKey, i % s.slots)
+      }.toSet,
+      if (s.minhash.nonEmpty) MinHash.bandKeys(s.minhash, cfg.textBands).toSet
+      else Set.empty[Long])
+    val keys = reps.map(id => id -> bandKeys(sigs(id))).toMap
+
+    def mediaDist(a: DocSig, b: DocSig): Int =
+      if (a.media.isEmpty || b.media.isEmpty) 9999
+      else (for (x <- a.media; y <- b.media)
+        yield java.lang.Long.bitCount(x ^ y)).min // slots = 1 under DCT
+    def editDist(a: String, b: String): Int = {
+      var prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+
+    val parent = scala.collection.mutable.Map(reps.map(r => r -> r): _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    def union(x: String, y: String): Unit = { parent(find(x)) = find(y) }
+
+    var nEdges = 0
+    for (i <- reps.indices; j <- i + 1 until reps.length) {
+      val (a, b) = (sigs(reps(i)), sigs(reps(j)))
+      val md = mediaDist(a, b)
+      val hasTextBoth = a.text != null && a.text.nonEmpty && b.text != null && b.text.nonEmpty
+      val simHam =
+        if (hasTextBoth) java.lang.Long.bitCount(a.simhash ^ b.simhash) else 9999
+      val (ma, ta) = keys(a.doc_id); val (mb, tb) = keys(b.doc_id)
+      val sharedText = ta.intersect(tb).size
+      val anyShared = sharedText > 0 || ma.intersect(mb).nonEmpty
+      val prefilter = md < cfg.mediaThreshold || simHam < cfg.simhashPrefilter
+      val vote = md < cfg.mediaThreshold || sharedText >= cfg.minTextBands
+      if (anyShared && prefilter && vote) {
+        val est = {
+          val n = math.min(32, math.min(a.minhash.length, b.minhash.length))
+          if (n == 0 || a.minhash.length.min(32) != b.minhash.length.min(32)) 0.0
+          else (0 until n).count(k => a.minhash(k) == b.minhash(k)).toDouble / n
+        }
+        if (md < cfg.mediaThreshold || est >= cfg.minhashGate) {
+          val (sa, sb) = (a.text.take(cfg.scoreTextCap), b.text.take(cfg.scoreTextCap))
+          val textScore =
+            if (sa.nonEmpty && sb.nonEmpty) {
+              val levNorm = editDist(sa, sb).toDouble / math.max(sa.length, sb.length)
+              cfg.wJw * JaroWinkler.jaroWinkler(sa, sb) +
+                cfg.wLev * (1.0 - levNorm) + cfg.wMinhash * est
+            } else 0.0
+          if (md < cfg.mediaThreshold || (sa.nonEmpty && sb.nonEmpty && textScore >= cfg.tau)) {
+            union(a.doc_id, b.doc_id)
+            nEdges += 1
+          }
+        }
+      }
+    }
+    assert(nEdges > 0, "corpus produced no duplicate edges to check")
+    val minOf = reps.groupBy(find).flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }
+    val expected: Map[String, String] =
+      docs.map(d => d.doc_id -> minOf(repOf(d.doc_id))).toMap
+
+    val emitted = SparkEntry.queries("q_pipeline_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0).toString, r.getString(1))).toMap
+    assert(emitted.keySet == expected.keySet)
+    val diffs = expected.collect { case (k, v) if emitted(k) != v => (k, emitted(k), v) }
+    assert(diffs.isEmpty, s"cluster diff (emitted, rederived): ${diffs.take(5)}")
+  }
+
   test("q_video_near_dups: pair set re-derived by sequential brute force over sampled frame hashes") {
     // Distinct-frame-hash set intersection >= 3, computed with plain Scala
     // sets over the same deterministic frame synthesis (SynthMedia/PHash are

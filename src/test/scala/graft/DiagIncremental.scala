@@ -93,6 +93,23 @@ object DiagIncremental {
     require(newAssign2 == newAssign && remap2 == remap,
       "persisted-band fold diverged from the rederiving fold")
 
+    // FULL production path: yesterday's run checkpointed to parquet
+    // (signatures + bands + assignments stages), today's fold reads every
+    // piece of old-corpus state from disk via fromCheckpoint — no
+    // in-memory carryover at all (state write is outside the timed window:
+    // it is yesterday's cost)
+    val genDir = java.nio.file.Files.createTempDirectory("graft-diag-gen").toString
+    val oldCk = Pipeline.run(spark, oldDocs, cfg, checkpointDir = Some(genDir))
+    oldCk.clusters.count(); oldCk.release()
+    val ((newAssign3, remap3), incCkSec) = time("incremental fold (fromCheckpoint: parquet sigs+bands)") {
+      val inc = Incremental.fromCheckpoint(spark, genDir, newDocs, cfg)
+      val a = inc.assignments.collect().map(x => (x.getString(0), x.getString(1))).toMap
+      val m = inc.remapped.collect().map(x => (x.getString(0), x.getString(1))).toMap
+      inc.release(); (a, m)
+    }
+    require(newAssign3 == newAssign && remap3 == remap,
+      "fromCheckpoint fold diverged from the in-memory folds")
+
     val incMap = oldAssign.collect().map { r =>
       val c = r.getString(1); (r.getString(0), remap.getOrElse(c, c))
     }.toMap ++ newAssign
