@@ -114,6 +114,10 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     old.clusters.count()
     old.release()
 
+    // gen0 carries the checkpointed bands stage (written by Pipeline.run);
+    // day 1's fromCheckpoint fold auto-reads it
+    assert(Pipeline.readBands(s, gen0).isDefined, "gen0 missing bands stage")
+
     // day 1: fold batch1 from gen0's stage tables, persist generation 1
     val inc1 = Incremental.fromCheckpoint(s, gen0, ds(batch1), cfg)
     val (sigs0, assign0) = Pipeline.readState(s, gen0)
@@ -121,13 +125,17 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     val batch1Sigs = graft.pipeline.Signatures
       .derive(ds(batch1), cfg, graft.media.DefaultMedia)(s)
       .map(_.sig)(org.apache.spark.sql.Encoders.product)
+    val gen1Sigs = sigs0.unionByName(batch1Sigs)
     Incremental.writeState(s, gen1,
-      sigs0.unionByName(batch1Sigs),
+      gen1Sigs,
       Incremental.applyRemap(assign0, inc1.remapped).unionByName(inc1.assignments),
-      generationKey = 20260817L)
+      generationKey = 20260817L,
+      bands = Some(graft.pipeline.Blocking.bandRowsDF(gen1Sigs, cfg)))
     inc1.release()
+    assert(Pipeline.readBands(s, gen1).isDefined, "gen1 missing bands stage")
 
-    // day 2: fold batch2 from the WRITTEN generation — no full run anywhere
+    // day 2: fold batch2 from the WRITTEN generation (reading gen1's
+    // checkpointed bands) — no full run anywhere
     val inc2 = Incremental.fromCheckpoint(s, gen1, ds(batch2), cfg)
     val (sigs1, assign1) = Pipeline.readState(s, gen1)
     assert(sigs1.count() == oldSeq.size + batch1.size)
