@@ -475,6 +475,44 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // sorted-neighborhood blocking (Hernández/Stolfo SNM — the classic ER
+    // alternative to hash/LSH blocking): sort the corpus by a key, compare
+    // each record only to its w = 3 successors. The global rank is computed
+    // the SCALE-CORRECT way — range repartition by (key, id), per-partition
+    // row_number (the window is partitioned, never a single-partition global
+    // sort), plus broadcast prefix offsets from a #partitions-sized census —
+    // and the neighbor join is a rank equi-join (explode of w target ranks),
+    // so the whole operator is one range shuffle + one linear join: O(w·N)
+    // pairs by construction, no quadratic regime at any key distribution.
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      val w = 3
+      val t = docsTable(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 60).as("t"),
+        substring(col("text"), 1, 24).as("k"))
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val part = t.repartitionByRange(nPart, col("k"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val counts = part.groupBy("pid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until nPart).map { p =>
+        (p, (0 until p).map(counts.getOrElse(_, 0L)).sum)
+      }
+      val offDf = broadcast(s.createDataFrame(offsets).toDF("pid", "off"))
+      val ranked = part
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy("pid").orderBy("k", "doc_id")))
+        .join(offDf, "pid")
+        .select(col("doc_id"), col("t"), (col("lrn") + col("off")).as("rn"))
+      ranked.select(col("doc_id").as("ida"), col("t").as("ta"),
+          explode(sequence(col("rn") + 1, col("rn") + w)).as("rn"))
+        .join(ranked.select(col("doc_id").as("idb"), col("t").as("tb"), col("rn")), "rn")
+        .withColumn("d", levenshtein(col("ta"), col("tb")))
+        .filter(col("d") < 15)
+        .select(least(col("ida"), col("idb")).as("a"),
+          greatest(col("ida"), col("idb")).as("b"), col("d"))
+        .orderBy("a", "b")
+    }),
+
     // cross-table record linkage (bipartite ER): link the even-id half of
     // the corpus against the odd-id half — the query-level mirror of
     // pipeline.Linkage.link. The band relation is derived ONCE and split by
@@ -1213,6 +1251,18 @@ object SparkEntry {
          |SELECT CAST(floor(d / 5.0) AS INT) AS bucket, count(*) AS n_pairs,
          |       CAST(sum(xs) AS BIGINT) AS n_cross_source
          |FROM pr GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH s AS (
+        |  SELECT doc_id, substr(text, 1, 60) AS t,
+        |         row_number() OVER (ORDER BY substr(text, 1, 24), doc_id) AS rn
+        |  FROM documents)
+        |SELECT least(l.doc_id, r.doc_id) AS a,
+        |       greatest(l.doc_id, r.doc_id) AS b,
+        |       levenshtein(l.t, r.t) AS d
+        |FROM s l JOIN s r ON r.rn - l.rn BETWEEN 1 AND 3
+        |WHERE levenshtein(l.t, r.t) < 15
+        |ORDER BY a, b""".stripMargin,
 
     "q_record_linkage" ->
       s"""WITH $sBandCte

@@ -137,6 +137,21 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.getLong(2) == 1L && r2.getLong(3) == 0L && r2.getDouble(5) == 1.0)
   }
 
+  test("q_sorted_neighborhood: w=3 window emits exactly the rank-adjacent pairs") {
+    // six docs sharing one 24-char sort key, sorted by doc_id within it:
+    // SNM compares each record to its 3 successors only, so (i, j) is
+    // emitted iff j - i <= 3 — the windowed-recall trade SNM makes
+    val pre = "zz common prefix 24 char".take(24)
+    assert(pre.length == 24)
+    val dir = plantedDir((1L to 6L).map(i => (i, s"$pre tail $i", "en", "web")))
+    val got = SparkEntry.queries("q_sorted_neighborhood")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      i <- 1L to 6L; j <- (i + 1) to math.min(i + 3, 6L)
+    } yield (i, j)).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+  }
+
   test("q_cand_hist: identical cross-source docs land one pair in bucket 0 with cross-source flag") {
     val text = "calibration histogram probe text shared verbatim by two docs"
     val dir = plantedDir(Seq(
