@@ -149,15 +149,16 @@ object StreamIngest {
   def pruneGenerations(stateDir: String, keep: Int = 2): Seq[String] = {
     val root = java.nio.file.Paths.get(stateDir)
     val cur = currentGen(stateDir)
-    val gens = java.nio.file.Files.list(root).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("gen-") && n <= cur)
-      .toSeq.sorted
+    val listing = java.nio.file.Files.list(root)
+    val gens =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("gen-") && n <= cur).toSeq.sorted
+      finally listing.close()
     val prune = gens.dropRight(math.max(1, keep))
     prune.foreach { g =>
-      val d = root.resolve(g)
-      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      val walk = java.nio.file.Files.walk(root.resolve(g))
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(java.nio.file.Files.delete)
     }
     prune
   }
