@@ -490,8 +490,14 @@ object SparkEntry {
         substring(col("text"), 1, 60).as("t"),
         substring(col("text"), 1, 24).as("k"))
       val nPart = s.sessionState.conf.numShufflePartitions
+      // localCheckpoint pins the range partitioning: the census job and the
+      // main query would otherwise EACH execute the scan + range shuffle,
+      // and rank correctness would ride on both executions resampling
+      // identical range bounds. Materializing once removes the double pass
+      // and makes the pid → offset mapping definitionally stable.
       val part = t.repartitionByRange(nPart, col("k"), col("doc_id"))
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
       val counts = part.groupBy("pid").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val offsets = (0 until nPart).map { p =>

@@ -57,21 +57,32 @@ object Incremental {
                      newDocs: Dataset[Doc], cfg: GraftConfig = GraftConfig(),
                      resolver: MediaResolver = DefaultMedia,
                      existingBands: Option[DataFrame] = None): IncrementalResult = {
+    val (sigs, assign, bands, releaseState) =
+      readFoldState(spark, checkpointDir, existingBands)
+    val inner = run(spark, sigs, assign, newDocs, cfg, resolver, bands)
+    inner.copy(release = () => { inner.release(); releaseState() })
+  }
+
+  /** A generation's fold inputs — (signatures, assignments, bands) — with
+    * the fold-duration treatment applied to the parquet-backed relations
+    * (shared by [[fromCheckpoint]] and `StreamIngest.foldBatch`):
+    *
+    * Both are persisted (each is consumed 2-3×: linkage census, cross-join
+    * side, score side table) and their parallelism is restored first — a
+    * modest checkpoint parquet yields far fewer splits than the session's
+    * shuffle width (one ~150 MB sig table = 1-2 splits at the default
+    * maxPartitionBytes), which strangles the cross-scoring join until its
+    * first shuffle: measured 21 s vs 6 s for the same join at 102k docs.
+    * At production scale the file count makes the repartition a no-op
+    * (guarded), and the round-robin shuffle rides the one corpus scan the
+    * fold pays anyway to materialize the cache. Caller-supplied
+    * `existingBands` win over the checkpointed stage and are persisted the
+    * same way. The returned thunk releases everything.
+    */
+  private[graft] def readFoldState(spark: SparkSession, checkpointDir: String,
+      existingBands: Option[DataFrame] = None)
+      : (Dataset[DocSig], DataFrame, Option[DataFrame], () => Unit) = {
     val (sigs0, assign) = Pipeline.readState(spark, checkpointDir)
-    // prefer the generation's checkpointed band relation (written by
-    // Pipeline.run / writeState) over re-deriving keys with an O(corpus)
-    // UDF pass; explicit caller-supplied bands still win.
-    //
-    // Both parquet-backed relations are persisted for the FOLD's duration
-    // (each is consumed 2-3×: linkage census, cross-join side, score side
-    // table), and their parallelism is restored first: a modest checkpoint
-    // parquet yields far fewer splits than the session's shuffle width
-    // (one ~150 MB sig table = 1-2 splits at the default maxPartitionBytes),
-    // which strangles the cross-scoring join until its first shuffle —
-    // measured 21 s vs 6 s for the same join at 102k docs. At production
-    // scale the file count makes the repartition a no-op (guarded), and
-    // the round-robin shuffle rides the one corpus scan the fold pays
-    // anyway to materialize the cache. Released with the result.
     val width = spark.sessionState.conf.numShufflePartitions
     def widen[T](ds: Dataset[T]): Dataset[T] =
       if (ds.rdd.getNumPartitions < width) ds.repartition(width) else ds
@@ -79,15 +90,17 @@ object Incremental {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = existingBands.orElse(Pipeline.readBands(spark, checkpointDir))
       .map(b => widen(b).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val inner = run(spark, sigs, assign, newDocs, cfg, resolver, bands)
-    inner.copy(release = () => {
-      inner.release(); sigs.unpersist(); bands.foreach(_.unpersist()); ()
-    })
+    (sigs, assign, bands,
+      () => { sigs.unpersist(); bands.foreach(_.unpersist()); () })
   }
 
   final case class IncrementalResult(
       assignments: DataFrame, // (doc_id, cluster_id) for every NEW doc
       remapped: DataFrame, // (old_cluster_id, cluster_id): old clusters whose id changed
+      batchSigs: Dataset[DocSig], // signatures of the batch's exact-content
+      // REPRESENTATIVES (the rows a generation's signature stage carries —
+      // same collapse rule as Pipeline.run stage 0); persisted until
+      // `release`, so generation writers can reuse them without re-deriving
       release: () => Unit)
 
   /** Persist a folded generation as the stage tables [[fromCheckpoint]] /
@@ -218,7 +231,7 @@ object Incremental {
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id").as("old_cluster_id"), col("cluster_id"))
 
-    IncrementalResult(assignments, remapped,
+    IncrementalResult(assignments, remapped, newSigs,
       () => {
         cross.release(); newSigs.unpersist(); newEdges.unpersist()
         crossEdges.unpersist(); expansion.foreach(_.unpersist()); ()

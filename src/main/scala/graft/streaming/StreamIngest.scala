@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.media.{DefaultMedia, MediaResolver}
 import graft.model.Doc
-import graft.pipeline.{GraftConfig, Incremental, ParquetTableIO, Pipeline, Signatures}
+import graft.pipeline.{GraftConfig, Incremental, ParquetTableIO, Pipeline}
 import graft.text.Hashing
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -44,8 +44,6 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * prune with [[pruneGenerations]].
   */
 object StreamIngest {
-
-  private def sigEnc = org.apache.spark.sql.Encoders.product[graft.model.DocSig]
 
   /** Seed `gen-00000000` from an initial corpus (full [[Pipeline.run]]
     * with its stage checkpoints) and commit the pointer. Call once before
@@ -110,36 +108,50 @@ object StreamIngest {
                 resolver: MediaResolver = DefaultMedia): Unit = {
     val next = genName(batchId)
     val cur = currentGen(stateDir)
-    if (cur >= next) { // zero-padded names: lexicographic = numeric
+    if (genNum(cur) >= genNum(next)) { // NUMERIC compare — names are padded
+      // for readable listings, but gen-100000000 would sort lexicographically
+      // before gen-99999999, so ordering must never rely on the string
       System.err.println(s"[graft] stream-ingest: batch $batchId already committed ($cur) — skipping replay")
       return
     }
     if (batch.isEmpty) return // no state change; gen numbering has gaps, by design
     val curDir = s"$stateDir/$cur"
-    val (sigs, assign) = Pipeline.readState(spark, curDir)
     val prevKey = new ParquetTableIO(curDir).completedKey("signatures")
       .getOrElse(throw new IllegalStateException(s"no signature manifest in $curDir"))
 
-    // the corpus band relation rides generation to generation: read the
-    // previous generation's checkpointed bands (falling back to one key
-    // re-derivation for pre-bands generations), fold against them, and
-    // write old ∪ batch bands into the next generation — so no fold after
-    // the first ever pays the O(corpus) key derivation again
-    val oldBands = Pipeline.readBands(spark, curDir)
-      .getOrElse(graft.pipeline.Blocking.bandRowsDF(sigs, cfg))
+    // generation state through the shared fold-input path: persisted for
+    // the fold + both state writes, parallelism restored, checkpointed
+    // bands preferred (one band re-derivation only for a pre-bands
+    // generation — materialized here so its 3+ consumers share it)
+    val (sigs, assign, bandsOpt, releaseState) =
+      Incremental.readFoldState(spark, curDir)
+    val oldBands = bandsOpt.getOrElse {
+      val b = graft.pipeline.Blocking.bandRowsDF(sigs, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count(); b
+    }
     val inc = Incremental.run(spark, sigs, assign, batch, cfg, resolver,
       existingBands = Some(oldBands))
-    // next generation = old sigs ∪ batch sigs, old assignments (remapped)
-    // ∪ batch assignments; the generation key chains off the previous key
-    // so readState's consistency check links the whole lineage
-    val batchSigs = Signatures.derive(batch, cfg, resolver)(spark).map(_.sig)(sigEnc)
+
+    // next generation = old sigs ∪ batch rep sigs, old assignments
+    // (remapped) ∪ batch assignments, old ∪ batch bands. The batch side of
+    // the signature stage is `inc.batchSigs` — the exact-content
+    // REPRESENTATIVES the fold itself derived (one derivation, persisted
+    // until release; same collapse rule as Pipeline.run stage 0) — so
+    // streamed-in exact copies never accumulate in corpus state: a k-copy
+    // farm would otherwise fan every later fold's band join k-fold and
+    // skew the linkage census away from what a full run censuses. The
+    // generation key chains off the previous key so readState's
+    // consistency check links the whole lineage.
     Incremental.writeState(spark, s"$stateDir/$next",
-      sigs.unionByName(batchSigs),
+      sigs.unionByName(inc.batchSigs),
       Incremental.applyRemap(assign, inc.remapped).unionByName(inc.assignments),
       generationKey = Hashing.hash64(prevKey, batchId),
       bands = Some(oldBands.unionByName(
-        graft.pipeline.Blocking.bandRowsDF(batchSigs, cfg))))
+        graft.pipeline.Blocking.bandRowsDF(inc.batchSigs, cfg))))
     inc.release()
+    if (bandsOpt.isEmpty) oldBands.unpersist()
+    releaseState()
     commitPointer(stateDir, next)
   }
 
@@ -152,7 +164,8 @@ object StreamIngest {
     val listing = java.nio.file.Files.list(root)
     val gens =
       try listing.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("gen-") && n <= cur).toSeq.sorted
+        .filter(n => n.startsWith("gen-") && genNum(n) <= genNum(cur))
+        .toSeq.sortBy(genNum)
       finally listing.close()
     val prune = gens.dropRight(math.max(1, keep))
     prune.foreach { g =>
@@ -171,6 +184,12 @@ object StreamIngest {
   }
 
   private def genName(batchId: Long): String = f"gen-${batchId + 1}%08d"
+
+  /** Numeric generation ordinal — ALL ordering uses this, never the name:
+    * the 8-digit padding keeps listings readable, but past 10^8 - 1 the
+    * lexicographic order of the names diverges from the numeric order.
+    */
+  private def genNum(name: String): Long = name.stripPrefix("gen-").toLong
 
   private def currentGen(stateDir: String): String = {
     val p = java.nio.file.Paths.get(stateDir, "CURRENT")

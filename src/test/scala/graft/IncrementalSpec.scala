@@ -122,10 +122,9 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     val inc1 = Incremental.fromCheckpoint(s, gen0, ds(batch1), cfg)
     val (sigs0, assign0) = Pipeline.readState(s, gen0)
     assert(sigs0.count() == oldSeq.size && assign0.count() == oldSeq.size)
-    val batch1Sigs = graft.pipeline.Signatures
-      .derive(ds(batch1), cfg, graft.media.DefaultMedia)(s)
-      .map(_.sig)(org.apache.spark.sql.Encoders.product)
-    val gen1Sigs = sigs0.unionByName(batch1Sigs)
+    // the fold's own representative signatures (inc1.batchSigs) are the
+    // batch side of the next generation — no re-derivation
+    val gen1Sigs = sigs0.unionByName(inc1.batchSigs)
     Incremental.writeState(s, gen1,
       gen1Sigs,
       Incremental.applyRemap(assign0, inc1.remapped).unionByName(inc1.assignments),

@@ -78,4 +78,34 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned == Seq("gen-00000000"), pruned.toString)
     Pipeline.readState(s, StreamIngest.currentDir(stateDir))
   }
+
+  test("exact copies streamed in do not accumulate in generation state") {
+    // a k-copy farm in a micro-batch must add ONE signature row (its
+    // representative) to the next generation, not k — otherwise every
+    // later fold's band join fans out k-fold and the linkage census
+    // drifts from what a full run censuses
+    val s = spark
+    import graft.model.{Doc, Span}
+    def doc(id: String, text: String) = Doc(id, Seq(Span.text(text, 0)))
+    val seedDocs = Seq(
+      doc("s1", "seed document one with enough words to sign"),
+      doc("s2", "a different seed document with other words"))
+    val batch = Seq(
+      doc("c1", "streamed content repeated verbatim several times"),
+      doc("c2", "streamed content repeated verbatim several times"),
+      doc("c3", "streamed content repeated verbatim several times"),
+      doc("d1", "a genuinely novel streamed document body here"))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-ingest-copies").toString
+    StreamIngest.seed(s, ds(seedDocs), stateDir, cfg)
+    StreamIngest.foldBatch(s, ds(batch), 0L, stateDir, cfg)
+
+    val (sigs, assign) = Pipeline.readState(s, StreamIngest.currentDir(stateDir))
+    // 2 seed reps + 2 batch reps (c1 for the copy farm, d1) — not 2 + 4
+    assert(sigs.count() == 4L, s"signature stage holds ${sigs.count()} rows")
+    val m = assign.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(m.keySet == Set("s1", "s2", "c1", "c2", "c3", "d1"),
+      "assignments must still cover every doc, copies included")
+    assert(m("c2") == m("c1") && m("c3") == m("c1"),
+      "copies must cluster with their representative")
+  }
 }
