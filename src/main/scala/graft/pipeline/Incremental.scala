@@ -83,14 +83,26 @@ object Incremental {
       existingBands: Option[DataFrame] = None)
       : (Dataset[DocSig], DataFrame, Option[DataFrame], () => Unit) = {
     val (sigs0, assign) = Pipeline.readState(spark, checkpointDir)
+    val (sigs, bands, release) = foldInputs(spark, sigs0,
+      existingBands.orElse(Pipeline.readBands(spark, checkpointDir)))
+    (sigs, assign, bands, release)
+  }
+
+  /** The widen + persist treatment alone, for callers that assemble the
+    * relations themselves (e.g. `StreamIngest` unioning a delta-generation
+    * chain): see [[readFoldState]] for why both steps matter.
+    */
+  private[graft] def foldInputs(spark: SparkSession, sigs0: Dataset[DocSig],
+      bands0: Option[DataFrame])
+      : (Dataset[DocSig], Option[DataFrame], () => Unit) = {
     val width = spark.sessionState.conf.numShufflePartitions
     def widen[T](ds: Dataset[T]): Dataset[T] =
       if (ds.rdd.getNumPartitions < width) ds.repartition(width) else ds
     val sigs = widen(sigs0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = existingBands.orElse(Pipeline.readBands(spark, checkpointDir))
+    val bands = bands0
       .map(b => widen(b).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    (sigs, assign, bands,
+    (sigs, bands,
       () => { sigs.unpersist(); bands.foreach(_.unpersist()); () })
   }
 

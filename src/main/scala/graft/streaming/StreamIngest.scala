@@ -21,27 +21,38 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * StreamIngestSpec).
   *
   * State layout under `stateDir`:
-  *   - `gen-NNNNNNNN/` — one immutable generation (the `signatures` +
-  *     `assignments` stage tables [[Pipeline.readState]] reads, written by
-  *     [[Incremental.writeState]]); `gen-00000000` is the [[seed]].
+  *   - `gen-NNNNNNNN/` — one immutable generation. A FULL generation (the
+  *     [[seed]], and every `compactEvery`-th fold) carries the complete
+  *     `signatures` + `bands` + `assignments` stage tables
+  *     [[Pipeline.readState]]/`readBands` read. A DELTA generation carries
+  *     only its batch's rows as `signatures_delta` + `bands_delta`
+  *     (DIFFERENT stage names, so pointing `Pipeline.readState` at a delta
+  *     dir fails loudly instead of returning a partial corpus), the FULL
+  *     `assignments` table (tiny relative to signatures — two columns per
+  *     doc, no text payloads), and a `PARENT` file naming the previous
+  *     generation. Corpus state at a delta generation = the union of
+  *     delta stages down the parent chain plus the root's full stages.
   *   - `CURRENT` — the committed generation's name, flipped by an atomic
   *     rename AFTER the new generation is fully written. A crash mid-fold
   *     leaves `CURRENT` on the previous intact generation.
+  *
+  * Delta generations are the append-only-commit shape an Iceberg-backed
+  * TableIO would give for free: a fold WRITES O(batch) signature/band
+  * rows, not O(corpus). Chains are bounded by compaction — every
+  * `compactEvery`-th fold writes a full generation, so reads union at
+  * most `compactEvery` parts and the amortized rewrite cost is
+  * O(corpus / compactEvery) per fold.
   *
   * Exactly-once: Spark replays an uncommitted micro-batch with the SAME
   * batchId after a restart. The fold is deterministic and generation
   * `gen-(batchId+1)` is derived from the batchId, so a replay overwrites
   * the same (uncommitted) directory and re-flips the pointer to the same
-  * value — idempotent. A batch whose generation is already committed
-  * (pointer at or past it) is skipped outright.
-  *
-  * Scale note: each generation rewrites the full signature table —
-  * O(corpus) of compact signature rows per fold, the honest cost of
-  * immutable-Parquet generations (the fold COMPUTE stays O(batch ×
-  * bucket); see Incremental). A table format with appendable commits
-  * (Iceberg — no runtime jar in this sandbox, see TableIO) would commit
-  * only the batch delta. Old generations are kept for rollback/backfill;
-  * prune with [[pruneGenerations]].
+  * value — idempotent (the delta-vs-compact decision depends only on the
+  * committed chain, so a replay makes the same choice). A batch whose
+  * generation is already committed (pointer at or past it) is skipped
+  * outright. Old generations are kept for rollback/backfill; prune with
+  * [[pruneGenerations]] (chain ancestors of the current generation are
+  * never pruned).
   */
 object StreamIngest {
 
@@ -84,8 +95,9 @@ object StreamIngest {
   def start(stream: Dataset[Doc], stateDir: String,
             streamingCheckpoint: String, cfg: GraftConfig = GraftConfig(),
             resolver: MediaResolver = DefaultMedia,
-            trigger: Option[Trigger] = None): StreamingQuery = {
-    val w0 = writer(stream, stateDir, cfg, resolver)
+            trigger: Option[Trigger] = None,
+            compactEvery: Int = 8): StreamingQuery = {
+    val w0 = writer(stream, stateDir, cfg, resolver, compactEvery)
       .option("checkpointLocation", streamingCheckpoint)
     trigger.fold(w0)(w0.trigger).start()
   }
@@ -93,19 +105,39 @@ object StreamIngest {
   /** The configured `DataStreamWriter` (callers add trigger/checkpoint). */
   def writer(stream: Dataset[Doc], stateDir: String,
              cfg: GraftConfig = GraftConfig(),
-             resolver: MediaResolver = DefaultMedia): DataStreamWriter[Doc] =
+             resolver: MediaResolver = DefaultMedia,
+             compactEvery: Int = 8): DataStreamWriter[Doc] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[Doc], batchId: Long) =>
-        foldBatch(batch.sparkSession, batch, batchId, stateDir, cfg, resolver)
+        foldBatch(batch.sparkSession, batch, batchId, stateDir, cfg, resolver,
+          compactEvery)
     }
 
+  /** Corpus state at the committed generation — (signatures, assignments) —
+    * the chain-aware analog of [[Pipeline.readState]]: the signature
+    * relation is the union of the current chain's delta stages plus the
+    * root's full stage; assignments are always full in every generation.
+    */
+  def readCurrentState(spark: SparkSession, stateDir: String)
+      : (Dataset[graft.model.DocSig], org.apache.spark.sql.DataFrame) = {
+    val cur = currentGen(stateDir)
+    val (sigs, assign, _, _) = readChainParts(spark, stateDir, chainOf(stateDir, cur))
+    (sigs, assign)
+  }
+
   /** One micro-batch fold (also directly callable for batch-driven
-    * backfills): read the committed generation, [[Incremental.run]] the
-    * batch against it, write generation `batchId + 1`, commit the pointer.
+    * backfills): read the committed generation's chain,
+    * [[Incremental.run]] the batch against it, write generation
+    * `batchId + 1` — a DELTA generation (O(batch) signature/band rows +
+    * the full assignment table) unless the chain has reached
+    * `compactEvery` parts, in which case a FULL generation is compacted
+    * out (readable by [[Pipeline.readState]] / `fromCheckpoint` directly)
+    * — and commit the pointer.
     */
   def foldBatch(spark: SparkSession, batch: Dataset[Doc], batchId: Long,
                 stateDir: String, cfg: GraftConfig,
-                resolver: MediaResolver = DefaultMedia): Unit = {
+                resolver: MediaResolver = DefaultMedia,
+                compactEvery: Int = 8): Unit = {
     val next = genName(batchId)
     val cur = currentGen(stateDir)
     if (genNum(cur) >= genNum(next)) { // NUMERIC compare — names are padded
@@ -115,16 +147,13 @@ object StreamIngest {
       return
     }
     if (batch.isEmpty) return // no state change; gen numbering has gaps, by design
-    val curDir = s"$stateDir/$cur"
-    val prevKey = new ParquetTableIO(curDir).completedKey("signatures")
-      .getOrElse(throw new IllegalStateException(s"no signature manifest in $curDir"))
 
-    // generation state through the shared fold-input path: persisted for
-    // the fold + both state writes, parallelism restored, checkpointed
-    // bands preferred (one band re-derivation only for a pre-bands
-    // generation — materialized here so its 3+ consumers share it)
-    val (sigs, assign, bandsOpt, releaseState) =
-      Incremental.readFoldState(spark, curDir)
+    // corpus state = the chain's stages unioned, through the shared
+    // widen + persist fold-input treatment; bands fall back to one
+    // derivation only when some chain dir predates the bands stage
+    val chain = chainOf(stateDir, cur)
+    val (sigs0, assign, bands0, prevKey) = readChainParts(spark, stateDir, chain)
+    val (sigs, bandsOpt, releaseInputs) = Incremental.foldInputs(spark, sigs0, bands0)
     val oldBands = bandsOpt.getOrElse {
       val b = graft.pipeline.Blocking.bandRowsDF(sigs, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -133,41 +162,114 @@ object StreamIngest {
     val inc = Incremental.run(spark, sigs, assign, batch, cfg, resolver,
       existingBands = Some(oldBands))
 
-    // next generation = old sigs ∪ batch rep sigs, old assignments
-    // (remapped) ∪ batch assignments, old ∪ batch bands. The batch side of
-    // the signature stage is `inc.batchSigs` — the exact-content
-    // REPRESENTATIVES the fold itself derived (one derivation, persisted
-    // until release; same collapse rule as Pipeline.run stage 0) — so
-    // streamed-in exact copies never accumulate in corpus state: a k-copy
-    // farm would otherwise fan every later fold's band join k-fold and
-    // skew the linkage census away from what a full run censuses. The
-    // generation key chains off the previous key so readState's
-    // consistency check links the whole lineage.
-    Incremental.writeState(spark, s"$stateDir/$next",
-      sigs.unionByName(inc.batchSigs),
-      Incremental.applyRemap(assign, inc.remapped).unionByName(inc.assignments),
-      generationKey = Hashing.hash64(prevKey, batchId),
-      bands = Some(oldBands.unionByName(
-        graft.pipeline.Blocking.bandRowsDF(inc.batchSigs, cfg))))
+    // The batch side of the next generation is `inc.batchSigs` — the
+    // exact-content REPRESENTATIVES the fold itself derived (one
+    // derivation, persisted until release; same collapse rule as
+    // Pipeline.run stage 0) — so streamed-in exact copies never accumulate
+    // in corpus state. The generation key chains off the previous key so
+    // the manifest lineage links the whole history.
+    val genKey = Hashing.hash64(prevKey, batchId)
+    val newAssign = Incremental.applyRemap(assign, inc.remapped)
+      .unionByName(inc.assignments)
+    val nextDir = s"$stateDir/$next"
+    val batchBands = graft.pipeline.Blocking.bandRowsDF(inc.batchSigs, cfg)
+    if (chain.length >= compactEvery) {
+      // compaction: a self-contained full generation truncates the chain
+      Incremental.writeState(spark, nextDir,
+        sigs.unionByName(inc.batchSigs), newAssign, genKey,
+        bands = Some(oldBands.unionByName(batchBands)))
+      // a crashed earlier attempt under a different compactEvery could
+      // have left a stale PARENT in this (uncommitted) dir
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(nextDir, "PARENT"))
+    } else {
+      // delta generation: O(batch) signature/band rows under DISTINCT
+      // stage names (Pipeline.readState on this dir fails loudly instead
+      // of returning a partial corpus), plus the full assignment table
+      import org.apache.spark.sql.functions.{col, struct}
+      val io = new ParquetTableIO(nextDir)
+      io.write("signatures_delta",
+        inc.batchSigs.toDF().select(struct(col("*")).as("sig")), genKey)
+      io.write("bands_delta", batchBands, Hashing.hash64(genKey, 7L))
+      io.write("assignments", newAssign.select("doc_id", "cluster_id"),
+        Hashing.hash64(genKey, 5L))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(nextDir, "PARENT"), cur)
+    }
     inc.release()
-    if (bandsOpt.isEmpty) oldBands.unpersist()
-    releaseState()
+    if (bands0.isEmpty) oldBands.unpersist()
+    releaseInputs()
     commitPointer(stateDir, next)
   }
 
-  /** Delete committed generations older than the newest `keep` (the
-    * current generation is never deleted). Returns the pruned dir names.
+  /** Generation chain, current-first, ending at the root full generation. */
+  private def chainOf(stateDir: String, gen: String): List[String] = {
+    val p = java.nio.file.Paths.get(stateDir, gen, "PARENT")
+    if (java.nio.file.Files.exists(p))
+      gen :: chainOf(stateDir, java.nio.file.Files.readString(p).trim)
+    else gen :: Nil
+  }
+
+  private def isDelta(stateDir: String, gen: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir, gen, "PARENT"))
+
+  /** (sig union, head assignments, band union, head signature key) of a
+    * chain. Each delta dir's stage keys are validated against the same
+    * pairing rule [[Pipeline.readState]] enforces for full dirs, so a dir
+    * mixing stages from different write attempts is rejected, not read.
+    */
+  private def readChainParts(spark: SparkSession, stateDir: String,
+      chain: List[String])
+      : (Dataset[graft.model.DocSig], org.apache.spark.sql.DataFrame,
+         Option[org.apache.spark.sql.DataFrame], Long) = {
+    val sigEnc = org.apache.spark.sql.Encoders.product[graft.model.DocSig]
+    val parts = chain.map { g =>
+      val dir = s"$stateDir/$g"
+      if (isDelta(stateDir, g)) {
+        val io = new ParquetTableIO(dir)
+        val k = io.completedKey("signatures_delta").getOrElse(
+          throw new IllegalStateException(s"delta generation $dir lacks signatures_delta"))
+        if (!io.completedKey("assignments").contains(Hashing.hash64(k, 5L)) ||
+            !io.completedKey("bands_delta").contains(Hashing.hash64(k, 7L)))
+          throw new IllegalStateException(
+            s"delta generation $dir is not a consistent write (mixed stage keys)")
+        (io.read(spark, "signatures_delta").select("sig.*").as[graft.model.DocSig](sigEnc),
+          Some(io.read(spark, "bands_delta")), k)
+      } else {
+        val (s, _) = Pipeline.readState(spark, dir)
+        (s, Pipeline.readBands(spark, dir),
+          new ParquetTableIO(dir).completedKey("signatures").get)
+      }
+    }
+    val sigs = parts.map(_._1).reduce(_ unionByName _)
+    val bands =
+      if (parts.forall(_._2.isDefined)) Some(parts.map(_._2.get).reduce(_ unionByName _))
+      else None
+    val assign = new ParquetTableIO(s"$stateDir/${chain.head}")
+      .read(spark, "assignments").select("doc_id", "cluster_id")
+    (sigs, assign, bands, parts.head._3)
+  }
+
+  /** Delete generations no longer needed: everything except the current
+    * generation's chain (which reads require) and the newest `keep` FULL
+    * generations outside it (self-contained rollback points). Delta
+    * generations orphaned by a compaction are always pruned — without
+    * their chain they cannot be read. Returns the pruned dir names.
     */
   def pruneGenerations(stateDir: String, keep: Int = 2): Seq[String] = {
     val root = java.nio.file.Paths.get(stateDir)
     val cur = currentGen(stateDir)
+    val chainSet = chainOf(stateDir, cur).toSet
     val listing = java.nio.file.Files.list(root)
     val gens =
       try listing.iterator().asScala.map(_.getFileName.toString)
         .filter(n => n.startsWith("gen-") && genNum(n) <= genNum(cur))
         .toSeq.sortBy(genNum)
       finally listing.close()
-    val prune = gens.dropRight(math.max(1, keep))
+    val rollbackFulls = gens
+      .filter(g => !chainSet(g) && !isDelta(stateDir, g))
+      .takeRight(math.max(0, keep)).toSet
+    val prune = gens.filterNot(g => chainSet(g) || rollbackFulls(g))
     prune.foreach { g =>
       val walk = java.nio.file.Files.walk(root.resolve(g))
       val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()

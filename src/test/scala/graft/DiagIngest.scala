@@ -59,7 +59,7 @@ object DiagIngest {
       StreamIngest.foldBatch(spark, b2, 1L, stateDir, cfg)
     }
 
-    val (_, assign) = Pipeline.readState(spark, StreamIngest.currentDir(stateDir))
+    val (_, assign) = StreamIngest.readCurrentState(spark, stateDir)
     val got = assign.collect().map(r => (r.getString(0), r.getString(1))).toMap
     val full = time("full run over the union (reference)") {
       val r = Pipeline.run(spark, all, cfg)

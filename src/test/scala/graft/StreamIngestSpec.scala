@@ -28,15 +28,20 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
     // split that forces old-cluster merges, so the remap path runs)
     val seedDocs = all.filterNot(_.doc_id.endsWith("-0"))
     val streamed = all.filter(_.doc_id.endsWith("-0"))
-    val (b1, b2) = streamed.splitAt(streamed.size / 2)
+    val third = streamed.size / 3
+    val (b1, rest) = streamed.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
 
     val stateDir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
     StreamIngest.seed(s, ds(seedDocs), stateDir, cfg)
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000000"))
 
+    // compactEvery = 2: fold 1 appends a delta, fold 2 compacts a full
+    // generation, fold 3 appends a delta on the new root — all three
+    // shapes (delta write, compaction, delta-on-compacted) exercised
     val input = MemoryStream[graft.model.Doc](s)
-    val q = StreamIngest.writer(input.toDS(), stateDir, cfg)
+    val q = StreamIngest.writer(input.toDS(), stateDir, cfg, compactEvery = 2)
       .option("checkpointLocation", ckpt).start()
     try {
       input.addData(b1: _*)
@@ -45,9 +50,28 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
       input.addData(b2: _*)
       q.processAllAvailable()
       assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
+      input.addData(b3: _*)
+      q.processAllAvailable()
+      assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000003"))
     } finally q.stop()
 
-    val (sigs, assign) = Pipeline.readState(s, StreamIngest.currentDir(stateDir))
+    // generation shapes: gen1 delta (PARENT + delta stages, and
+    // Pipeline.readState must REFUSE it rather than return a partial
+    // corpus), gen2 compacted full (standard-readable), gen3 delta
+    def has(g: String, f: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stateDir, g, f))
+    assert(has("gen-00000001", "PARENT") &&
+      has("gen-00000001", "signatures_delta/_graft_manifest.json"))
+    assert(!has("gen-00000002", "PARENT") &&
+      has("gen-00000002", "signatures/_graft_manifest.json") &&
+      has("gen-00000002", "bands/_graft_manifest.json"))
+    assert(has("gen-00000003", "PARENT"))
+    intercept[IllegalStateException] {
+      Pipeline.readState(s, s"$stateDir/gen-00000001")
+    }
+    Pipeline.readState(s, s"$stateDir/gen-00000002") // compacted = readable
+
+    val (sigs, assign) = StreamIngest.readCurrentState(s, stateDir)
     assert(sigs.count() == all.size)
     val got = assign.collect().map(r => (r.getString(0), r.getString(1))).toMap
 
@@ -60,23 +84,17 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
       s"stream fold diverged from full run: ${diffs.take(5)}"
     })
 
-    // the band relation rode along: seed and every fold checkpoint it, so
-    // no fold after the first pays the O(corpus) key re-derivation
-    Seq("gen-00000000", "gen-00000001", "gen-00000002").foreach { g =>
-      assert(java.nio.file.Files.exists(
-        java.nio.file.Paths.get(stateDir, g, "bands", "_graft_manifest.json")),
-        s"$g missing checkpointed bands stage")
-    }
-    assert(Pipeline.readBands(s, StreamIngest.currentDir(stateDir)).isDefined)
-
     // replaying an already committed batch must be a no-op
-    StreamIngest.foldBatch(s, ds(b2), 1L, stateDir, cfg)
-    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
+    StreamIngest.foldBatch(s, ds(b2), 1L, stateDir, cfg, compactEvery = 2)
+    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000003"))
 
-    // prune retains the newest `keep` committed generations, state readable
-    val pruned = StreamIngest.pruneGenerations(stateDir, keep = 2)
-    assert(pruned == Seq("gen-00000000"), pruned.toString)
-    Pipeline.readState(s, StreamIngest.currentDir(stateDir))
+    // prune: the current chain (gen3 → gen2) is untouchable; gen0 is the
+    // newest full generation outside it (kept as a rollback point with
+    // keep = 1); gen1 is a delta orphaned by the compaction — unreadable
+    // without its chain, always pruned
+    val pruned = StreamIngest.pruneGenerations(stateDir, keep = 1)
+    assert(pruned == Seq("gen-00000001"), pruned.toString)
+    assert(StreamIngest.readCurrentState(s, stateDir)._2.count() == all.size)
   }
 
   test("exact copies streamed in do not accumulate in generation state") {
@@ -99,7 +117,7 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
     StreamIngest.seed(s, ds(seedDocs), stateDir, cfg)
     StreamIngest.foldBatch(s, ds(batch), 0L, stateDir, cfg)
 
-    val (sigs, assign) = Pipeline.readState(s, StreamIngest.currentDir(stateDir))
+    val (sigs, assign) = StreamIngest.readCurrentState(s, stateDir)
     // 2 seed reps + 2 batch reps (c1 for the copy farm, d1) — not 2 + 4
     assert(sigs.count() == 4L, s"signature stage holds ${sigs.count()} rows")
     val m = assign.collect().map(r => (r.getString(0), r.getString(1))).toMap
