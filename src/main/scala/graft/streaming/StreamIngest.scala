@@ -89,8 +89,10 @@ object StreamIngest {
     * at 0, whose generations are already committed, so genuinely new data
     * would be skipped as replays. To feed new data from a new stream into
     * existing state, drive [[foldBatch]] directly with batchIds past the
-    * committed generation (or batch-fold via [[Incremental.fromCheckpoint]]
-    * + [[Incremental.writeState]]).
+    * committed generation — it reads delta chains. ([[Incremental
+    * .fromCheckpoint]] works only against a FULL generation dir — the
+    * seed or a compaction — since a delta dir deliberately has no
+    * `signatures` stage; read combined state with [[readCurrentState]].)
     */
   def start(stream: Dataset[Doc], stateDir: String,
             streamingCheckpoint: String, cfg: GraftConfig = GraftConfig(),
@@ -138,6 +140,9 @@ object StreamIngest {
                 stateDir: String, cfg: GraftConfig,
                 resolver: MediaResolver = DefaultMedia,
                 compactEvery: Int = 8): Unit = {
+    // 1 = compact every fold (the full-rewrite behavior); chains never
+    // exceed compactEvery parts, which also bounds chainOf recursion
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     val next = genName(batchId)
     val cur = currentGen(stateDir)
     if (genNum(cur) >= genNum(next)) { // NUMERIC compare — names are padded
@@ -185,8 +190,15 @@ object StreamIngest {
     } else {
       // delta generation: O(batch) signature/band rows under DISTINCT
       // stage names (Pipeline.readState on this dir fails loudly instead
-      // of returning a partial corpus), plus the full assignment table
+      // of returning a partial corpus), plus the full assignment table.
+      // Symmetric stale-stage guard to the compaction branch's PARENT
+      // delete: a crashed earlier attempt under a different compactEvery
+      // could have left full 'signatures'/'bands' stages here — whose keys
+      // would PAIR with the fresh assignments key and make readState
+      // succeed on a partial dir, the exact failure this layout prevents
       import org.apache.spark.sql.functions.{col, struct}
+      Seq("signatures", "bands").foreach(st =>
+        deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
       val io = new ParquetTableIO(nextDir)
       io.write("signatures_delta",
         inc.batchSigs.toDF().select(struct(col("*")).as("sig")), genKey)
@@ -202,13 +214,27 @@ object StreamIngest {
     commitPointer(stateDir, next)
   }
 
-  /** Generation chain, current-first, ending at the root full generation. */
+  /** Generation chain, current-first, ending at the root full generation.
+    * Tail-recursive: chain length is compactEvery-bounded in normal
+    * operation, but the walk must not assume it.
+    */
   private def chainOf(stateDir: String, gen: String): List[String] = {
-    val p = java.nio.file.Paths.get(stateDir, gen, "PARENT")
-    if (java.nio.file.Files.exists(p))
-      gen :: chainOf(stateDir, java.nio.file.Files.readString(p).trim)
-    else gen :: Nil
+    @annotation.tailrec
+    def loop(g: String, acc: List[String]): List[String] = {
+      val p = java.nio.file.Paths.get(stateDir, g, "PARENT")
+      if (java.nio.file.Files.exists(p))
+        loop(java.nio.file.Files.readString(p).trim, g :: acc)
+      else (g :: acc).reverse
+    }
+    loop(gen, Nil)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(java.nio.file.Files.delete)
+    }
 
   private def isDelta(stateDir: String, gen: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir, gen, "PARENT"))
@@ -234,27 +260,30 @@ object StreamIngest {
           throw new IllegalStateException(
             s"delta generation $dir is not a consistent write (mixed stage keys)")
         (io.read(spark, "signatures_delta").select("sig.*").as[graft.model.DocSig](sigEnc),
-          Some(io.read(spark, "bands_delta")), k)
+          Some(io.read(spark, "bands_delta")), k,
+          io.read(spark, "assignments").select("doc_id", "cluster_id"))
       } else {
-        val (s, _) = Pipeline.readState(spark, dir)
+        val (s, a) = Pipeline.readState(spark, dir)
         (s, Pipeline.readBands(spark, dir),
-          new ParquetTableIO(dir).completedKey("signatures").get)
+          new ParquetTableIO(dir).completedKey("signatures").get, a)
       }
     }
     val sigs = parts.map(_._1).reduce(_ unionByName _)
     val bands =
       if (parts.forall(_._2.isDefined)) Some(parts.map(_._2.get).reduce(_ unionByName _))
       else None
-    val assign = new ParquetTableIO(s"$stateDir/${chain.head}")
-      .read(spark, "assignments").select("doc_id", "cluster_id")
-    (sigs, assign, bands, parts.head._3)
+    // head's assignments are the validated frames the per-part readers
+    // already built — always full in every generation
+    (sigs, parts.head._4, bands, parts.head._3)
   }
 
-  /** Delete generations no longer needed: everything except the current
-    * generation's chain (which reads require) and the newest `keep` FULL
-    * generations outside it (self-contained rollback points). Delta
-    * generations orphaned by a compaction are always pruned — without
-    * their chain they cannot be read. Returns the pruned dir names.
+  /** Delete generations no longer needed. Kept: the current generation's
+    * chain (which reads require), the newest `keep` FULL generations
+    * outside it (self-contained rollback points), and any delta whose
+    * entire parent chain is itself kept (still a readable rollback
+    * point). Pruned: everything else — in particular a delta whose chain
+    * would lose a link, which without it cannot be read. Returns the
+    * pruned dir names.
     */
   def pruneGenerations(stateDir: String, keep: Int = 2): Seq[String] = {
     val root = java.nio.file.Paths.get(stateDir)
@@ -269,12 +298,20 @@ object StreamIngest {
     val rollbackFulls = gens
       .filter(g => !chainSet(g) && !isDelta(stateDir, g))
       .takeRight(math.max(0, keep)).toSet
-    val prune = gens.filterNot(g => chainSet(g) || rollbackFulls(g))
-    prune.foreach { g =>
-      val walk = java.nio.file.Files.walk(root.resolve(g))
-      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-      paths.foreach(java.nio.file.Files.delete)
+    // ascending pass: a delta additionally survives iff its parent
+    // survived (parents have smaller ordinals, so one ordered pass
+    // settles every chain) — such a delta's chain is intact and it
+    // remains a READABLE rollback point; deltas that would lose a link
+    // are pruned
+    val kept = scala.collection.mutable.Set.empty[String]
+    gens.foreach { g =>
+      val intactDelta = isDelta(stateDir, g) && kept.contains(
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(stateDir, g, "PARENT")).trim)
+      if (chainSet(g) || rollbackFulls(g) || intactDelta) kept += g
     }
+    val prune = gens.filterNot(kept)
+    prune.foreach(g => deleteRecursively(root.resolve(g)))
     prune
   }
 

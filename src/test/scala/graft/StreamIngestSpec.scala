@@ -88,12 +88,14 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
     StreamIngest.foldBatch(s, ds(b2), 1L, stateDir, cfg, compactEvery = 2)
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000003"))
 
-    // prune: the current chain (gen3 → gen2) is untouchable; gen0 is the
-    // newest full generation outside it (kept as a rollback point with
-    // keep = 1); gen1 is a delta orphaned by the compaction — unreadable
-    // without its chain, always pruned
-    val pruned = StreamIngest.pruneGenerations(stateDir, keep = 1)
-    assert(pruned == Seq("gen-00000001"), pruned.toString)
+    // prune with keep = 1: the current chain (gen3 → gen2) is untouchable,
+    // gen0 is kept as the newest rollback full, and gen1 — a delta whose
+    // parent gen0 survives — stays READABLE, so nothing is pruned
+    assert(StreamIngest.pruneGenerations(stateDir, keep = 1).isEmpty)
+    // prune with keep = 0: gen0 goes, and gen1's chain loses its root, so
+    // the delta goes with it; the current chain still reads fully
+    val pruned = StreamIngest.pruneGenerations(stateDir, keep = 0)
+    assert(pruned == Seq("gen-00000000", "gen-00000001"), pruned.toString)
     assert(StreamIngest.readCurrentState(s, stateDir)._2.count() == all.size)
   }
 
