@@ -99,6 +99,48 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamIngest.readCurrentState(s, stateDir)._2.count() == all.size)
   }
 
+  test("chain shapes sweep: compactEvery 1 (all-full) and 3 (longer chains) both byte-equal the full run") {
+    // the generation logic has several branch combinations (delta write,
+    // compaction, delta-on-compacted, chain reads of depth > 2); sweep two
+    // compactEvery extremes over three folds and hold the byte-equality
+    // invariant at each
+    val s = spark
+    val small = Corpus.generate(Corpus.Params(entities = 80, seed = 13)).map(_.doc)
+    val seedDocs = small.filterNot(_.doc_id.endsWith("-0"))
+    val streamed = small.filter(_.doc_id.endsWith("-0"))
+    val third = streamed.size / 3
+    val (b1, rest) = streamed.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
+
+    val full = Pipeline.run(s, ds(small), cfg)
+    val want = full.clusters.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    full.release()
+
+    Seq(1, 3).foreach { ce =>
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"graft-ingest-ce$ce").toString
+      StreamIngest.seed(s, ds(seedDocs), stateDir, cfg)
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        StreamIngest.foldBatch(s, ds(b), i.toLong, stateDir, cfg, compactEvery = ce)
+      }
+      // ce=1: every fold compacts (no PARENT anywhere); ce=3: gen1/gen2
+      // are deltas and gen3 compacts a chain of length 3 — so gen1 is a
+      // delta exactly when ce=3, and gen3 is full in both sweeps
+      def parent(g: String) = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stateDir, g, "PARENT"))
+      assert(parent("gen-00000001") == (ce == 3), s"ce=$ce: gen1 shape")
+      assert(parent("gen-00000002") == (ce == 3), s"ce=$ce: gen2 shape")
+      assert(!parent("gen-00000003"), s"ce=$ce: gen3 must be compacted")
+      val got = StreamIngest.readCurrentState(s, stateDir)._2.collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got == want, {
+        val diffs = want.collect { case (k, v) if got.get(k) != Some(v) => (k, got.get(k), v) }
+        s"compactEvery=$ce diverged: ${diffs.take(5)}"
+      })
+    }
+  }
+
   test("exact copies streamed in do not accumulate in generation state") {
     // a k-copy farm in a micro-batch must add ONE signature row (its
     // representative) to the next generation, not k — otherwise every
