@@ -128,11 +128,16 @@ object SparkEntry {
 
   /** Candidate (a, b) pairs sharing ≥ 1 band: explode → equi-join →
     * distinct. Payload columns are rejoined by id AFTER the distinct —
-    * the band shuffle only ever carries (doc_id, band_key).
+    * the band shuffle only ever carries (doc_id, band_key). The band
+    * relation is localCheckpoint-pinned: both self-join sides read the
+    * materialized rows, so the md5 band-UDF pass over the corpus runs
+    * ONCE per query instead of once per join side (the same
+    * persist-the-block-relation treatment the pipeline applies).
     */
   private[graft] def sBandCandidates(s: SparkSession, dir: String): DataFrame = {
     val d = docsTable(s, dir)
       .select(col("doc_id"), explode(sBandKeys(col("text"))).as("bk"))
+      .localCheckpoint(true)
     d.select(col("doc_id").as("a"), col("bk"))
       .join(d.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
       .filter(col("a") < col("b"))
@@ -226,8 +231,10 @@ object SparkEntry {
     * q_record_linkage and q_linkage_best.
     */
   private def linkagePairs(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: one band-UDF pass feeds both parity sides
     val bands = docsTable(s, dir)
       .select(col("doc_id"), explode(sBandKeys(col("text"))).as("bk"))
+      .localCheckpoint(true)
     val lhs = bands.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("a"), col("bk"))
     val rhs = bands.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("b"), col("bk"))
     val cand = lhs.join(rhs, Seq("bk")).select("a", "b").distinct()
