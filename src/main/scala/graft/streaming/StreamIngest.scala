@@ -108,12 +108,16 @@ object StreamIngest {
   def writer(stream: Dataset[Doc], stateDir: String,
              cfg: GraftConfig = GraftConfig(),
              resolver: MediaResolver = DefaultMedia,
-             compactEvery: Int = 8): DataStreamWriter[Doc] =
+             compactEvery: Int = 8): DataStreamWriter[Doc] = {
+    // fail at configuration time, not minutes later inside the first
+    // micro-batch wrapped in a StreamingQueryException
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     stream.writeStream.foreachBatch {
       (batch: Dataset[Doc], batchId: Long) =>
         foldBatch(batch.sparkSession, batch, batchId, stateDir, cfg, resolver,
           compactEvery)
     }
+  }
 
   /** Corpus state at the committed generation — (signatures, assignments) —
     * the chain-aware analog of [[Pipeline.readState]]: the signature
@@ -184,9 +188,13 @@ object StreamIngest {
         sigs.unionByName(inc.batchSigs), newAssign, genKey,
         bands = Some(oldBands.unionByName(batchBands)))
       // a crashed earlier attempt under a different compactEvery could
-      // have left a stale PARENT in this (uncommitted) dir
+      // have left a stale PARENT — or stale delta stages whose manifest
+      // keys (same deterministic genKey) would pair with this write — in
+      // the (uncommitted) dir; clear both, mirroring the delta branch
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(nextDir, "PARENT"))
+      Seq("signatures_delta", "bands_delta").foreach(st =>
+        deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
     } else {
       // delta generation: O(batch) signature/band rows under DISTINCT
       // stage names (Pipeline.readState on this dir fails loudly instead
@@ -220,13 +228,16 @@ object StreamIngest {
     */
   private def chainOf(stateDir: String, gen: String): List[String] = {
     @annotation.tailrec
-    def loop(g: String, acc: List[String]): List[String] = {
+    def loop(g: String, acc: List[String], seen: Set[String]): List[String] = {
+      if (seen(g)) // corrupted PARENT cycle: fail loudly, never spin
+        throw new IllegalStateException(
+          s"generation chain cycle at $g in $stateDir (PARENT links: ${acc.reverse.mkString(" -> ")})")
       val p = java.nio.file.Paths.get(stateDir, g, "PARENT")
       if (java.nio.file.Files.exists(p))
-        loop(java.nio.file.Files.readString(p).trim, g :: acc)
+        loop(java.nio.file.Files.readString(p).trim, g :: acc, seen + g)
       else (g :: acc).reverse
     }
-    loop(gen, Nil)
+    loop(gen, Nil, Set.empty)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -249,7 +260,7 @@ object StreamIngest {
       : (Dataset[graft.model.DocSig], org.apache.spark.sql.DataFrame,
          Option[org.apache.spark.sql.DataFrame], Long) = {
     val sigEnc = org.apache.spark.sql.Encoders.product[graft.model.DocSig]
-    val parts = chain.map { g =>
+    val parts = chain.zipWithIndex.map { case (g, idx) =>
       val dir = s"$stateDir/$g"
       if (isDelta(stateDir, g)) {
         val io = new ParquetTableIO(dir)
@@ -259,22 +270,27 @@ object StreamIngest {
             !io.completedKey("bands_delta").contains(Hashing.hash64(k, 7L)))
           throw new IllegalStateException(
             s"delta generation $dir is not a consistent write (mixed stage keys)")
+        // only the HEAD's assignments are consumed — skip the parquet
+        // open (driver-side listing + footer reads of a corpus-sized
+        // table) for the up-to-compactEvery non-head chain parts
+        val assign =
+          if (idx == 0) Some(io.read(spark, "assignments").select("doc_id", "cluster_id"))
+          else None
         (io.read(spark, "signatures_delta").select("sig.*").as[graft.model.DocSig](sigEnc),
-          Some(io.read(spark, "bands_delta")), k,
-          io.read(spark, "assignments").select("doc_id", "cluster_id"))
+          Some(io.read(spark, "bands_delta")), k, assign)
       } else {
         val (s, a) = Pipeline.readState(spark, dir)
         (s, Pipeline.readBands(spark, dir),
-          new ParquetTableIO(dir).completedKey("signatures").get, a)
+          new ParquetTableIO(dir).completedKey("signatures").get, Some(a))
       }
     }
     val sigs = parts.map(_._1).reduce(_ unionByName _)
     val bands =
       if (parts.forall(_._2.isDefined)) Some(parts.map(_._2.get).reduce(_ unionByName _))
       else None
-    // head's assignments are the validated frames the per-part readers
-    // already built — always full in every generation
-    (sigs, parts.head._4, bands, parts.head._3)
+    // head's assignments come from the validated per-part reader —
+    // always full in every generation
+    (sigs, parts.head._4.get, bands, parts.head._3)
   }
 
   /** Delete generations no longer needed. Kept: the current generation's
