@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partitioning, batch shape, error
   * side-channel — is real and tested. Codec coverage: images decode for real
-  * (JDK ImageIO); audio/video decoding has no library in this container, so
-  * those decoders are deterministic stubs behind the same interface
-  * (clearly marked below) — swap in a real codec where one exists.
+  * (JDK ImageIO); WAV/PCM audio decodes for real (pure-JVM RIFF parser —
+  * [[decodeWavPcm]]); compressed audio and all video have no decoder in
+  * this container, so those paths are deterministic stubs behind the same
+  * interface (clearly marked below) — swap in a real codec where one
+  * exists.
   */
 object Multimodal {
 
@@ -94,29 +96,117 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // STUBBED DECODERS — no audio/video codec libraries ship in this
-  // container. The stubs are deterministic functions of the payload bytes
-  // so every downstream operator (schema, partitioning, batching, joins)
-  // runs for real and reproducibly; replace the body with a codec call
-  // (e.g. javax.sound.sampled / jcodec) where available.
+  // AUDIO — WAV/PCM decodes FOR REAL: a pure-JVM RIFF chunk walker (no
+  // codec library exists for 16-bit PCM because none is needed).
+  // Compressed formats (mp3/aac/...) have no decoder in this container
+  // and fall back to the deterministic stub path behind the same
+  // interface and slot shape.
   // ------------------------------------------------------------------
 
-  /** STUB audio decode → fixed-rate PCM summary features. */
+  final case class AudioClip(sampleRate: Int, samples: Array[Double])
+
+  /** RIFF/WAVE PCM decoder: 16-bit little-endian PCM, mono or stereo
+    * (averaged to mono), chunks walked per the RIFF spec (word-aligned,
+    * unknown chunks skipped). Returns None for anything else — the
+    * caller's signal to take the stub path.
+    */
+  def decodeWavPcm(bytes: Array[Byte]): Option[AudioClip] = {
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var rate = 0; var channels = 0; var fmtOk = false
+    var samples: Array[Double] = null
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos)
+      val size = math.min(u32(pos + 4), (bytes.length - pos - 8).toLong).toInt
+      val body = pos + 8
+      if (id == "fmt " && body + 16 <= bytes.length) {
+        val audioFormat = u16(body)
+        channels = u16(body + 2)
+        rate = u32(body + 4).toInt
+        val bits = u16(body + 14)
+        fmtOk = audioFormat == 1 && bits == 16 &&
+          (channels == 1 || channels == 2) && rate > 0
+      } else if (id == "data" && fmtOk && samples == null) {
+        val n = size / (2 * channels)
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val off = body + (i * channels + c) * 2
+            acc += ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort / 32768.0
+            c += 1
+          }
+          out(i) = acc / channels
+          i += 1
+        }
+        samples = out
+      }
+      pos = body + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (fmtOk && samples != null && samples.nonEmpty) Some(AudioClip(rate, samples))
+    else None
+  }
+
+  /** Per-window fingerprint over decoded PCM: 8 equal segments, each
+    * hashed from its (log-energy decile, zero-crossing-rate 1/32 bucket).
+    * The coarse quantization keeps slots stable under small noise and
+    * level jitter — the property the shared-slot near-dup join needs —
+    * while different content (other pitch, other level, other envelope)
+    * lands in different buckets.
+    */
+  def pcmFingerprint(clip: AudioClip): Array[Long] = {
+    val n = clip.samples.length
+    Array.tabulate(8) { seg =>
+      val lo = (n.toLong * seg / 8).toInt
+      val hi = (n.toLong * (seg + 1) / 8).toInt
+      var energy = 0.0
+      var zc = 0
+      var i = lo
+      while (i < hi) {
+        val s = clip.samples(i)
+        energy += s * s
+        if (i > lo && (s >= 0) != (clip.samples(i - 1) >= 0)) zc += 1
+        i += 1
+      }
+      val len = math.max(hi - lo, 1)
+      val eB = math.floor(10.0 * math.log10(energy / len + 1e-12)).toLong
+      val zB = zc.toLong * 32 / len
+      Hashing.hash64(Hashing.hash64(0x617564L + seg, eB), zB)
+    }
+  }
+
+  /** Audio decode → per-window fingerprint features. WAV/PCM payloads
+    * decode for real ([[decodeWavPcm]] → [[pcmFingerprint]]); anything
+    * else takes the STUB path (deterministic function of the payload, no
+    * codec in this container) — same schema and slot shape either way.
+    */
   def audioFeatures(media: Dataset[MediaRow])(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.map { m =>
-      val h = Hashing.hash64(m.media_ref)
-      val durationMs = 1000 + (java.lang.Long.remainderUnsigned(
-        Hashing.hash64(h, m.bytes.length.toLong), 600000L)).toInt
-      // deterministic fake spectral fingerprint over byte windows
-      val fp = (0 until 8).map { i =>
-        var acc = Hashing.mix64(h ^ i.toLong)
-        var j = i
-        while (j < m.bytes.length) { acc = Hashing.hash64(acc, m.bytes(j).toLong); j += 64 }
-        acc
-      }.toArray
-      (m.doc_id, m.media_ref, durationMs, fp)
+      decodeWavPcm(m.bytes) match {
+        case Some(clip) =>
+          val durationMs =
+            (clip.samples.length.toLong * 1000 / clip.sampleRate).toInt
+          (m.doc_id, m.media_ref, durationMs, pcmFingerprint(clip))
+        case None =>
+          val h = Hashing.hash64(m.media_ref)
+          val durationMs = 1000 + (java.lang.Long.remainderUnsigned(
+            Hashing.hash64(h, m.bytes.length.toLong), 600000L)).toInt
+          // deterministic fake spectral fingerprint over byte windows
+          val fp = (0 until 8).map { i =>
+            var acc = Hashing.mix64(h ^ i.toLong)
+            var j = i
+            while (j < m.bytes.length) { acc = Hashing.hash64(acc, m.bytes(j).toLong); j += 64 }
+            acc
+          }.toArray
+          (m.doc_id, m.media_ref, durationMs, fp)
+      }
     }.toDF("doc_id", "media_ref", "duration_ms", "audio_fp")
   }
 

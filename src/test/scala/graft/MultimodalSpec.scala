@@ -71,4 +71,95 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(nd.toSeq == Seq(("w1", "w2")))
   }
+
+  /** 16-bit PCM RIFF/WAVE bytes for the given mono signal (or interleaved
+    * stereo when two signals are given).
+    */
+  private def wavBytes(rate: Int, channels: Seq[Array[Double]]): Array[Byte] = {
+    val n = channels.head.length
+    val ch = channels.length
+    val dataLen = n * ch * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      channels.foreach { c =>
+        bb.putShort(math.round(math.max(-1.0, math.min(1.0, c(i))) * 32767).toShort)
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  private def sine(freqHz: Double, rate: Int, seconds: Double, amp: Double,
+                   noise: Double = 0.0): Array[Double] =
+    Array.tabulate((rate * seconds).toInt) { i =>
+      amp * math.sin(2 * math.Pi * freqHz * i / rate) +
+        noise * math.sin(13.7 * i) // deterministic jitter
+    }
+
+  test("WAV/PCM decodes for real: roundtrip, stereo downmix, noise-stable fingerprints, near-dup join") {
+    implicit val s = spark
+    import s.implicits._
+    val rate = 8000
+    val tone = sine(440, rate, 1.0, 0.5)
+    // roundtrip: sample count, rate, and values survive 16-bit quantization
+    val clip = Multimodal.decodeWavPcm(wavBytes(rate, Seq(tone))).get
+    assert(clip.sampleRate == rate && clip.samples.length == tone.length)
+    assert(clip.samples.zip(tone).forall { case (a, b) => math.abs(a - b) < 1e-3 })
+
+    // stereo carrying the same signal on both channels downmixes to the
+    // same fingerprint as the mono encoding
+    val fpMono = Multimodal.pcmFingerprint(clip)
+    val fpStereo = Multimodal.pcmFingerprint(
+      Multimodal.decodeWavPcm(wavBytes(rate, Seq(tone, tone))).get)
+    assert(fpMono.toSeq == fpStereo.toSeq)
+
+    // small deterministic noise leaves every quantized slot unchanged;
+    // different pitch and different level both move the slots
+    val fpNoisy = Multimodal.pcmFingerprint(
+      Multimodal.decodeWavPcm(wavBytes(rate, Seq(sine(440, rate, 1.0, 0.5, noise = 0.001)))).get)
+    assert(fpMono.toSeq == fpNoisy.toSeq, "coarse quantization must absorb tiny noise")
+    val fpOtherPitch = Multimodal.pcmFingerprint(
+      Multimodal.decodeWavPcm(wavBytes(rate, Seq(sine(1760, rate, 1.0, 0.5)))).get)
+    val fpQuiet = Multimodal.pcmFingerprint(
+      Multimodal.decodeWavPcm(wavBytes(rate, Seq(sine(440, rate, 1.0, 0.05)))).get)
+    assert(fpMono.toSeq != fpOtherPitch.toSeq && fpMono.toSeq != fpQuiet.toSeq)
+
+    // not-WAV payloads take the stub path, same schema; truncated/garbage
+    // WAV prefixes must not crash the decoder
+    assert(Multimodal.decodeWavPcm("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeWavPcm(Array.fill[Byte](100)(3)).isEmpty)
+
+    // end-to-end: the Spark features + shared-slot join find the real
+    // near-dup pair (identical tone, one noisy re-record) and not the
+    // different-pitch clip
+    val media = s.createDataset(Seq(
+      MediaRow("a1", "tone", "audio/wav", wavBytes(rate, Seq(tone))),
+      MediaRow("a2", "tone-rerecord", "audio/wav",
+        wavBytes(rate, Seq(sine(440, rate, 1.0, 0.5, noise = 0.001)))),
+      MediaRow("a3", "other", "audio/wav", wavBytes(rate, Seq(sine(1760, rate, 1.0, 0.5))))))
+    val feats = Multimodal.audioFeatures(media)
+    assert(feats.collect().forall(_.getAs[Int]("duration_ms") == 1000))
+    val f = feats.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.col("audio_fp")).as(Seq("w", "v"))).distinct()
+    val l = f.select(f("doc_id").as("a"), f("w"), f("v"))
+    val r = f.select(f("doc_id").as("b"), f("w"), f("v"))
+    val pairs = l.join(r, Seq("w", "v"))
+      .filter(org.apache.spark.sql.functions.col("a") <
+        org.apache.spark.sql.functions.col("b"))
+      .groupBy("a", "b")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("shared"))
+      .filter(org.apache.spark.sql.functions.col("shared") >= 6)
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    assert(pairs.toSeq == Seq(("a1", "a2")))
+  }
 }
