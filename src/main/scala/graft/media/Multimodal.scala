@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partitioning, batch shape, error
   * side-channel — is real and tested. Codec coverage: images decode for real
   * (JDK ImageIO); WAV/PCM audio decodes for real (pure-JVM RIFF parser —
-  * [[decodeWavPcm]]); compressed audio and all video have no decoder in
-  * this container, so those paths are deterministic stubs behind the same
-  * interface (clearly marked below) — swap in a real codec where one
-  * exists.
+  * [[decodeWavPcm]]); MJPEG-in-AVI video decodes for real (RIFF frame
+  * extraction [[extractAviFrames]] + ImageIO per frame); compressed audio
+  * and other video containers have no decoder in this container, so those
+  * paths are deterministic stubs behind the same interface (clearly marked
+  * below) — swap in a real codec where one exists.
   */
 object Multimodal {
 
@@ -210,19 +211,69 @@ object Multimodal {
     }.toDF("doc_id", "media_ref", "duration_ms", "audio_fp")
   }
 
-  /** STUB video frame sampling → per-frame pHash. Frames are synthesized
-    * deterministically from (payload digest, frame index); a real decoder
-    * would seek and decode at the same indices.
+  /** AVI (RIFF) frame extractor: walks the chunk tree to the `movi` LIST
+    * and returns the raw bytes of every video frame chunk (`##db`/`##dc`,
+    * including frames nested in `rec ` LISTs) in stream order. Pure JVM —
+    * for MJPEG AVIs each frame is a JPEG blob ImageIO can decode (NB:
+    * some MJPEG encoders omit the standard Huffman tables from frames;
+    * those need a codec and fall back to the stub path when ImageIO
+    * rejects them). Returns None for non-AVI payloads.
+    */
+  def extractAviFrames(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL)) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val out = IndexedSeq.newBuilder[Array[Byte]]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = tag(pos)
+        val size = math.min(u32(pos + 4), (to - pos - 8).toLong).toInt
+        val body = pos + 8
+        if (id == "LIST" && size >= 4) {
+          val listType = tag(body)
+          walk(body + 4, body + size, inMovi || listType == "movi")
+        } else if (inMovi && isFrameId(id) && size > 0) {
+          out += java.util.Arrays.copyOfRange(bytes, body, body + size)
+        }
+        pos = body + size + (size & 1) // word-aligned
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    val frames = out.result()
+    if (frames.nonEmpty) Some(frames) else None
+  }
+
+  /** Video frame sampling → per-frame pHash. AVI payloads decode FOR REAL
+    * (frame chunks via [[extractAviFrames]], pixels via ImageIO — covers
+    * MJPEG with embedded tables); anything else takes the STUB path:
+    * frames synthesized deterministically from (payload digest, frame
+    * index) — no compressed-video codec ships in this container. Same
+    * sampling semantics (every `everyNth`-th frame, up to `maxFrames`)
+    * and output shape either way.
     */
   def sampleFrames(media: Dataset[MediaRow], everyNth: Int, maxFrames: Int)(
       implicit spark: SparkSession): Dataset[FrameSample] = {
     import spark.implicits._
     media.flatMap { m =>
-      val digest = Hashing.hash64(m.media_ref, m.bytes.length.toLong)
-      val nFrames = 1 + (java.lang.Long.remainderUnsigned(digest, 240L)).toInt
-      (0 until nFrames by everyNth).take(maxFrames).map { i =>
-        val frame = SynthMedia.render(Hashing.hash64(digest, i.toLong), 0)
-        FrameSample(m.doc_id, m.media_ref, i, PHash.dct64(frame))
+      extractAviFrames(m.bytes) match {
+        case Some(frames) =>
+          (0 until frames.length by everyNth).take(maxFrames).flatMap { i =>
+            Raster.decode(frames(i)).toOption
+              .map(img => FrameSample(m.doc_id, m.media_ref, i, PHash.dct64(img)))
+          }
+        case None =>
+          val digest = Hashing.hash64(m.media_ref, m.bytes.length.toLong)
+          val nFrames = 1 + (java.lang.Long.remainderUnsigned(digest, 240L)).toInt
+          (0 until nFrames by everyNth).take(maxFrames).map { i =>
+            val frame = SynthMedia.render(Hashing.hash64(digest, i.toLong), 0)
+            FrameSample(m.doc_id, m.media_ref, i, PHash.dct64(frame))
+          }
       }
     }
   }

@@ -72,6 +72,66 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(nd.toSeq == Seq(("w1", "w2")))
   }
 
+  private def jpgBytes(seed: String): Array[Byte] = {
+    val img = SynthMedia.resolve(s"synth://$seed").toOption.get
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR) // JPEG writer rejects alpha
+    for (y <- 0 until img.height; x <- 0 until img.width)
+      bi.setRGB(x, y, (img.r(x, y) << 16) | (img.g(x, y) << 8) | img.b(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal RIFF/AVI container holding the given frame blobs as `00dc`
+    * chunks inside a `movi` LIST (what an MJPEG AVI looks like to the
+    * frame extractor; header lists are optional for it).
+    */
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val chunkLens = frames.map(f => 8 + f.length + (f.length & 1))
+    val moviSize = 4 + chunkLens.sum
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + moviSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + moviSize)
+      .put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(moviSize)
+      .put("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      bb.put("00dc".getBytes("US-ASCII")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  test("AVI/MJPEG decodes for real: frame extraction, per-frame pHash, near-dup join") {
+    implicit val s = spark
+    import s.implicits._
+    val fa = Seq("fr1", "fr2", "fr3", "fr4").map(jpgBytes)
+    val fc = Seq("zz1", "zz2", "zz3", "zz4").map(jpgBytes)
+    // extractor: frame count and bytes survive the container roundtrip
+    val got = Multimodal.extractAviFrames(aviBytes(fa)).get
+    assert(got.length == 4 && got.zip(fa).forall { case (a, b) => a.sameElements(b) })
+    assert(Multimodal.extractAviFrames(Array.fill[Byte](64)(5)).isEmpty)
+
+    // sampled frame hashes equal the direct decode+pHash of the same blobs
+    val media = s.createDataset(Seq(
+      MediaRow("va", "clip-a", "video/avi", aviBytes(fa)),
+      MediaRow("vb", "clip-b", "video/avi", aviBytes(fa)), // identical content
+      MediaRow("vc", "clip-c", "video/avi", aviBytes(fc))))
+    val frames = Multimodal.sampleFrames(media, everyNth = 1, maxFrames = 10).collect()
+    val vaHashes = frames.filter(_.doc_id == "va").sortBy(_.frame_index)
+      .map(_.frame_phash).toSeq
+    val want = fa.map(b => graft.imaging.PHash.dct64(
+      graft.imaging.Raster.decode(b).toOption.get))
+    assert(vaHashes == want, "real-decode path must hash the actual frames")
+
+    // the shared-frame near-dup join finds the identical pair only
+    val nd = Multimodal.videoNearDups(
+        Multimodal.sampleFrames(media, 1, 10), minShared = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(nd.toSeq == Seq(("va", "vb")))
+  }
+
   /** 16-bit PCM RIFF/WAVE bytes for the given mono signal (or interleaved
     * stereo when two signals are given).
     */
