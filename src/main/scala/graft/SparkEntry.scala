@@ -655,16 +655,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // multimodal: frame-sampled video near-dup join (stub decode; real join)
+    // multimodal video: REAL MJPEG-in-AVI decode end-to-end — each doc
+    // synthesizes a deterministic AVI (JPEG frames in 00dc movi chunks),
+    // sampleFrames extracts + ImageIO-decodes + pHashes real frames, and
+    // the shared-frame join reports the exact re-uploads that carry
+    // >= minShared sampled frames
     "q_video_near_dups" -> ((s, dir) => {
       import s.implicits._
       val media = docsTable(s, dir).select(col("doc_id")).as[Long]
         .filter(_ % 20 == 0).flatMap { id =>
-          val bytes = Array.tabulate[Byte](256)(i => ((id + i) % 127).toByte)
+          val nFrames = 4 + (id % 12).toInt
+          val bytes = SynthMedia.aviClip(graft.text.Hashing.hash64(s"vid-$id"), nFrames)
           // every 5th video also appears as an exact re-upload
-          val base = graft.media.Multimodal.MediaRow(s"v$id", s"vid-$id", "video/mp4", bytes)
+          val base = graft.media.Multimodal.MediaRow(s"v$id", s"vid-$id", "video/avi", bytes)
           if (id % 100 == 0)
-            Seq(base, graft.media.Multimodal.MediaRow(s"v$id-copy", s"vid-$id", "video/mp4", bytes))
+            Seq(base, graft.media.Multimodal.MediaRow(s"v$id-copy", s"vid-$id", "video/avi", bytes))
           else Seq(base)
         }
       val frames = graft.media.Multimodal.sampleFrames(media, everyNth = 2, maxFrames = 12)(s)
@@ -672,18 +677,28 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
-    // multimodal: audio fingerprint near-dup join (stub decode — no codec
-    // libs in this container; real per-window fingerprint join plumbing).
-    // Near-dup = sharing >= 6 of 8 (window, value) fingerprint slots
+    // multimodal audio: REAL WAV/PCM decode end-to-end — each doc
+    // synthesizes a deterministic PCM tone (frequency/amplitude/length
+    // keyed off the id so no two distinct clips share quantized slots:
+    // the zcr bucket is injective in id%40, the energy decile in id%7,
+    // and ids 15 apart never collide on both below lcm scale), and every
+    // 4th clip also appears as a NOISY RE-RECORD whose coarse-quantized
+    // fingerprint must still match 8/8 — the noise-robustness property
+    // the real fingerprint exists for. Near-dup = sharing >= 6 of 8
+    // (window, value) fingerprint slots
     "q_audio_near_dups" -> ((s, dir) => {
       import s.implicits._
       val media = docsTable(s, dir).select(col("doc_id")).as[Long]
         .filter(_ % 15 == 0).flatMap { id =>
-          val bytes = Array.tabulate[Byte](512)(i => ((id * 31 + i) % 101).toByte)
-          val base = graft.media.Multimodal.MediaRow(s"a$id", s"aud-$id", "audio/wav", bytes)
-          // every 4th clip also appears as an exact re-upload
+          val rate = 8000
+          val freq = 300.0 + (id % 40) * 80.0
+          val amp = 0.2 + (id % 7) * 0.1
+          val n = (rate * (0.5 + (id % 3) * 0.25)).toInt
+          val base = graft.media.Multimodal.MediaRow(s"a$id", s"aud-$id", "audio/wav",
+            SynthMedia.wavTone(rate, freq, amp, n))
           if (id % 60 == 0)
-            Seq(base, graft.media.Multimodal.MediaRow(s"a$id-re", s"aud-$id", "audio/wav", bytes))
+            Seq(base, graft.media.Multimodal.MediaRow(s"a$id-re", s"aud-$id-re", "audio/wav",
+              SynthMedia.wavTone(rate, freq, amp, n, noise = 0.001)))
           else Seq(base)
         }
       val feats = graft.media.Multimodal.audioFeatures(media)(s)

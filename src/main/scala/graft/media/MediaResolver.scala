@@ -125,6 +125,70 @@ object SynthMedia extends MediaResolver {
     }
     a
   }
+
+  /** Deterministic 16-bit PCM mono WAV tone (RIFF container bytes) — the
+    * synthetic payload the audio queries feed through the REAL
+    * `Multimodal.decodeWavPcm` path. `noise` adds a small deterministic
+    * jitter (`sin(13.7·i)`), sized to sit below the fingerprint
+    * quantization so a "re-record" still matches.
+    */
+  def wavTone(rate: Int, freqHz: Double, amp: Double, nSamples: Int,
+              noise: Double = 0.0): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val v = amp * math.sin(2 * math.Pi * freqHz * i / rate) +
+        noise * math.sin(13.7 * i)
+      bb.putShort(math.round(math.max(-1.0, math.min(1.0, v)) * 32767).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic MJPEG-in-AVI clip: `nFrames` frames rendered from
+    * (seed, frame index) and JPEG-encoded into `00dc` movi chunks — the
+    * synthetic payload the video queries feed through the REAL
+    * `Multimodal.extractAviFrames` + ImageIO path.
+    */
+  def aviClip(seed: Long, nFrames: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { i =>
+      val img = render(Hashing.hash64(seed, i.toLong), 0)
+      val bi = new java.awt.image.BufferedImage(img.width, img.height,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR) // JPEG writer rejects alpha
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          bi.setRGB(x, y, (img.r(x, y) << 16) | (img.g(x, y) << 8) | img.b(x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", bos)
+      bos.toByteArray
+    }
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + moviSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + moviSize)
+      .put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(moviSize)
+      .put("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      bb.put("00dc".getBytes("US-ASCII")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
 }
 
 /** Scheme-dispatching default resolver. */

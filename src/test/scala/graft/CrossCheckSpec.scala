@@ -285,28 +285,26 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
       s"first diff: ${emitted.zip(expected).find(p => p._1 != p._2)}")
   }
 
-  test("q_audio_near_dups: pair set re-derived by sequential brute force over the stub fingerprints") {
+  test("q_audio_near_dups: pair set re-derived by sequential brute force over the real WAV fingerprints") {
     // The golden locks the distributed posexplode→equi-join→agg plumbing;
     // this re-derives the SAME answer with nested loops: every item pair,
-    // count windows whose fingerprint values agree, keep >= 6. Shares only
-    // the stub fingerprint math's definition (re-written locally against
-    // graft.text.Hashing).
-    import graft.text.Hashing
+    // count windows whose fingerprint values agree, keep >= 6. The WAV
+    // synthesis + decode + fingerprint kernels are the shared definitions
+    // (independently specced in MultimodalSpec); the distributed join is
+    // what's rederived. The noisy re-records MUST land 8/8 — the
+    // quantization-robustness property under test.
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).filter(_ % 15 == 0).sorted
     val items: Seq[(String, Array[Long])] = ids.toSeq.flatMap { id =>
-      val bytes = Array.tabulate[Byte](512)(i => ((id * 31 + i) % 101).toByte)
-      def fp(ref: String): Array[Long] = {
-        val h = Hashing.hash64(ref)
-        (0 until 8).map { i =>
-          var acc = Hashing.mix64(h ^ i.toLong)
-          var j = i
-          while (j < bytes.length) { acc = Hashing.hash64(acc, bytes(j).toLong); j += 64 }
-          acc
-        }.toArray
-      }
-      val base = (s"a$id", fp(s"aud-$id"))
-      if (id % 60 == 0) Seq(base, (s"a$id-re", fp(s"aud-$id"))) else Seq(base)
+      val rate = 8000
+      val freq = 300.0 + (id % 40) * 80.0
+      val amp = 0.2 + (id % 7) * 0.1
+      val n = (rate * (0.5 + (id % 3) * 0.25)).toInt
+      def fp(noise: Double): Array[Long] =
+        graft.media.Multimodal.pcmFingerprint(graft.media.Multimodal.decodeWavPcm(
+          graft.media.SynthMedia.wavTone(rate, freq, amp, n, noise)).get)
+      val base = (s"a$id", fp(0.0))
+      if (id % 60 == 0) Seq(base, (s"a$id-re", fp(0.001))) else Seq(base)
     }
     val expected = (for {
       i <- items.indices
@@ -447,22 +445,23 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(diffs.isEmpty, s"cluster diff (emitted, rederived): ${diffs.take(5)}")
   }
 
-  test("q_video_near_dups: pair set re-derived by sequential brute force over sampled frame hashes") {
+  test("q_video_near_dups: pair set re-derived by sequential brute force over real decoded frame hashes") {
     // Distinct-frame-hash set intersection >= 3, computed with plain Scala
-    // sets over the same deterministic frame synthesis (SynthMedia/PHash are
-    // the frame DEFINITION; their pixel math has independent golden-pixel
-    // coverage in KernelSpec). Verifies the distinct-before-join dedup and
-    // the shared_frames aggregation.
+    // sets over the same AVI synthesis, REAL frame extraction + ImageIO
+    // decode and pHash (the kernels are the definitions, independently
+    // specced in MultimodalSpec/KernelSpec). Verifies the sampling
+    // semantics, the distinct-before-join dedup and the shared_frames
+    // aggregation.
     import graft.text.Hashing
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).filter(_ % 20 == 0).sorted
     val items: Seq[(String, Set[Long])] = ids.toSeq.flatMap { id =>
-      val bytes = Array.tabulate[Byte](256)(i => ((id + i) % 127).toByte)
-      val digest = Hashing.hash64(s"vid-$id", bytes.length.toLong)
-      val nFrames = 1 + java.lang.Long.remainderUnsigned(digest, 240L).toInt
-      val hashes = (0 until nFrames by 2).take(12).map { i =>
+      val nFrames = 4 + (id % 12).toInt
+      val frames = graft.media.Multimodal.extractAviFrames(
+        graft.media.SynthMedia.aviClip(Hashing.hash64(s"vid-$id"), nFrames)).get
+      val hashes = (0 until frames.length by 2).take(12).map { i =>
         graft.imaging.PHash.dct64(
-          graft.media.SynthMedia.render(Hashing.hash64(digest, i.toLong), 0))
+          graft.imaging.Raster.decode(frames(i)).toOption.get)
       }.toSet
       val base = (s"v$id", hashes)
       if (id % 100 == 0) Seq(base, (s"v$id-copy", hashes)) else Seq(base)
