@@ -153,6 +153,43 @@ object Multimodal {
     else None
   }
 
+  /** JDK `javax.sound.sampled` decode tier (still no external library):
+    * covers what the fast RIFF path doesn't — PCM at other bit depths,
+    * G.711 µ-law/A-law WAVs, AIFF/AU containers — by converting to
+    * 16-bit signed PCM through AudioSystem and downmixing to mono.
+    * Returns None where the JDK has no codec (mp3/aac/...).
+    */
+  def decodeJavaSound(bytes: Array[Byte]): Option[AudioClip] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val base = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels,
+        base.getChannels * 2, base.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      val buf = pcm.readAllBytes()
+      pcm.close(); in.close()
+      val ch = math.max(base.getChannels, 1)
+      val n = buf.length / (2 * ch)
+      if (n == 0) return None
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          acc += ((buf(off) & 0xff) | (buf(off + 1) << 8)).toShort / 32768.0
+          c += 1
+        }
+        out(i) = acc / ch
+        i += 1
+      }
+      Some(AudioClip(base.getSampleRate.toInt, out))
+    } catch { case _: Exception => None }
+
   /** Per-window fingerprint over decoded PCM: 8 equal segments, each
     * hashed from its (log-energy decile, zero-crossing-rate 1/32 bucket).
     * The coarse quantization keeps slots stable under small noise and
@@ -181,16 +218,18 @@ object Multimodal {
     }
   }
 
-  /** Audio decode → per-window fingerprint features. WAV/PCM payloads
-    * decode for real ([[decodeWavPcm]] → [[pcmFingerprint]]); anything
-    * else takes the STUB path (deterministic function of the payload, no
-    * codec in this container) — same schema and slot shape either way.
+  /** Audio decode → per-window fingerprint features. 16-bit WAV/PCM
+    * takes the fast pure parser ([[decodeWavPcm]]); other JDK-decodable
+    * audio (µ-law/A-law WAV, AIFF/AU, other PCM depths) goes through
+    * [[decodeJavaSound]]; only payloads with no JDK codec take the STUB
+    * path (deterministic function of the bytes) — same schema and slot
+    * shape in every case.
     */
   def audioFeatures(media: Dataset[MediaRow])(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.map { m =>
-      decodeWavPcm(m.bytes) match {
+      decodeWavPcm(m.bytes).orElse(decodeJavaSound(m.bytes)) match {
         case Some(clip) =>
           val durationMs =
             (clip.samples.length.toLong * 1000 / clip.sampleRate).toInt

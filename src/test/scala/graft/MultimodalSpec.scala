@@ -164,6 +164,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
         noise * math.sin(13.7 * i) // deterministic jitter
     }
 
+  test("G.711 u-law re-encode decodes via the JDK tier and still fingerprints as the same clip") {
+    val rate = 8000
+    // amplitude chosen mid-decile (−8.5 dB): bucket stability under a
+    // lossy re-encode holds AWAY from decile boundaries — µ-law's ~2%
+    // energy jitter can flip a clip sitting within ~0.05 dB of an edge
+    // (amp 0.5 = −9.03 dB is such a case), the inherent boundary
+    // behavior of any hard quantizer
+    val tone = sine(440, rate, 1.0, 0.53)
+    val pcmWav = wavBytes(rate, Seq(tone))
+    // the JDK tier agrees with the pure RIFF parser on plain 16-bit PCM
+    val viaJdk = Multimodal.decodeJavaSound(pcmWav).get
+    val viaRiff = Multimodal.decodeWavPcm(pcmWav).get
+    assert(viaJdk.sampleRate == viaRiff.sampleRate &&
+      viaJdk.samples.length == viaRiff.samples.length)
+    assert(viaJdk.samples.zip(viaRiff.samples)
+      .forall { case (a, b) => math.abs(a - b) < 1e-6 })
+
+    // µ-law (telephone-quality, 8-bit log) re-encode of the same clip:
+    // only the JDK tier decodes it, and the coarse-quantized fingerprint
+    // still matches the PCM original exactly
+    import javax.sound.sampled._
+    val src = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(pcmWav))
+    val ulawStream = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.ULAW, rate.toFloat, 8, 1, 1, rate.toFloat, false),
+      src)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawStream, AudioFileFormat.Type.WAVE, bos)
+    val ulawWav = bos.toByteArray
+    assert(Multimodal.decodeWavPcm(ulawWav).isEmpty,
+      "the pure parser must decline non-PCM16 WAVs")
+    val clipU = Multimodal.decodeJavaSound(ulawWav).get
+    assert(clipU.sampleRate == rate)
+    assert(Multimodal.pcmFingerprint(clipU).toSeq ==
+      Multimodal.pcmFingerprint(viaRiff).toSeq,
+      "telephone-quality re-encode must fingerprint identically")
+  }
+
   test("WAV/PCM decodes for real: roundtrip, stereo downmix, noise-stable fingerprints, near-dup join") {
     implicit val s = spark
     import s.implicits._
