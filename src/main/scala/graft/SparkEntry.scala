@@ -682,10 +682,10 @@ object SparkEntry {
     // keyed off the id so no two distinct clips share quantized slots:
     // the zcr bucket is injective in id%40, the energy decile in id%7,
     // and ids 15 apart never collide on both below lcm scale), and every
-    // 4th clip also appears as a NOISY RE-RECORD whose coarse-quantized
-    // fingerprint must still match 8/8 — the noise-robustness property
-    // the real fingerprint exists for. Near-dup = sharing >= 6 of 8
-    // (window, value) fingerprint slots
+    // 4th clip also appears as a NOISY RE-RECORD that the dual-offset
+    // grids GUARANTEE to match with >= 8 of 32 shared slots regardless of
+    // bucket-boundary position (see Multimodal.pcmFingerprint). Near-dup
+    // = sharing >= 8 of 32 (window, value) fingerprint slots
     "q_audio_near_dups" -> ((s, dir) => {
       import s.implicits._
       val media = docsTable(s, dir).select(col("doc_id")).as[Long]
@@ -708,7 +708,7 @@ object SparkEntry {
       val r = f.select(col("doc_id").as("b"), col("w"), col("v"))
       l.join(r, Seq("w", "v")).filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("shared_windows"))
-        .filter(col("shared_windows") >= 6)
+        .filter(col("shared_windows") >= 8)
         .orderBy("a", "b")
     }),
 

@@ -190,16 +190,27 @@ object Multimodal {
       Some(AudioClip(base.getSampleRate.toInt, out))
     } catch { case _: Exception => None }
 
-  /** Per-window fingerprint over decoded PCM: 8 equal segments, each
-    * hashed from its (log-energy decile, zero-crossing-rate 1/32 bucket).
-    * The coarse quantization keeps slots stable under small noise and
-    * level jitter — the property the shared-slot near-dup join needs —
-    * while different content (other pitch, other level, other envelope)
-    * lands in different buckets.
+  /** Per-window fingerprint over decoded PCM with DUAL-OFFSET grids:
+    * 8 equal segments × 4 grid pairs = 32 slots. Each segment yields a
+    * log-energy (dB) and a zero-crossing rate; each feature is quantized
+    * on two grids offset by half a step (energy: 1 dB steps; zcr: 1/32
+    * steps), and one slot is emitted per (energy grid, zcr grid) pair.
+    *
+    * Recall GUARANTEE: a re-encode/noise perturbation that moves energy
+    * by < 1/4 dB and zcr by < 1/128 leaves each feature at least half a
+    * step inside one of its two offset grids, so per segment at least
+    * one of the 4 grid pairs is bit-identical — ≥ 8 of 32 slots shared,
+    * whatever the clip's position relative to bucket boundaries (a
+    * single hard quantizer flips ALL slots for a clip sitting on a
+    * boundary — measured with G.711 µ-law re-encodes in MultimodalSpec).
+    * Precision: clips differing by a full step in either feature share
+    * no slot on any grid.
     */
   def pcmFingerprint(clip: AudioClip): Array[Long] = {
     val n = clip.samples.length
-    Array.tabulate(8) { seg =>
+    val out = new Array[Long](32)
+    var seg = 0
+    while (seg < 8) {
       val lo = (n.toLong * seg / 8).toInt
       val hi = (n.toLong * (seg + 1) / 8).toInt
       var energy = 0.0
@@ -212,10 +223,19 @@ object Multimodal {
         i += 1
       }
       val len = math.max(hi - lo, 1)
-      val eB = math.floor(10.0 * math.log10(energy / len + 1e-12)).toLong
-      val zB = zc.toLong * 32 / len
-      Hashing.hash64(Hashing.hash64(0x617564L + seg, eB), zB)
+      val dB = 10.0 * math.log10(energy / len + 1e-12)
+      val z32 = zc.toDouble * 32.0 / len
+      var g = 0
+      while (g < 4) {
+        val eB = math.floor(dB + (g >> 1) * 0.5).toLong
+        val zB = math.floor(z32 + (g & 1) * 0.5).toLong
+        out(seg * 4 + g) =
+          Hashing.hash64(Hashing.hash64(0x617564L + seg * 4 + g, eB), zB)
+        g += 1
+      }
+      seg += 1
     }
+    out
   }
 
   /** Audio decode → per-window fingerprint features. 16-bit WAV/PCM
@@ -239,11 +259,12 @@ object Multimodal {
           val durationMs = 1000 + (java.lang.Long.remainderUnsigned(
             Hashing.hash64(h, m.bytes.length.toLong), 600000L)).toInt
           // deterministic fake spectral fingerprint over byte windows
-          val fp = (0 until 8).map { i =>
+          // (32 slots — same shape as the real path's dual-grid output)
+          val fp = (0 until 32).map { i =>
             var acc = Hashing.mix64(h ^ i.toLong)
-            var j = i
+            var j = i % 8
             while (j < m.bytes.length) { acc = Hashing.hash64(acc, m.bytes(j).toLong); j += 64 }
-            acc
+            Hashing.hash64(acc, i.toLong)
           }.toArray
           (m.doc_id, m.media_ref, durationMs, fp)
       }

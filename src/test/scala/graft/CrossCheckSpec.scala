@@ -288,7 +288,7 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
   test("q_audio_near_dups: pair set re-derived by sequential brute force over the real WAV fingerprints") {
     // The golden locks the distributed posexplode→equi-join→agg plumbing;
     // this re-derives the SAME answer with nested loops: every item pair,
-    // count windows whose fingerprint values agree, keep >= 6. The WAV
+    // count slots whose fingerprint values agree, keep >= 8. The WAV
     // synthesis + decode + fingerprint kernels are the shared definitions
     // (independently specced in MultimodalSpec); the distributed join is
     // what's rederived. The noisy re-records MUST land 8/8 — the
@@ -312,8 +312,8 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
       (da, fa) = items(i)
       (db, fb) = items(j)
       if da < db
-      shared = (0 until 8).count(w => fa(w) == fb(w))
-      if shared >= 6
+      shared = (0 until 32).count(w => fa(w) == fb(w))
+      if shared >= 8
     } yield ((da, db), shared.toLong)).toMap
     val emitted = SparkEntry.queries("q_audio_near_dups")(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap

@@ -52,7 +52,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       MediaRow("v3", "vid3", "video/mp4", Array.fill[Byte](900)(9))))
     val audio = Multimodal.audioFeatures(media).collect()
     assert(audio.length == 3)
-    assert(audio.map(_.getAs[scala.collection.Seq[Long]]("audio_fp")).forall(_.length == 8))
+    assert(audio.map(_.getAs[scala.collection.Seq[Long]]("audio_fp")).forall(_.length == 32))
 
     val frames = Multimodal.sampleFrames(media, everyNth = 2, maxFrames = 10)
     val byDoc = frames.collect().groupBy(_.doc_id)
@@ -166,12 +166,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
 
   test("G.711 u-law re-encode decodes via the JDK tier and still fingerprints as the same clip") {
     val rate = 8000
-    // amplitude chosen mid-decile (−8.5 dB): bucket stability under a
-    // lossy re-encode holds AWAY from decile boundaries — µ-law's ~2%
-    // energy jitter can flip a clip sitting within ~0.05 dB of an edge
-    // (amp 0.5 = −9.03 dB is such a case), the inherent boundary
-    // behavior of any hard quantizer
-    val tone = sine(440, rate, 1.0, 0.53)
+    // amp 0.5 = −9.03 dB sits 0.03 dB from a decile edge — the case a
+    // SINGLE hard quantizer failed on (µ-law's ~0.1 dB energy jitter
+    // flipped every slot); the dual-offset grids guarantee >= 8 of 32
+    // shared slots at ANY boundary position
+    val tone = sine(440, rate, 1.0, 0.5)
     val pcmWav = wavBytes(rate, Seq(tone))
     // the JDK tier agrees with the pure RIFF parser on plain 16-bit PCM
     val viaJdk = Multimodal.decodeJavaSound(pcmWav).get
@@ -197,9 +196,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "the pure parser must decline non-PCM16 WAVs")
     val clipU = Multimodal.decodeJavaSound(ulawWav).get
     assert(clipU.sampleRate == rate)
-    assert(Multimodal.pcmFingerprint(clipU).toSeq ==
-      Multimodal.pcmFingerprint(viaRiff).toSeq,
-      "telephone-quality re-encode must fingerprint identically")
+    val shared = Multimodal.pcmFingerprint(clipU)
+      .zip(Multimodal.pcmFingerprint(viaRiff)).count { case (a, b) => a == b }
+    assert(shared >= 8,
+      s"dual-grid guarantee violated: only $shared of 32 slots survived the re-encode")
   }
 
   test("WAV/PCM decodes for real: roundtrip, stereo downmix, noise-stable fingerprints, near-dup join") {
@@ -219,16 +219,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Multimodal.decodeWavPcm(wavBytes(rate, Seq(tone, tone))).get)
     assert(fpMono.toSeq == fpStereo.toSeq)
 
-    // small deterministic noise leaves every quantized slot unchanged;
-    // different pitch and different level both move the slots
+    // small deterministic noise keeps >= 8 of 32 slots (the dual-grid
+    // guarantee: per segment, at least one of the 4 grid pairs is stable
+    // under sub-half-step jitter — here the noise sits exactly on the
+    // offset zcr grid's boundary, flipping some offset slots while every
+    // base pair survives); different pitch and different level share NONE
+    def sharedSlots(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).count { case (x, y) => x == y }
     val fpNoisy = Multimodal.pcmFingerprint(
       Multimodal.decodeWavPcm(wavBytes(rate, Seq(sine(440, rate, 1.0, 0.5, noise = 0.001)))).get)
-    assert(fpMono.toSeq == fpNoisy.toSeq, "coarse quantization must absorb tiny noise")
+    assert(sharedSlots(fpMono, fpNoisy) >= 8,
+      s"guarantee violated: ${sharedSlots(fpMono, fpNoisy)} of 32 shared")
     val fpOtherPitch = Multimodal.pcmFingerprint(
       Multimodal.decodeWavPcm(wavBytes(rate, Seq(sine(1760, rate, 1.0, 0.5)))).get)
     val fpQuiet = Multimodal.pcmFingerprint(
       Multimodal.decodeWavPcm(wavBytes(rate, Seq(sine(440, rate, 1.0, 0.05)))).get)
-    assert(fpMono.toSeq != fpOtherPitch.toSeq && fpMono.toSeq != fpQuiet.toSeq)
+    assert(sharedSlots(fpMono, fpOtherPitch) == 0 && sharedSlots(fpMono, fpQuiet) == 0)
 
     // not-WAV payloads take the stub path, same schema; truncated/garbage
     // WAV prefixes must not crash the decoder
@@ -256,7 +262,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .groupBy("a", "b")
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("shared"))
-      .filter(org.apache.spark.sql.functions.col("shared") >= 6)
+      .filter(org.apache.spark.sql.functions.col("shared") >= 8)
       .collect().map(x => (x.getString(0), x.getString(1)))
     assert(pairs.toSeq == Seq(("a1", "a2")))
   }
