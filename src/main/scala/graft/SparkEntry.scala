@@ -664,7 +664,10 @@ object SparkEntry {
       import s.implicits._
       val media = docsTable(s, dir).select(col("doc_id")).as[Long]
         .filter(_ % 20 == 0).flatMap { id =>
-          val nFrames = 4 + (id % 12).toInt
+          // floor of 6 frames: everyNth=2 samples >= 3 of them, so EVERY
+          // planted re-upload clears minShared=3 (a 4-frame clip samples
+          // only 2 and its copy pair would be structurally undetectable)
+          val nFrames = 6 + (id % 12).toInt
           val bytes = SynthMedia.aviClip(graft.text.Hashing.hash64(s"vid-$id"), nFrames)
           // every 5th video also appears as an exact re-upload
           val base = graft.media.Multimodal.MediaRow(s"v$id", s"vid-$id", "video/avi", bytes)
@@ -678,27 +681,25 @@ object SparkEntry {
     }),
 
     // multimodal audio: REAL WAV/PCM decode end-to-end — each doc
-    // synthesizes a deterministic PCM tone (frequency/amplitude/length
-    // keyed off the id so no two distinct clips share quantized slots:
-    // the zcr bucket is injective in id%40, the energy decile in id%7,
-    // and ids 15 apart never collide on both below lcm scale), and every
-    // 4th clip also appears as a NOISY RE-RECORD that the dual-offset
-    // grids GUARANTEE to match with >= 8 of 32 shared slots regardless of
-    // bucket-boundary position (see Multimodal.pcmFingerprint). Near-dup
-    // = sharing >= 8 of 32 (window, value) fingerprint slots
+    // synthesizes a deterministic 8-segment melody WAV seeded by its id
+    // (per-window frequency/amplitude hashes ⇒ a (7×40)^8 class space:
+    // no two distinct ids coincide on the quantized features at ANY
+    // corpus scale — a constant tone would collapse into #buckets²
+    // classes and flood the join quadratically), and every 4th clip also
+    // appears as a NOISY RE-RECORD that the dual-offset grids GUARANTEE
+    // to match with >= 8 of 32 shared slots regardless of bucket-boundary
+    // position (see Multimodal.pcmFingerprint). Near-dup = sharing >= 8
+    // of 32 (window, value) fingerprint slots
     "q_audio_near_dups" -> ((s, dir) => {
       import s.implicits._
       val media = docsTable(s, dir).select(col("doc_id")).as[Long]
         .filter(_ % 15 == 0).flatMap { id =>
-          val rate = 8000
-          val freq = 300.0 + (id % 40) * 80.0
-          val amp = 0.2 + (id % 7) * 0.1
-          val n = (rate * (0.5 + (id % 3) * 0.25)).toInt
+          val seed = graft.text.Hashing.hash64(s"aud-$id")
           val base = graft.media.Multimodal.MediaRow(s"a$id", s"aud-$id", "audio/wav",
-            SynthMedia.wavTone(rate, freq, amp, n))
+            SynthMedia.wavMelody(seed))
           if (id % 60 == 0)
             Seq(base, graft.media.Multimodal.MediaRow(s"a$id-re", s"aud-$id-re", "audio/wav",
-              SynthMedia.wavTone(rate, freq, amp, n, noise = 0.001)))
+              SynthMedia.wavMelody(seed, noise = 0.001)))
           else Seq(base)
         }
       val feats = graft.media.Multimodal.audioFeatures(media)(s)

@@ -153,6 +153,46 @@ object SynthMedia extends MediaResolver {
     bb.array()
   }
 
+  /** Deterministic 8-segment "melody" WAV: each eighth of the clip is a
+    * tone whose frequency and amplitude derive from `hash64(seed, seg)`.
+    * A CONSTANT tone carries only one (energy, zcr) feature pair, so any
+    * quantized fingerprint can tell at most #buckets² constant tones
+    * apart — at corpus scale, coincidentally identical-bucket clips
+    * would flood the near-dup join quadratically. Eight independent
+    * segments give a (7 amp × 40 freq)^8 class space: no two seeds
+    * collide at any realistic scale, while a noisy re-record of the SAME
+    * seed still matches through the dual-grid fingerprint guarantee.
+    */
+  def wavMelody(seed: Long, rate: Int = 8000, samplesPerSeg: Int = 1000,
+                noise: Double = 0.0): Array[Byte] = {
+    val n = samplesPerSeg * 8
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var seg = 0
+    while (seg < 8) {
+      val h = Hashing.hash64(seed, seg.toLong)
+      val freq = 300.0 + java.lang.Long.remainderUnsigned(h, 40L) * 80.0
+      val amp = 0.2 + java.lang.Long.remainderUnsigned(Hashing.mix64(h), 7L) * 0.1
+      var i = 0
+      while (i < samplesPerSeg) {
+        val t = seg * samplesPerSeg + i
+        val v = amp * math.sin(2 * math.Pi * freq * i / rate) +
+          noise * math.sin(13.7 * t)
+        bb.putShort(math.round(math.max(-1.0, math.min(1.0, v)) * 32767).toShort)
+        i += 1
+      }
+      seg += 1
+    }
+    bb.array()
+  }
+
   /** Deterministic MJPEG-in-AVI clip: `nFrames` frames rendered from
     * (seed, frame index) and JPEG-encoded into `00dc` movi chunks — the
     * synthetic payload the video queries feed through the REAL

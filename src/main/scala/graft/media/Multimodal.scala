@@ -159,18 +159,19 @@ object Multimodal {
     * 16-bit signed PCM through AudioSystem and downmixing to mono.
     * Returns None where the JDK has no codec (mp3/aac/...).
     */
-  def decodeJavaSound(bytes: Array[Byte]): Option[AudioClip] =
+  def decodeJavaSound(bytes: Array[Byte]): Option[AudioClip] = {
+    var in: javax.sound.sampled.AudioInputStream = null
+    var pcm: javax.sound.sampled.AudioInputStream = null
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val base = in.getFormat
       val target = new javax.sound.sampled.AudioFormat(
         javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
         base.getSampleRate, 16, base.getChannels,
         base.getChannels * 2, base.getSampleRate, false)
-      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
       val buf = pcm.readAllBytes()
-      pcm.close(); in.close()
       val ch = math.max(base.getChannels, 1)
       val n = buf.length / (2 * ch)
       if (n == 0) return None
@@ -188,7 +189,13 @@ object Multimodal {
         i += 1
       }
       Some(AudioClip(base.getSampleRate.toInt, out))
-    } catch { case _: Exception => None }
+    } catch {
+      case _: Exception => None
+    } finally {
+      if (pcm != null) try pcm.close() catch { case _: Exception => () }
+      if (in != null) try in.close() catch { case _: Exception => () }
+    }
+  }
 
   /** Per-window fingerprint over decoded PCM with DUAL-OFFSET grids:
     * 8 equal segments × 4 grid pairs = 32 slots. Each segment yields a
@@ -289,22 +296,37 @@ object Multimodal {
     def isFrameId(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')
-    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
-      var pos = from
-      while (pos + 8 <= to) {
+    // iterative depth-first walk with an explicit continuation stack: a
+    // crafted payload of nested LIST headers must not overflow the call
+    // stack (malformed input is data, never a task-killing Error), and
+    // descending INTO a list before its later siblings preserves stream
+    // order for frames nested in `rec ` lists
+    val stack = scala.collection.mutable.Stack.empty[(Int, Int, Boolean)]
+    var pos = 12
+    var to = bytes.length
+    var inMovi = false
+    var done = false
+    while (!done) {
+      if (pos + 8 <= to) {
         val id = tag(pos)
         val size = math.min(u32(pos + 4), (to - pos - 8).toLong).toInt
         val body = pos + 8
+        val next = body + size + (size & 1) // word-aligned
         if (id == "LIST" && size >= 4) {
-          val listType = tag(body)
-          walk(body + 4, body + size, inMovi || listType == "movi")
-        } else if (inMovi && isFrameId(id) && size > 0) {
-          out += java.util.Arrays.copyOfRange(bytes, body, body + size)
+          stack.push((next, to, inMovi)) // resume siblings after the list
+          inMovi = inMovi || tag(body) == "movi"
+          pos = body + 4
+          to = body + size
+        } else {
+          if (inMovi && isFrameId(id) && size > 0)
+            out += java.util.Arrays.copyOfRange(bytes, body, body + size)
+          pos = next
         }
-        pos = body + size + (size & 1) // word-aligned
-      }
+      } else if (stack.nonEmpty) {
+        val (p, t, m) = stack.pop()
+        pos = p; to = t; inMovi = m
+      } else done = true
     }
-    walk(12, bytes.length, inMovi = false)
     val frames = out.result()
     if (frames.nonEmpty) Some(frames) else None
   }
@@ -321,19 +343,27 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[FrameSample] = {
     import spark.implicits._
     media.flatMap { m =>
+      def stub: Seq[FrameSample] = {
+        val digest = Hashing.hash64(m.media_ref, m.bytes.length.toLong)
+        val nFrames = 1 + (java.lang.Long.remainderUnsigned(digest, 240L)).toInt
+        (0 until nFrames by everyNth).take(maxFrames).map { i =>
+          val frame = SynthMedia.render(Hashing.hash64(digest, i.toLong), 0)
+          FrameSample(m.doc_id, m.media_ref, i, PHash.dct64(frame))
+        }
+      }
       extractAviFrames(m.bytes) match {
         case Some(frames) =>
-          (0 until frames.length by everyNth).take(maxFrames).flatMap { i =>
-            Raster.decode(frames(i)).toOption
-              .map(img => FrameSample(m.doc_id, m.media_ref, i, PHash.dct64(img)))
-          }
-        case None =>
-          val digest = Hashing.hash64(m.media_ref, m.bytes.length.toLong)
-          val nFrames = 1 + (java.lang.Long.remainderUnsigned(digest, 240L)).toInt
-          (0 until nFrames by everyNth).take(maxFrames).map { i =>
-            val frame = SynthMedia.render(Hashing.hash64(digest, i.toLong), 0)
-            FrameSample(m.doc_id, m.media_ref, i, PHash.dct64(frame))
-          }
+          val decoded = (0 until frames.length by everyNth).take(maxFrames)
+            .flatMap { i =>
+              Raster.decode(frames(i)).toOption
+                .map(img => FrameSample(m.doc_id, m.media_ref, i, PHash.dct64(img)))
+            }
+          // an AVI whose sampled frames ImageIO cannot decode (e.g. MJPEG
+          // without embedded Huffman tables, rawvideo/xvid codecs) takes
+          // the stub path like any other codec-less payload — the clip
+          // must not silently vanish from near-dup detection
+          if (decoded.nonEmpty) decoded else stub
+        case None => stub
       }
     }
   }

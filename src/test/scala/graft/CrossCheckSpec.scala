@@ -296,13 +296,10 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).filter(_ % 15 == 0).sorted
     val items: Seq[(String, Array[Long])] = ids.toSeq.flatMap { id =>
-      val rate = 8000
-      val freq = 300.0 + (id % 40) * 80.0
-      val amp = 0.2 + (id % 7) * 0.1
-      val n = (rate * (0.5 + (id % 3) * 0.25)).toInt
+      val seed = graft.text.Hashing.hash64(s"aud-$id")
       def fp(noise: Double): Array[Long] =
         graft.media.Multimodal.pcmFingerprint(graft.media.Multimodal.decodeWavPcm(
-          graft.media.SynthMedia.wavTone(rate, freq, amp, n, noise)).get)
+          graft.media.SynthMedia.wavMelody(seed, noise = noise)).get)
       val base = (s"a$id", fp(0.0))
       if (id % 60 == 0) Seq(base, (s"a$id-re", fp(0.001))) else Seq(base)
     }
@@ -456,7 +453,7 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).filter(_ % 20 == 0).sorted
     val items: Seq[(String, Set[Long])] = ids.toSeq.flatMap { id =>
-      val nFrames = 4 + (id % 12).toInt
+      val nFrames = 6 + (id % 12).toInt
       val frames = graft.media.Multimodal.extractAviFrames(
         graft.media.SynthMedia.aviClip(Hashing.hash64(s"vid-$id"), nFrames)).get
       val hashes = (0 until frames.length by 2).take(12).map { i =>

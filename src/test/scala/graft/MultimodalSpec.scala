@@ -85,7 +85,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
 
   /** Minimal RIFF/AVI container holding the given frame blobs as `00dc`
     * chunks inside a `movi` LIST (what an MJPEG AVI looks like to the
-    * frame extractor; header lists are optional for it).
+    * frame extractor; header lists are optional for it). DELIBERATELY an
+    * independent reimplementation of the container layout rather than a
+    * call to SynthMedia.aviClip — the extractor is tested against bytes
+    * it did not round-trip with its sibling writer, so a shared layout
+    * bug cannot hide.
     */
   private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
     val chunkLens = frames.map(f => 8 + f.length + (f.length & 1))
@@ -130,6 +134,33 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
         Multimodal.sampleFrames(media, 1, 10), minShared = 3)
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(nd.toSeq == Seq(("va", "vb")))
+
+    // an AVI whose frames ImageIO cannot decode (a codec the JVM lacks)
+    // must fall back to stub frames — the clip may not silently vanish
+    val badCodec = s.createDataset(Seq(
+      MediaRow("vx", "raw-clip", "video/avi",
+        aviBytes(Seq(Array.fill[Byte](200)(11), Array.fill[Byte](200)(12))))))
+    val fallback = Multimodal.sampleFrames(badCodec, 1, 10).collect()
+    assert(fallback.nonEmpty && fallback.forall(_.doc_id == "vx"),
+      "undecodable-frame AVI must emit stub frames")
+
+    // a nested-LIST bomb (thousands of LIST headers) must not blow the
+    // stack — malformed input is data, not a task-killing Error
+    val bomb = {
+      val depth = 20000
+      val unit = 12 // "LIST" + size + "movi"
+      val bb = java.nio.ByteBuffer.allocate(12 + depth * unit)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + depth * unit)
+        .put("AVI ".getBytes("US-ASCII"))
+      (0 until depth).foreach { i =>
+        bb.put("LIST".getBytes("US-ASCII"))
+          .putInt((depth - i) * unit - 8)
+          .put("movi".getBytes("US-ASCII"))
+      }
+      bb.array()
+    }
+    assert(Multimodal.extractAviFrames(bomb).isEmpty) // no frames, no crash
   }
 
   /** 16-bit PCM RIFF/WAVE bytes for the given mono signal (or interleaved
