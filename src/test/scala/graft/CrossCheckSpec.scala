@@ -178,31 +178,35 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("q_fingerprint: winnowing re-derived with a different algorithm (deque sliding-min) matches per doc") {
-    // Independent winnowing: normalization spelled out locally, shingles via
-    // String.sliding, window minimum via a monotonic deque (O(n)) instead of
-    // the kernel's O(n·w) rescan + TreeSet. Only Hashing.hash64 is shared
-    // (it is the fingerprint's definition). A frozen-wrong golden — or a
-    // window/boundary bug in TextStats.winnow — diverges here.
-    def winnowIndep(text: String): Array[Long] = {
-      val norm = Option(text).getOrElse("").toLowerCase.replaceAll("\\s+", " ").trim
-      val grams: Seq[String] =
-        if (norm.isEmpty) Seq.empty
-        else if (norm.length <= 8) Seq(norm)
-        else norm.sliding(8).toSeq
-      if (grams.isEmpty) return Array.empty
-      val hs = grams.map(graft.text.Hashing.hash64(_)).toArray
-      if (hs.length <= 4) return Array(hs.min)
-      val mins = scala.collection.mutable.SortedSet[Long]()
-      val dq = new java.util.ArrayDeque[Int]()
-      for (i <- hs.indices) {
-        while (!dq.isEmpty && hs(dq.peekLast()) >= hs(i)) dq.pollLast()
-        dq.addLast(i)
-        if (dq.peekFirst() <= i - 4) dq.pollFirst()
-        if (i >= 3) mins += hs(dq.peekFirst())
-      }
-      mins.toArray
+  /** Independent winnowing: normalization spelled out locally, shingles
+    * via String.sliding, window minimum via a monotonic deque (O(n))
+    * instead of the kernel's O(n·w) rescan + TreeSet. Only Hashing.hash64
+    * is shared (it is the fingerprint's definition). Used by the
+    * q_fingerprint and q_doc_stats cross-checks.
+    */
+  private def winnowIndep(text: String): Array[Long] = {
+    val norm = Option(text).getOrElse("").toLowerCase.replaceAll("\\s+", " ").trim
+    val grams: Seq[String] =
+      if (norm.isEmpty) Seq.empty
+      else if (norm.length <= 8) Seq(norm)
+      else norm.sliding(8).toSeq
+    if (grams.isEmpty) return Array.empty
+    val hs = grams.map(graft.text.Hashing.hash64(_)).toArray
+    if (hs.length <= 4) return Array(hs.min)
+    val mins = scala.collection.mutable.SortedSet[Long]()
+    val dq = new java.util.ArrayDeque[Int]()
+    for (i <- hs.indices) {
+      while (!dq.isEmpty && hs(dq.peekLast()) >= hs(i)) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst() <= i - 4) dq.pollFirst()
+      if (i >= 3) mins += hs(dq.peekFirst())
     }
+    mins.toArray
+  }
+
+  test("q_fingerprint: winnowing re-derived with a different algorithm (deque sliding-min) matches per doc") {
+    // A frozen-wrong golden — or a window/boundary bug in
+    // TextStats.winnow — diverges from [[winnowIndep]] here.
     val texts = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -213,6 +217,25 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
       val fp = winnowIndep(t)
       val want = (fp.length, if (fp.isEmpty) 0L else fp.min)
       assert(emitted(id) == want, s"doc $id: emitted ${emitted(id)} vs rederived $want")
+    }
+  }
+
+  test("q_doc_stats: n_fingerprints column matches the independent deque-winnowing rederivation") {
+    // partial independent coverage for the q_doc_stats golden: the
+    // winnowing count is rederived with the different algorithm from the
+    // q_fingerprint check (sliding shingles + monotonic deque); the other
+    // columns' kernels are covered by TextKernelSpec and by q_quality's
+    // SQL-mirrored formula
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val emitted = SparkEntry.queries("q_doc_stats")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(emitted.keySet == texts.keySet)
+    texts.foreach { case (id, t) =>
+      val want = winnowIndep(t).length
+      assert(emitted(id) == want,
+        s"doc $id: n_fingerprints ${emitted(id)} vs rederived $want")
     }
   }
 
