@@ -501,4 +501,189 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(emitted == expected,
       s"extra=${(emitted.keySet -- expected.keySet).take(5)} missing=${(expected.keySet -- emitted.keySet).take(5)}")
   }
+
+  /** From-the-definition image kernels sharing NO code, tables, or loop
+    * structure with `graft.imaging`: the Linear resample evaluates the
+    * triangle kernel inline per (dst, src) pair and normalizes post hoc
+    * (production precomputes pre-normalized weight tables per destination
+    * index), and the DCT is the literal textbook double sum per
+    * coefficient with `math.cos` re-evaluated on a differently-ordered
+    * argument expression (production uses a shared cosine LUT and the
+    * separable row/column factorization). Agreement on the output bits is
+    * therefore evidence about the kernel MATHEMATICS, not shared code.
+    */
+  private object NaiveImage {
+    import graft.imaging.Raster
+
+    private def clampByte(v: Double): Byte = {
+      val x = v + 0.5
+      if (x >= 255.0) 255.toByte else if (x > 0.0) x.toByte else 0.toByte
+    }
+
+    private def kernel(x: Double): Double = {
+      val ax = math.abs(x)
+      if (ax < 1.0) 1.0 - ax else 0.0
+    }
+
+    /** One separable Linear pass along one axis (alpha-weighted, clamped —
+      * the documented reference semantics, `utils/resize.go:360-525`).
+      */
+    private def pass(src: Raster, dstSize: Int, horizontal: Boolean): Raster = {
+      val srcSize = if (horizontal) src.width else src.height
+      val other = if (horizontal) src.height else src.width
+      val dst = if (horizontal) Raster(dstSize, other) else Raster(other, dstSize)
+      val du = srcSize.toDouble / dstSize.toDouble
+      val scale = math.max(du, 1.0)
+      val ru = math.ceil(scale)
+      var v = 0
+      while (v < dstSize) {
+        val fu = (v + 0.5) * du - 0.5
+        val begin = math.max(math.ceil(fu - ru).toInt, 0)
+        val end = math.min(math.floor(fu + ru).toInt, srcSize - 1)
+        var o = 0
+        while (o < other) {
+          var r = 0.0; var g = 0.0; var b = 0.0; var aAcc = 0.0; var wSum = 0.0
+          var u = begin
+          while (u <= end) {
+            val w = kernel((u - fu) / scale)
+            if (w != 0.0) {
+              val x = if (horizontal) u else o
+              val y = if (horizontal) o else u
+              val aw = src.a(x, y).toDouble * w
+              r += src.r(x, y).toDouble * aw
+              g += src.g(x, y).toDouble * aw
+              b += src.b(x, y).toDouble * aw
+              aAcc += aw
+              wSum += w
+            }
+            u += 1
+          }
+          if (aAcc != 0.0) {
+            val dx = if (horizontal) v else o
+            val dy = if (horizontal) o else v
+            val j = (dy * dst.width + dx) * 4
+            dst.pix(j) = clampByte(r / aAcc)
+            dst.pix(j + 1) = clampByte(g / aAcc)
+            dst.pix(j + 2) = clampByte(b / aAcc)
+            dst.pix(j + 3) = clampByte(aAcc / wSum)
+          }
+          o += 1
+        }
+        v += 1
+      }
+      dst
+    }
+
+    /** Pass dispatch mirrors the documented behavior: horizontal then
+      * vertical, skipping a pass only when that axis keeps its size AND the
+      * other one changes (a fully same-size resize still runs one vertical
+      * pass through the accumulate/clamp path — observable semantics).
+      */
+    def resizeLinear(src: Raster, w: Int, h: Int): Raster =
+      if (src.width != w && src.height != h) pass(pass(src, w, horizontal = true), h, horizontal = false)
+      else if (src.width != w) pass(src, w, horizontal = true)
+      else pass(src, h, horizontal = false)
+
+    private def grey(r: Raster, x: Int, y: Int): Double = {
+      val alpha = r.a(x, y).toLong
+      def ch(v: Int): Long = { val c = (v.toLong | (v.toLong << 8)) * alpha; c / 255L }
+      0.299 * ch(r.r(x, y)) + 0.587 * ch(r.g(x, y)) + 0.114 * ch(r.b(x, y))
+    }
+
+    /** Textbook DCT-II pHash: per coefficient (u,v) in the 8x8 block offset
+      * by +1, a full O(N^2) sum over the 32x32 grey grid; upper-median bit
+      * rule. No cosine table, no separable factorization.
+      */
+    def dct64(img: Raster): Long = {
+      val n = 32
+      val small = resizeLinear(img, n, n)
+      val f = Array.tabulate(n, n)((i, j) => grey(small, i, j))
+      val freqs = new Array[Double](64)
+      var u = 1
+      while (u <= 8) {
+        var v = 1
+        while (v <= 8) {
+          var sum = 0.0
+          var i = 0
+          while (i < n) {
+            var j = 0
+            while (j < n) {
+              sum += f(i)(j) *
+                math.cos(math.Pi / (2.0 * n) * ((2 * i + 1) * u)) *
+                math.cos(math.Pi / (2.0 * n) * ((2 * j + 1) * v))
+              j += 1
+            }
+            i += 1
+          }
+          freqs(8 * (u - 1) + (v - 1)) = sum / 4.0
+          v += 1
+        }
+        u += 1
+      }
+      val median = freqs.sorted.apply(32)
+      (0 until 64).foldLeft(0L)((acc, k) => if (freqs(k) > median) acc | (1L << k) else acc)
+    }
+
+    /** Gradient dHash from the 9x9 Linear resize (bit n = (y*8)+x). */
+    def dhash(img: Raster): (Long, Long) = {
+      val small = resizeLinear(img, 9, 9)
+      val g = Array.tabulate(9, 9)((x, y) => grey(small, x, y))
+      var row = 0L; var col = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val bit = 1L << (y * 8 + x)
+        if (g(x)(y) < g(x + 1)(y)) row |= bit
+        if (g(x)(y) < g(x)(y + 1)) col |= bit
+      }
+      (row, col)
+    }
+  }
+
+  test("q_media_phash: all three hashes re-derived by naive from-the-definition kernels") {
+    // The DCT hash must agree bit-exactly on EVERY doc (the 32x32 source
+    // makes its resize numerically exact, so the whole DCT+median+bit path
+    // is checked with zero tolerance). The dHash's 32->9 resample rounds
+    // accumulated doubles to bytes; a handful of pixels land within an ulp
+    // of the x.5 rounding boundary, where the two implementations' FP
+    // summation orders legitimately disagree by one byte step. Any hash
+    // disagreement must be confined to exactly that: byte grids off by at
+    // most +-1 at <= 4 pixels, <= 4 flipped bits, <= 1% of docs.
+    val emitted = SparkEntry.queries("q_media_phash")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(emitted.size >= 400)
+    var roundingTies = 0
+    emitted.toSeq.sortBy(_._1).foreach { case (id, (dct, dr, dc)) =>
+      val img = graft.media.SynthMedia.render(graft.text.Hashing.hash64(s"doc-$id"), 0)
+      assert(dct == NaiveImage.dct64(img), s"doc $id: DCT hash disagrees with the textbook O(N^4) DCT")
+      val (nr, nc) = NaiveImage.dhash(img)
+      if ((dr, dc) != ((nr, nc))) {
+        roundingTies += 1
+        val flipped = java.lang.Long.bitCount(dr ^ nr) + java.lang.Long.bitCount(dc ^ nc)
+        assert(flipped <= 4, s"doc $id: $flipped dhash bits differ — more than boundary ties explain")
+        val prod = graft.imaging.Resample.resize(img, 9, 9, graft.imaging.Resample.Linear).pix
+        val naive = NaiveImage.resizeLinear(img, 9, 9).pix
+        val diffs = prod.indices.filter(i => prod(i) != naive(i))
+        assert(diffs.length <= 4 && diffs.forall(i => math.abs((prod(i) & 0xff) - (naive(i) & 0xff)) <= 1),
+          s"doc $id: resample grids differ beyond one rounding step at ${diffs.take(8)}")
+      }
+    }
+    assert(roundingTies <= emitted.size / 100,
+      s"$roundingTies docs hit rounding-boundary dhash flips — too many for FP ties")
+  }
+
+  test("q_image_features: PNG round-trip features re-derived from the pre-encode raster") {
+    // Expected values come from the ORIGINAL synthesized raster — the PNG
+    // encode/decode leg of the production path never runs here — so this
+    // asserts both lossless round-trip fidelity of the mapInPandas-shaped
+    // decode plumbing AND hash correctness via the naive kernels.
+    val emitted = SparkEntry.queries("q_image_features")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(emitted.size >= 40)
+    emitted.toSeq.sortBy(_._1).foreach { case (id, (w, h, phash, dr, dc)) =>
+      val img = graft.media.SynthMedia.render(graft.text.Hashing.hash64(s"img-$id"), 0)
+      assert((w, h) == ((img.width, img.height)), s"doc $id: dims")
+      assert(phash == NaiveImage.dct64(img), s"doc $id: phash")
+      assert((dr, dc) == NaiveImage.dhash(img), s"doc $id: dhash")
+    }
+  }
 }
