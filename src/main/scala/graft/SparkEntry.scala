@@ -164,15 +164,15 @@ object SparkEntry {
       s"list_min(list_transform(H, h -> ($a*h + $b) % $SBandP)) AS m$j"
     }.mkString(",\n      ")
     s"""raw AS (
-       |  SELECT doc_id, lang, substr(text,1,60) AS t,
+       |  SELECT doc_id, lang, n_chars, substr(text,1,60) AS t,
        |    list_distinct(string_split_regex(trim(substr(text,1,120)), '\\s+')) AS toks,
        |    list_transform(range(1, greatest(length(substr(text,1,120))-7,1)+1),
        |      i -> CAST(('0x' || substr(md5(substr(substr(text,1,120), CAST(i AS INT), 8)),1,7)) AS BIGINT)) AS H
        |  FROM documents),
-       |m AS (SELECT doc_id, lang, t, toks,
+       |m AS (SELECT doc_id, lang, n_chars, t, toks,
        |      $mins
        |      FROM raw),
-       |d AS (SELECT doc_id, lang, t, toks,
+       |d AS (SELECT doc_id, lang, n_chars, t, toks,
        |        concat_ws(':', 0, m0, m1, m2) AS band0,
        |        concat_ws(':', 1, m3, m4, m5) AS band1,
        |        concat_ws(':', 2, m6, m7, m8) AS band2,
@@ -180,6 +180,29 @@ object SparkEntry {
   }
   private val sBandCond =
     "(l.band0 = r.band0 OR l.band1 = r.band1 OR l.band2 = r.band2 OR l.band3 = r.band3)"
+
+  /** Fellegi-Sunter m/u parameters and their log2 agreement/disagreement
+    * weights (Fellegi & Sunter, JASA 1969). Computed ONCE here and inlined
+    * as identical double literals into the oracle SQL (Scala's Double
+    * toString is shortest-round-trip, so DuckDB parses back the exact same
+    * IEEE double) — both engines then run the same CASE/+ arithmetic on
+    * the same bits.
+    */
+  /** PII regexes shared verbatim between the Spark queries (Java regex) and
+    * the DuckDB oracles (RE2) — restricted to character classes + bounded
+    * quantifiers, which the two engines interpret identically.
+    */
+  private[graft] val PiiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiDigitsPat = "[0-9]{8}"
+
+  private[graft] object Fs {
+    private def w(m: Double, u: Double): (Double, Double) =
+      (math.log(m / u) / math.log(2.0), math.log((1 - m) / (1 - u)) / math.log(2.0))
+    val (wLangA, wLangD) = w(0.95, 0.40)
+    val (wLenA, wLenD) = w(0.90, 0.05)
+    val (wJacA, wJacD) = w(0.85, 0.01)
+    val (wLevA, wLevD) = w(0.90, 0.01)
+  }
 
   /** Shared near-dup edge relation for the CC/report/survivorship queries:
     * band candidates → levenshtein < 15 on 60-char prefixes. Mirrored
@@ -554,6 +577,121 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
         .orderBy("left_id")
+    }),
+
+    // Fellegi-Sunter probabilistic linkage scoring (Fellegi & Sunter, JASA
+    // 1969): each banded candidate pair gets a comparison vector over four
+    // field agreements (lang, length bucket, token-Jaccard >= 0.6,
+    // prefix-60 edit distance < 15) and the classic log2(m/u) agreement /
+    // log2((1-m)/(1-u)) disagreement weights, summed in fixed expression
+    // order (identical double literals in both engines — see Fs). One band
+    // join + two id-keyed payload joins: the same O(N·bucket) shape as
+    // every other candidate query, and the decision-theoretic scoring layer
+    // a production ER deployment tunes instead of a single hard threshold.
+    "q_fellegi_sunter" -> ((s, dir) => {
+      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
+        expr("n_chars div 100").as("lb"),
+        substring(col("text"), 1, 60).as("t"),
+        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
+      sBandCandidates(s, dir)
+        .join(d.select(col("doc_id").as("a"), col("lang").as("langA"), col("lb").as("lbA"),
+          col("t").as("tA"), col("toks").as("toksA")), "a")
+        .join(d.select(col("doc_id").as("b"), col("lang").as("langB"), col("lb").as("lbB"),
+          col("t").as("tB"), col("toks").as("toksB")), "b")
+        .withColumn("inter", size(array_intersect(col("toksA"), col("toksB"))))
+        .withColumn("lang_agree", col("langA") === col("langB"))
+        .withColumn("len_agree", col("lbA") === col("lbB"))
+        .withColumn("jac_agree",
+          col("inter").cast("double") /
+            (size(col("toksA")) + size(col("toksB")) - col("inter")) >= 0.6)
+        .withColumn("lev_agree", levenshtein(col("tA"), col("tB")) < 15)
+        .select(col("a"), col("b"),
+          col("lang_agree"), col("len_agree"), col("jac_agree"), col("lev_agree"),
+          round(when(col("lang_agree"), Fs.wLangA).otherwise(Fs.wLangD) +
+            when(col("len_agree"), Fs.wLenA).otherwise(Fs.wLenD) +
+            when(col("jac_agree"), Fs.wJacA).otherwise(Fs.wJacD) +
+            when(col("lev_agree"), Fs.wLevA).otherwise(Fs.wLevD), 4).as("score"))
+        .orderBy("a", "b")
+    }),
+
+    // Meta-blocking (Papadakis et al., TKDE 2013): re-weight the banded
+    // candidate graph by co-occurrence evidence — edge weight = number of
+    // band keys the pair shares (CBS scheme) — and prune edges at or below
+    // the global mean weight (WEP). Runs entirely on the pinned
+    // (doc_id, band) relation: one equi-join + one map-side-combined
+    // count, and the mean is a 1-row broadcast, so the pruning layer costs
+    // no more than candidate generation itself at any corpus size.
+    "q_meta_blocking" -> ((s, dir) => {
+      val rel = sBandRelation(s, dir)
+      // materialized once: both consumers (the mean aggregate and the
+      // pruned output) read the weighted edge relation, which is already
+      // candidate-sized — recomputing the band self-join for each would
+      // double the only expensive stage
+      val w = rel.select(col("doc_id").as("a"), col("bk"))
+        .join(rel.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      w.crossJoin(broadcast(w.agg(avg(col("w")).as("avg_w"))))
+        .filter(col("w") > col("avg_w"))
+        .select("a", "b", "w").orderBy("a", "b")
+    }),
+
+    // TF-IDF cosine re-scoring of banded candidate pairs. IDF is quantized
+    // to integer milli-nats (floor(1000·ln(N/df))), so the dot product and
+    // the per-doc norms are EXACT 64-bit integer aggregates in both
+    // engines; the only floating-point steps (one divide, one sqrt, one
+    // round) run on identical operands and are IEEE-deterministic. The
+    // corpus-wide tf/idf tables are two map-side-combined aggregations and
+    // weights join candidates BY ID, so the term relation never rides the
+    // band shuffle — at 100 TB this is two narrow shuffles on (doc, token)
+    // plus the already-bounded candidate join.
+    "q_tfidf_pairs" -> ((s, dir) => {
+      val nDocs = docsTable(s, dir).count()
+      val tf = docsTable(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("iq", floor(lit(1000.0) * log(lit(nDocs.toDouble) / col("df"))).cast("long"))
+      val wt = tf.join(idf.select("token", "iq"), "token")
+        .select(col("doc_id"), col("token"), (col("tf") * col("iq")).as("w"))
+      val nrm = wt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+      val cand = sBandCandidates(s, dir)
+      val dots = cand
+        .join(wt.select(col("doc_id").as("a"), col("token"), col("w").as("wa")), "a")
+        .join(wt.select(col("doc_id").as("b"), col("token"), col("w").as("wb")), Seq("b", "token"))
+        .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+      cand.join(dots, Seq("a", "b"), "left")
+        .na.fill(0L, Seq("dot"))
+        .join(nrm.select(col("doc_id").as("a"), col("n2").as("na2")), "a")
+        .join(nrm.select(col("doc_id").as("b"), col("n2").as("nb2")), "b")
+        .select(col("a"), col("b"), col("dot"),
+          round(col("dot") / sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6)
+            .as("cos_sim"))
+        .orderBy("a", "b")
+    }),
+
+    // PII scrub accounting (training-data hygiene): plant deterministic
+    // contact PII (an email + an 8-digit account id derived from doc_id)
+    // next to real text, then detect and redact with the same regex
+    // definitions in both engines and account the damage per source. A
+    // narrow projection into a map-side-combined aggregate — no shuffle
+    // wider than the source cardinality at any corpus size.
+    "q_pii_scrub" -> ((s, dir) => {
+      val c = docsTable(s, dir).select(col("source"),
+        concat(lit("user"), col("doc_id").cast("string"), lit("@mail.example id="),
+          lpad(((col("doc_id") * 7919) % 100000000).cast("string"), 8, "0"),
+          lit(" "), substring(col("text"), 1, 40)).as("contact"))
+      val noEmail = regexp_replace(col("contact"), PiiEmailPat, "[EMAIL]")
+      val scrubbed = regexp_replace(noEmail, PiiDigitsPat, "[ID]")
+      c.select(col("source"),
+          regexp_count(col("contact"), lit(PiiEmailPat)).as("n_email"),
+          regexp_count(noEmail, lit(PiiDigitsPat)).as("n_id"),
+          (length(col("contact")) - length(scrubbed)).as("redacted"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_email")).as("n_emails"),
+          sum(col("n_id")).as("n_ids"), sum(col("redacted")).as("chars_redacted"))
+        .orderBy("source")
     }),
 
     // MinHash/LSH candidate generation over document text (no SQL analog)
@@ -1171,6 +1309,68 @@ object SparkEntry {
          |  AND round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
          |            (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) >= 0.6
          |ORDER BY a, b""".stripMargin,
+
+    "q_fellegi_sunter" ->
+      s"""WITH $sBandCte,
+         |p AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b,
+         |    l.lang = r.lang AS lang_agree,
+         |    (l.n_chars // 100) = (r.n_chars // 100) AS len_agree,
+         |    CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+         |      (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.6 AS jac_agree,
+         |    levenshtein(l.t, r.t) < 15 AS lev_agree
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond)
+         |SELECT a, b, lang_agree, len_agree, jac_agree, lev_agree,
+         |  round((CASE WHEN lang_agree THEN CAST(${Fs.wLangA} AS DOUBLE) ELSE CAST(${Fs.wLangD} AS DOUBLE) END) +
+         |        (CASE WHEN len_agree THEN CAST(${Fs.wLenA} AS DOUBLE) ELSE CAST(${Fs.wLenD} AS DOUBLE) END) +
+         |        (CASE WHEN jac_agree THEN CAST(${Fs.wJacA} AS DOUBLE) ELSE CAST(${Fs.wJacD} AS DOUBLE) END) +
+         |        (CASE WHEN lev_agree THEN CAST(${Fs.wLevA} AS DOUBLE) ELSE CAST(${Fs.wLevD} AS DOUBLE) END), 4) AS score
+         |FROM p ORDER BY a, b""".stripMargin,
+
+    "q_meta_blocking" ->
+      s"""WITH $sBandCte,
+         |w AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b,
+         |         CAST((CASE WHEN l.band0=r.band0 THEN 1 ELSE 0 END) +
+         |              (CASE WHEN l.band1=r.band1 THEN 1 ELSE 0 END) +
+         |              (CASE WHEN l.band2=r.band2 THEN 1 ELSE 0 END) +
+         |              (CASE WHEN l.band3=r.band3 THEN 1 ELSE 0 END) AS BIGINT) AS w
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond)
+         |SELECT a, b, w FROM w WHERE w > (SELECT avg(w) FROM w) ORDER BY a, b""".stripMargin,
+
+    "q_tfidf_pairs" ->
+      s"""WITH $sBandCte,
+         |toks2 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+         |idf AS (SELECT token, CAST(floor(1000 * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / count(*))) AS BIGINT) AS iq
+         |        FROM tf GROUP BY token),
+         |wt AS (SELECT tf.doc_id, tf.token, tf.tf * idf.iq AS w FROM tf JOIN idf USING (token)),
+         |nrm AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2 FROM wt GROUP BY 1),
+         |cand AS (SELECT l.doc_id AS a, r.doc_id AS b FROM d l JOIN d r ON l.doc_id < r.doc_id WHERE $sBandCond),
+         |dots AS (SELECT c.a AS da, c.b AS db, CAST(sum(wa.w * wb.w) AS BIGINT) AS dot
+         |         FROM cand c JOIN wt wa ON wa.doc_id = c.a JOIN wt wb ON wb.doc_id = c.b AND wb.token = wa.token
+         |         GROUP BY 1, 2)
+         |SELECT c.a AS a, c.b AS b, coalesce(dots.dot, 0) AS dot,
+         |       round(coalesce(dots.dot, 0) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos_sim
+         |FROM cand c LEFT JOIN dots ON dots.da = c.a AND dots.db = c.b
+         |JOIN nrm na ON na.doc_id = c.a JOIN nrm nb ON nb.doc_id = c.b
+         |ORDER BY a, b""".stripMargin,
+
+    "q_pii_scrub" ->
+      s"""WITH c AS (
+         |  SELECT source,
+         |    'user' || doc_id || '@mail.example id=' || lpad(CAST((doc_id*7919)%100000000 AS VARCHAR),8,'0') || ' ' || substr(text,1,40) AS contact
+         |  FROM documents),
+         |r AS (SELECT source, contact,
+         |    len(regexp_extract_all(contact, '$PiiEmailPat')) AS n_email,
+         |    len(regexp_extract_all(regexp_replace(contact, '$PiiEmailPat', '[EMAIL]', 'g'), '$PiiDigitsPat')) AS n_id,
+         |    length(contact) - length(regexp_replace(regexp_replace(contact, '$PiiEmailPat', '[EMAIL]', 'g'), '$PiiDigitsPat', '[ID]', 'g')) AS redacted
+         |  FROM c)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_email) AS BIGINT) AS n_emails,
+         |       CAST(sum(n_id) AS BIGINT) AS n_ids, CAST(sum(redacted) AS BIGINT) AS chars_redacted
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q_cc_clusters" ->
       s"""WITH RECURSIVE $sBandCte,

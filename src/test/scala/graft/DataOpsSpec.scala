@@ -162,4 +162,123 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     // identical texts share every band and have edit distance 0
     assert(got == Seq((0, 1L, 1L)))
   }
+
+  /** Band keys re-derived from the documented definition (8-char shingles
+    * of the 120-prefix → md5 top 28 bits → 12 affine mins mod the prime →
+    * 4 position-tagged keys) with MessageDigest — pins the candidacy
+    * contract the meta-blocking weights are computed over.
+    */
+  private def jvmBandKeys(text: String): Set[String] = {
+    val t = (if (text == null) "" else text).take(120)
+    val n = math.max(t.length - 7, 1)
+    val md = MessageDigest.getInstance("MD5")
+    val P = 1073741789L
+    val ab = Seq((686579304L, 119540831L), (26855093L, 796233790L), (295310486L, 262950628L),
+      (239670712L, 149827706L), (790779947L, 110053353L), (726600540L, 795285932L),
+      (957970517L, 585582861L), (93349857L, 634036506L), (453035111L, 34126396L),
+      (31994524L, 100604502L), (234760739L, 249817734L), (542621109L, 646412689L))
+    val mins = Array.fill(12)(Long.MaxValue)
+    for (i <- 0 until n) {
+      md.reset()
+      val d = md.digest(t.substring(i, math.min(i + 8, t.length)).getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      for (j <- ab.indices) {
+        val v = (ab(j)._1 * h + ab(j)._2) % P
+        if (v < mins(j)) mins(j) = v
+      }
+    }
+    (0 until 4).map(b => s"$b:${mins(3 * b)}:${mins(3 * b + 1)}:${mins(3 * b + 2)}").toSet
+  }
+
+  test("q_meta_blocking: kept edges re-derived by brute-force CBS weights + WEP mean pruning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val keys = docs.map { case (id, t) => id -> jvmBandKeys(t) }.toMap
+    val ids = docs.map(_._1).sorted
+    val weights = for {
+      i <- ids.indices
+      j <- i + 1 until ids.length
+      w = keys(ids(i)).intersect(keys(ids(j))).size
+      if w > 0
+    } yield ((ids(i), ids(j)), w.toLong)
+    val mean = weights.map(_._2).sum.toDouble / weights.length
+    val want = weights.filter(_._2 > mean).toMap
+    val got = SparkEntry.queries("q_meta_blocking")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+    // pruning is real on this corpus: some candidate survives and some don't
+    assert(want.size < weights.size)
+  }
+
+  test("q_fellegi_sunter: every score equals the closed-form log2 weight sum for its pattern") {
+    import SparkEntry.Fs
+    def score(l: Boolean, n: Boolean, j: Boolean, v: Boolean): Double = {
+      val s = (if (l) Fs.wLangA else Fs.wLangD) + (if (n) Fs.wLenA else Fs.wLenD) +
+        (if (j) Fs.wJacA else Fs.wJacD) + (if (v) Fs.wLevA else Fs.wLevD)
+      java.math.BigDecimal.valueOf(s).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    val rows = SparkEntry.queries("q_fellegi_sunter")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val got = r.getDouble(6)
+      val want = score(r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))
+      assert(got == want, s"pair (${r.getLong(0)},${r.getLong(1)}): $got != $want")
+    }
+    // the corpus exercises both decision regions — matches and non-matches
+    val scores = rows.map(_.getDouble(6))
+    assert(scores.max > 0 && scores.min < 0)
+  }
+
+  test("q_tfidf_pairs: dot products and cosines re-derived by an in-memory tf-idf") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val tf: Map[Long, Map[String, Long]] = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val df = tf.values.flatMap(_.keySet).groupBy(identity).view.mapValues(_.size).toMap
+    val iq = df.map { case (tok, d) => tok -> math.floor(1000.0 * math.log(n / d)).toLong }
+    def w(id: Long): Map[String, Long] = tf(id).map { case (t, c) => t -> c * iq(t) }
+    val rows = SparkEntry.queries("q_tfidf_pairs")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (wa, wb) = (w(a), w(b))
+      val dot = wa.keysIterator.filter(wb.contains).map(t => wa(t) * wb(t)).sum
+      assert(r.getLong(2) == dot, s"dot($a,$b): ${r.getLong(2)} != $dot")
+      val na2 = wa.values.map(x => x * x).sum
+      val nb2 = wb.values.map(x => x * x).sum
+      val cos = java.math.BigDecimal.valueOf(dot / math.sqrt(na2.toDouble * nb2.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      assert(r.getDouble(3) == cos, s"cos($a,$b): ${r.getDouble(3)} != $cos")
+    }
+  }
+
+  test("q_pii_scrub: per-source accounting re-derived with java.util.regex") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val email = java.util.regex.Pattern.compile(SparkEntry.PiiEmailPat)
+    val digits = java.util.regex.Pattern.compile(SparkEntry.PiiDigitsPat)
+    val per = docs.map { case (id, src, text) =>
+      val contact = s"user$id@mail.example id=${"%08d".format(id * 7919 % 100000000)} ${text.take(40)}"
+      val nE = email.matcher(contact).results().count().toInt
+      val noEmail = email.matcher(contact).replaceAll("[EMAIL]")
+      val nI = digits.matcher(noEmail).results().count().toInt
+      val scrub = digits.matcher(noEmail).replaceAll("[ID]")
+      (src, nE, nI, contact.length - scrub.length)
+    }
+    val want = per.groupBy(_._1).map { case (s, rs) =>
+      (s, rs.length.toLong, rs.map(_._2).sum.toLong, rs.map(_._3).sum.toLong,
+        rs.map(_._4).sum.toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_pii_scrub")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    // the planted email and id are really detected in every doc
+    assert(per.forall(p => p._2 >= 1 && p._3 >= 1))
+  }
 }
