@@ -282,7 +282,7 @@ object SparkEntry {
     * also carries a deterministic synthetic media span keyed by doc_id —
     * exercises the interleaved text+media path end-to-end.
     */
-  private def asDocs(spark: SparkSession, dir: String) = {
+  private[graft] def asDocs(spark: SparkSession, dir: String) = {
     import spark.implicits._
     docsTable(spark, dir).select($"doc_id".cast("string"), $"text")
       .as[(String, String)].map { case (id, text) =>
@@ -737,6 +737,28 @@ object SparkEntry {
       Pipeline.run(s, asDocs(s, dir), GraftConfig(mediaThreshold = 11))
         .clusters.select(col("doc_id").cast("long").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
+    }),
+
+    // retraction (the DELETE leg of the incremental ER lifecycle): cluster
+    // the corpus, then retract every doc_id % 7 == 0 via Incremental.retract
+    // — only the touched clusters are re-resolved (O(members × bucket),
+    // never O(corpus)), and the output is byte-equal to re-running the
+    // pipeline over the remainder (RetractSpec proves the equality law on
+    // the labeled corpus; CrossCheckSpec re-proves it on THIS table)
+    "q_retract_clusters" -> ((s, dir) => {
+      val cfgQ = GraftConfig(mediaThreshold = 11)
+      val docs = asDocs(s, dir)
+      val full = Pipeline.run(s, docs, cfgQ)
+      val assign = full.clusters.select("doc_id", "cluster_id").localCheckpoint(true)
+      full.release()
+      val rm = docsTable(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").cast("string").as("doc_id"))
+      val res = graft.pipeline.Incremental.retract(s, docs, assign, rm, cfgQ)
+      val out = res.assignments
+        .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id").localCheckpoint(true)
+      res.release()
+      out
     }),
 
     // perceptual-hash signature stage over synthetic media (P2-P4/P7; no SQL analog)
@@ -1252,6 +1274,7 @@ object SparkEntry {
     golden("q_media_phash"),
     golden("q_minhash_lsh"),
     golden("q_pipeline_clusters"),
+    golden("q_retract_clusters"),
     golden("q_simhash"),
     golden("q_video_near_dups"),
     "q_exact_dedup" ->

@@ -249,4 +249,100 @@ object Incremental {
         crossEdges.unpersist(); expansion.foreach(_.unpersist()); ()
       })
   }
+
+  final case class RetractResult(
+      assignments: DataFrame, // (doc_id, cluster_id) — the FULL remaining corpus
+      reassigned: DataFrame, // (doc_id, cluster_id) — touched-cluster members only
+      touched: DataFrame, // (cluster_id): clusters that lost at least one doc
+      release: () => Unit)
+
+  /** Retract (delete) documents from an ALREADY CLUSTERED corpus without a
+    * full re-run — the DELETE leg of the incremental lifecycle (takedowns,
+    * opt-outs, TTL expiry). The hard case is a removed BRIDGE doc: the rest
+    * of its cluster may fall apart into several components, so unlike a
+    * fold this cannot be edge-monotone — touched clusters are re-resolved
+    * from scratch. The work is bounded by the touched clusters, never the
+    * corpus:
+    *
+    *   touched = clusters containing a removed doc        (≤ |removal|)
+    *   members = surviving docs of touched clusters       (Σ their sizes)
+    *   re-run  = block → score → CC restricted to members (O(members × bucket))
+    *
+    * Exactness vs a full re-run over the remaining corpus: every pair is
+    * decided by the same deterministic kernel, so (a) pairs inside an
+    * untouched cluster keep their old decision, (b) pairs incident to an
+    * untouched cluster were non-duplicates before and are unaffected by
+    * deletions elsewhere, and (c) pairs among members are re-decided here
+    * identically — including cross-old-cluster member pairs that enter band
+    * candidacy and re-score to the same non-dup verdict. Cluster ids are
+    * component minima in both runs, so the ids match EXACTLY, including
+    * relabels when a cluster's min-id member was removed (`RetractSpec`
+    * asserts byte-equality against the full re-run). The fold's
+    * census-scope caveat (hot/degenerate keys judged on a smaller scope)
+    * applies unchanged.
+    *
+    * `docs` must cover at least the surviving members of touched clusters —
+    * in production the corpus table itself; the lookup is an id-keyed
+    * semi-join, so only touched rows are ever read. Removing an id the
+    * assignment does not know is a no-op. When `existingSigs` (the
+    * checkpointed signature stage) is supplied, member signatures are
+    * REUSED, and only members without a persisted row — exact copies whose
+    * representative was removed, now promoted to representative — pay a
+    * fresh derivation (decode + hash); derivation is deterministic, so the
+    * reuse is value-neutral.
+    */
+  def retract(spark: SparkSession, docs: Dataset[Doc],
+              existingAssign: DataFrame, removeIds: DataFrame,
+              cfg: GraftConfig = GraftConfig(),
+              resolver: MediaResolver = DefaultMedia,
+              existingSigs: Option[Dataset[DocSig]] = None): RetractResult = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val rm = removeIds.select("doc_id").distinct().persist(mem)
+    val touched = existingAssign.join(rm, Seq("doc_id"))
+      .select("cluster_id").distinct().persist(mem)
+    touched.count()
+
+    // surviving members of touched clusters; the broadcast is justified —
+    // `touched` is bounded by the removal batch, not the corpus
+    val memberIds = existingAssign.join(broadcast(touched), Seq("cluster_id"))
+      .join(rm, Seq("doc_id"), "left_anti").select("doc_id")
+    val memberDocs = docs.join(memberIds, Seq("doc_id"), "left_semi").as[Doc]
+      .persist(mem)
+
+    // the same stage composition as Pipeline.run, restricted to members
+    val (repDocs, expansion) =
+      if (cfg.exactPrecollapse) Pipeline.precollapse(memberDocs)
+      else (memberDocs, None)
+    val repSigs = (existingSigs match {
+      case Some(old) =>
+        val oldDf = old.toDF()
+        val reused = oldDf.join(repDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+        val fresh = repDocs.join(oldDf.select("doc_id"), Seq("doc_id"), "left_anti").as[Doc]
+        reused.unionByName(Signatures.derive(fresh, cfg, resolver).map(_.sig).toDF())
+          .as[DocSig]
+      case None => Signatures.derive(repDocs, cfg, resolver).map(_.sig)
+    }).persist(mem)
+
+    val (cands, _, releaseBlocks) = Blocking.candidatePairs(repSigs, cfg)
+    val edges = Pairs.edges(Pairs.score(cands, repSigs, cfg)).persist(mem)
+    edges.count()
+    releaseBlocks()
+    val comp = Components.connectedComponents(edges, cfg.maxCcIterations)
+
+    val reassigned = Pipeline.expandClusters(
+        memberDocs.toDF().select(col("doc_id")), expansion, comp)
+      .select("doc_id", "cluster_id")
+    val untouchedRows = existingAssign
+      .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    RetractResult(untouchedRows.unionByName(reassigned), reassigned, touched,
+      () => {
+        rm.unpersist(); touched.unpersist(); memberDocs.unpersist()
+        repSigs.unpersist(); edges.unpersist()
+        expansion.foreach(_.unpersist()); ()
+      })
+  }
 }

@@ -502,6 +502,22 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
       s"extra=${(emitted.keySet -- expected.keySet).take(5)} missing=${(expected.keySet -- emitted.keySet).take(5)}")
   }
 
+  test("q_retract_clusters: equals a full pipeline re-run over the remaining docs") {
+    import graft.pipeline.{GraftConfig, Pipeline}
+    val got = SparkEntry.queries("q_retract_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val remaining = SparkEntry.asDocs(spark, dir)
+      .filter((d: graft.model.Doc) => d.doc_id.toLong % 7 != 0)
+    val full = Pipeline.run(spark, remaining, GraftConfig(mediaThreshold = 11))
+    val want = full.clusters.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getString(0).toLong, r.getString(1))).toMap
+    full.release()
+    assert(got.keySet == want.keySet, "doc coverage differs")
+    val diffs = want.collect { case (id, c) if got(id) != c => (id, c, got(id)) }
+    assert(diffs.isEmpty, s"cluster mismatch for ${diffs.size} docs, e.g. ${diffs.take(5)}")
+    assert(got.nonEmpty && !got.keySet.exists(_ % 7 == 0))
+  }
+
   /** From-the-definition image kernels sharing NO code, tables, or loop
     * structure with `graft.imaging`: the Linear resample evaluates the
     * triangle kernel inline per (dst, src) pair and normalizes post hoc

@@ -18,18 +18,20 @@ object GoldenGen {
   val GoldenQueries: Seq[String] = Seq(
     "q_ann_ivf", "q_ann_lsh", "q_audio_near_dups", "q_compare_target", "q_doc_stats", "q_fingerprint",
     "q_image_features", "q_media_phash", "q_minhash_lsh",
-    "q_pipeline_clusters", "q_simhash", "q_video_near_dups")
+    "q_pipeline_clusters", "q_retract_clusters", "q_simhash", "q_video_near_dups")
 
   val SfDir = "/root/testdata/sf0.01" // the driver's Verify scale
   val OutRoot = "/root/repo/golden"
 
   def main(args: Array[String]): Unit = {
+    // optional args = subset of query names to regenerate (default: all)
+    val wanted = if (args.isEmpty) GoldenQueries else GoldenQueries.filter(args.contains)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    GoldenQueries.foreach { name =>
+    wanted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, SfDir)
       df.coalesce(1).write.mode("overwrite").parquet(s"$OutRoot/$name")
       // drop Spark's bookkeeping files: commit just the data file
