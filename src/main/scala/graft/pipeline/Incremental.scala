@@ -254,7 +254,28 @@ object Incremental {
       assignments: DataFrame, // (doc_id, cluster_id) — the FULL remaining corpus
       reassigned: DataFrame, // (doc_id, cluster_id) — touched-cluster members only
       touched: DataFrame, // (cluster_id): clusters that lost at least one doc
+      removed: DataFrame, // (doc_id) — the resolved removal set
+      memberIds: DataFrame, // (doc_id) — every surviving member of a touched cluster
+      memberSigs: Dataset[DocSig], // content-rep signatures of those survivors
       release: () => Unit)
+
+  /** The signature stage of the POST-retraction generation: rows for
+    * removed docs and for touched survivors are dropped, and the touched
+    * survivors' representative rows (possibly re-keyed by the local
+    * pre-collapse when a removed rep's copy was promoted) take their place.
+    * Pair with [[writeState]] — `writeState(dir, applyRetractSigs(oldSigs,
+    * res), res.assignments, key)` persists the retracted corpus as a
+    * generation [[fromCheckpoint]] folds tomorrow's batch into, closing the
+    * insert+delete production loop (`RetractSpec` asserts the composed
+    * result byte-equals a full run). Call before `res.release()`.
+    */
+  def applyRetractSigs(oldSigs: Dataset[DocSig], res: RetractResult): Dataset[DocSig] = {
+    import res.memberSigs.sparkSession.implicits._
+    val drop = res.removed.select("doc_id")
+      .unionByName(res.memberIds.select("doc_id"))
+    oldSigs.toDF().join(drop, Seq("doc_id"), "left_anti")
+      .unionByName(res.memberSigs.toDF()).as[DocSig]
+  }
 
   /** Retract (delete) documents from an ALREADY CLUSTERED corpus without a
     * full re-run — the DELETE leg of the incremental lifecycle (takedowns,
@@ -339,6 +360,7 @@ object Incremental {
       .join(broadcast(touched), Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id")
     RetractResult(untouchedRows.unionByName(reassigned), reassigned, touched,
+      rm, memberDocs.toDF().select("doc_id"), repSigs,
       () => {
         rm.unpersist(); touched.unpersist(); memberDocs.unpersist()
         repSigs.unpersist(); edges.unpersist()

@@ -113,6 +113,50 @@ class RetractSpec extends AnyFunSuite with SparkTestBase {
     copies.foreach(c => assert(got.contains(c.doc_id)))
   }
 
+  test("retract composes with next-day folds: writeState → fromCheckpoint equals a full run") {
+    import graft.pipeline.{Blocking, Incremental}
+    val s = spark
+    import s.implicits._
+    val all = labeled.map(_.doc)
+    // day 0 corpus = everything except "-1" docs; day 2 batch = the "-1" docs
+    val batch = all.filter(_.doc_id.endsWith("-1"))
+    val oldDocs = all.filterNot(_.doc_id.endsWith("-1"))
+    // day 1: a takedown of 60 base docs
+    val removed = oldDocs.map(_.doc_id).filter(_.endsWith("-0")).take(60).toSet
+
+    val gen0 = java.nio.file.Files.createTempDirectory("graft-retract-gen0").toString
+    val full0 = Pipeline.run(s, ds(oldDocs), cfg, graft.media.DefaultMedia, Some(gen0))
+    full0.clusters.count()
+    full0.release()
+    val (sigs0, assign0) = Pipeline.readState(s, gen0)
+
+    val res = Incremental.retract(s, ds(oldDocs), assign0,
+      removed.toSeq.toDF("doc_id"), cfg, graft.media.DefaultMedia, Some(sigs0))
+    val nextSigs = Incremental.applyRetractSigs(sigs0, res)
+    val gen1 = java.nio.file.Files.createTempDirectory("graft-retract-gen1").toString
+    Incremental.writeState(s, gen1, nextSigs, res.assignments,
+      graft.text.Hashing.hash64(0xdeadL, 1L),
+      Some(Blocking.bandRowsDF(nextSigs, cfg)))
+    res.release()
+
+    val inc = Incremental.fromCheckpoint(s, gen1, ds(batch), cfg)
+    val foldMap = inc.assignments.collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val remap = inc.remapped.collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val (_, assign1) = Pipeline.readState(s, gen1)
+    val baseMap = assign1.collect().map { r =>
+      val c = r.getString(1)
+      (r.getString(0), remap.getOrElse(c, c))
+    }.toMap
+    inc.release()
+
+    val want = clustersOf(oldDocs.filterNot(d => removed(d.doc_id)) ++ batch)
+    assertEqualClusters(want, baseMap ++ foldMap)
+    // non-vacuity: the fold really linked batch docs into the retracted corpus
+    assert(foldMap.exists { case (id, c) => c != id })
+  }
+
   test("retracting whole clusters and unknown ids is exact and a no-op respectively") {
     val all = labeled.map(_.doc)
     val before = clustersOf(all)
