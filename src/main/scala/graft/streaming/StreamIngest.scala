@@ -184,17 +184,8 @@ object StreamIngest {
     val batchBands = graft.pipeline.Blocking.bandRowsDF(inc.batchSigs, cfg)
     if (chain.length >= compactEvery) {
       // compaction: a self-contained full generation truncates the chain
-      Incremental.writeState(spark, nextDir,
-        sigs.unionByName(inc.batchSigs), newAssign, genKey,
-        bands = Some(oldBands.unionByName(batchBands)))
-      // a crashed earlier attempt under a different compactEvery could
-      // have left a stale PARENT — or stale delta stages whose manifest
-      // keys (same deterministic genKey) would pair with this write — in
-      // the (uncommitted) dir; clear both, mirroring the delta branch
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(nextDir, "PARENT"))
-      Seq("signatures_delta", "bands_delta").foreach(st =>
-        deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
+      commitFullGeneration(spark, nextDir, sigs.unionByName(inc.batchSigs),
+        newAssign, genKey, oldBands.unionByName(batchBands))
     } else {
       // delta generation: O(batch) signature/band rows under DISTINCT
       // stage names (Pipeline.readState on this dir fails loudly instead
@@ -220,6 +211,79 @@ object StreamIngest {
     if (bands0.isEmpty) oldBands.unpersist()
     releaseInputs()
     commitPointer(stateDir, next)
+  }
+
+  /** Generation-level retraction — the takedown path beside the insert
+    * stream: remove `removeIds` from the committed corpus state (via
+    * [[Incremental.retract]], so only touched clusters are re-resolved)
+    * and commit the result as generation `batchId + 1`. Retraction
+    * rewrites state NON-monotonically — removed rows disappear and
+    * touched survivors' signature rows may be re-keyed — which the delta
+    * layout cannot express without tombstone semantics, so a retraction
+    * generation is always FULL (compaction-style, self-contained,
+    * chain-truncating); takedowns are rare relative to folds, and paying
+    * one compaction per takedown batch keeps every reader invariant
+    * tombstone-free. The chain's band relation is reused: removed and
+    * touched-survivor rows are anti-joined away and the survivors'
+    * re-derived rows spliced in, so only a full-generation REWRITE is
+    * paid, never a corpus-wide key re-derivation.
+    *
+    * `docs` must cover the surviving members of touched clusters (the
+    * corpus doc table; the lookup is id-keyed). Idempotent under replay
+    * like [[foldBatch]]; an empty removal set is a no-op (no generation
+    * committed). `StreamIngestSpec` interleaves folds and retractions and
+    * asserts the final state byte-equals a full run over the surviving
+    * union.
+    */
+  def retractBatch(spark: SparkSession, docs: Dataset[Doc],
+                   removeIds: org.apache.spark.sql.DataFrame, batchId: Long,
+                   stateDir: String, cfg: GraftConfig,
+                   resolver: MediaResolver = DefaultMedia): Unit = {
+    val next = genName(batchId)
+    val cur = currentGen(stateDir)
+    if (genNum(cur) >= genNum(next)) {
+      System.err.println(s"[graft] stream-ingest: retraction batch $batchId already committed ($cur) — skipping replay")
+      return
+    }
+    if (removeIds.isEmpty) return
+
+    val chain = chainOf(stateDir, cur)
+    val (sigs0, assign, bands0, prevKey) = readChainParts(spark, stateDir, chain)
+    val (sigs, bandsOpt, releaseInputs) = Incremental.foldInputs(spark, sigs0, bands0)
+
+    val res = Incremental.retract(spark, docs, assign, removeIds, cfg, resolver,
+      existingSigs = Some(sigs))
+    val nextSigs = Incremental.applyRetractSigs(sigs, res)
+    val drop = res.removed.select("doc_id")
+      .unionByName(res.memberIds.select("doc_id"))
+    val nextBands = bandsOpt match {
+      case Some(b) => b.join(drop, Seq("doc_id"), "left_anti")
+        .unionByName(graft.pipeline.Blocking.bandRowsDF(res.memberSigs, cfg))
+      case None => // some chain dir predates the bands stage — derive once
+        graft.pipeline.Blocking.bandRowsDF(nextSigs, cfg)
+    }
+    val genKey = Hashing.hash64(prevKey, batchId)
+    commitFullGeneration(spark, s"$stateDir/$next", nextSigs,
+      res.assignments, genKey, nextBands)
+    res.release()
+    releaseInputs()
+    commitPointer(stateDir, next)
+  }
+
+  /** Write + scrub a FULL generation dir (compactions and retractions):
+    * the complete stage tables, plus removal of any stale PARENT or delta
+    * stages a crashed earlier attempt — e.g. under a different
+    * `compactEvery` — could have left in the (uncommitted) dir, whose
+    * deterministic manifest keys would otherwise pair with this write.
+    */
+  private def commitFullGeneration(spark: SparkSession, nextDir: String,
+      sigs: Dataset[graft.model.DocSig], assign: org.apache.spark.sql.DataFrame,
+      genKey: Long, bands: org.apache.spark.sql.DataFrame): Unit = {
+    Incremental.writeState(spark, nextDir, sigs, assign, genKey,
+      bands = Some(bands))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(nextDir, "PARENT"))
+    Seq("signatures_delta", "bands_delta").foreach(st =>
+      deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
   }
 
   /** Generation chain, current-first, ending at the root full generation.

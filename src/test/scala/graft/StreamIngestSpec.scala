@@ -141,6 +141,49 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("interleaved folds and retractions land on the full-run clusters of the surviving union") {
+    implicit val s = spark
+    import s.implicits._
+    val all = labeled.map(_.doc)
+    val seedDocs = all.filterNot(_.doc_id.endsWith("-0"))
+    val streamed = all.filter(_.doc_id.endsWith("-0"))
+    val (b1, b2) = streamed.splitAt(streamed.size / 2)
+    // takedown: some just-folded docs plus seed BASE docs (bridge removals)
+    val removed = (b1.take(20) ++ seedDocs.take(30)).map(_.doc_id).toSet
+
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-retractgen").toString
+    StreamIngest.seed(s, ds(seedDocs), stateDir, cfg)
+    StreamIngest.foldBatch(s, ds(b1), 0L, stateDir, cfg)
+    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000001"))
+
+    StreamIngest.retractBatch(s, ds(seedDocs ++ b1),
+      removed.toSeq.toDF("doc_id"), 1L, stateDir, cfg)
+    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
+    // the retraction generation is FULL: no PARENT, standard readers accept it
+    val gen2 = s"$stateDir/gen-00000002"
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gen2, "PARENT")))
+    Pipeline.readState(s, gen2) // must not throw
+    // replaying the committed retraction batch is a no-op
+    StreamIngest.retractBatch(s, ds(seedDocs ++ b1),
+      removed.toSeq.toDF("doc_id"), 1L, stateDir, cfg)
+    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
+
+    // a later fold chains a delta off the retraction generation
+    StreamIngest.foldBatch(s, ds(b2), 2L, stateDir, cfg)
+    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000003"))
+
+    val (_, assign) = StreamIngest.readCurrentState(s, stateDir)
+    val got = assign.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val survivors = (seedDocs ++ b1).filterNot(d => removed(d.doc_id)) ++ b2
+    val full = Pipeline.run(s, ds(survivors), cfg)
+    val want = full.clusters.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    full.release()
+    assert(got.keySet == want.keySet, "doc coverage differs")
+    val diffs = want.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} docs differ, e.g. ${diffs.take(5)}")
+  }
+
   test("exact copies streamed in do not accumulate in generation state") {
     // a k-copy farm in a micro-batch must add ONE signature row (its
     // representative) to the next generation, not k — otherwise every
