@@ -181,13 +181,6 @@ object SparkEntry {
   private val sBandCond =
     "(l.band0 = r.band0 OR l.band1 = r.band1 OR l.band2 = r.band2 OR l.band3 = r.band3)"
 
-  /** Fellegi-Sunter m/u parameters and their log2 agreement/disagreement
-    * weights (Fellegi & Sunter, JASA 1969). Computed ONCE here and inlined
-    * as identical double literals into the oracle SQL (Scala's Double
-    * toString is shortest-round-trip, so DuckDB parses back the exact same
-    * IEEE double) — both engines then run the same CASE/+ arithmetic on
-    * the same bits.
-    */
   /** PII regexes shared verbatim between the Spark queries (Java regex) and
     * the DuckDB oracles (RE2) — restricted to character classes + bounded
     * quantifiers, which the two engines interpret identically.
@@ -195,6 +188,13 @@ object SparkEntry {
   private[graft] val PiiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val PiiDigitsPat = "[0-9]{8}"
 
+  /** Fellegi-Sunter m/u parameters and their log2 agreement/disagreement
+    * weights (Fellegi & Sunter, JASA 1969). Computed ONCE here and inlined
+    * as identical double literals into the oracle SQL (Scala's Double
+    * toString is shortest-round-trip, so DuckDB parses back the exact same
+    * IEEE double) — both engines then run the same CASE/+ arithmetic on
+    * the same bits.
+    */
   private[graft] object Fs {
     private def w(m: Double, u: Double): (Double, Double) =
       (math.log(m / u) / math.log(2.0), math.log((1 - m) / (1 - u)) / math.log(2.0))
@@ -653,21 +653,30 @@ object SparkEntry {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
         .withColumn("iq", floor(lit(1000.0) * log(lit(nDocs.toDouble) / col("df"))).cast("long"))
+      // pinned once: wt feeds THREE consumers (both join sides + the norm
+      // aggregate) whose differing projections defeat exchange reuse — an
+      // unmaterialized wt re-runs the corpus tokenize + two aggregations
+      // per consumer (same treatment as q_meta_blocking's edge relation)
       val wt = tf.join(idf.select("token", "iq"), "token")
         .select(col("doc_id"), col("token"), (col("tf") * col("iq")).as("w"))
+        .localCheckpoint(true)
       val nrm = wt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
       val cand = sBandCandidates(s, dir)
       val dots = cand
         .join(wt.select(col("doc_id").as("a"), col("token"), col("w").as("wa")), "a")
         .join(wt.select(col("doc_id").as("b"), col("token"), col("w").as("wb")), Seq("b", "token"))
         .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+      // zero-norm guard: Spark's non-ANSI divide yields NULL on a 0.0
+      // divisor while DuckDB's IEEE mode yields NaN — both engines must
+      // take the same branch, so the degenerate all-stopword doc scores 0
       cand.join(dots, Seq("a", "b"), "left")
         .na.fill(0L, Seq("dot"))
         .join(nrm.select(col("doc_id").as("a"), col("n2").as("na2")), "a")
         .join(nrm.select(col("doc_id").as("b"), col("n2").as("nb2")), "b")
         .select(col("a"), col("b"), col("dot"),
-          round(col("dot") / sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6)
-            .as("cos_sim"))
+          when(col("na2") > 0 && col("nb2") > 0,
+            round(col("dot") / sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6))
+            .otherwise(lit(0.0)).as("cos_sim"))
         .orderBy("a", "b")
     }),
 
@@ -1376,7 +1385,9 @@ object SparkEntry {
          |         FROM cand c JOIN wt wa ON wa.doc_id = c.a JOIN wt wb ON wb.doc_id = c.b AND wb.token = wa.token
          |         GROUP BY 1, 2)
          |SELECT c.a AS a, c.b AS b, coalesce(dots.dot, 0) AS dot,
-         |       round(coalesce(dots.dot, 0) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos_sim
+         |       CASE WHEN na.n2 > 0 AND nb.n2 > 0
+         |            THEN round(coalesce(dots.dot, 0) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+         |            ELSE 0.0 END AS cos_sim
          |FROM cand c LEFT JOIN dots ON dots.da = c.a AND dots.db = c.b
          |JOIN nrm na ON na.doc_id = c.a JOIN nrm nb ON nb.doc_id = c.b
          |ORDER BY a, b""".stripMargin,

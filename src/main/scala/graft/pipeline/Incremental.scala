@@ -257,7 +257,16 @@ object Incremental {
       removed: DataFrame, // (doc_id) — the resolved removal set
       memberIds: DataFrame, // (doc_id) — every surviving member of a touched cluster
       memberSigs: Dataset[DocSig], // content-rep signatures of those survivors
-      release: () => Unit)
+      release: () => Unit) {
+    /** removed ∪ surviving touched members — the ids whose OLD state rows
+      * (signatures, bands) must not survive into the next generation (the
+      * survivors' replacements come from [[memberSigs]]). One definition,
+      * shared by [[Incremental.applyRetractSigs]] and the band splice in
+      * `StreamIngest.retractBatch`.
+      */
+    def dropIds: DataFrame =
+      removed.select("doc_id").unionByName(memberIds.select("doc_id"))
+  }
 
   /** The signature stage of the POST-retraction generation: rows for
     * removed docs and for touched survivors are dropped, and the touched
@@ -271,9 +280,7 @@ object Incremental {
     */
   def applyRetractSigs(oldSigs: Dataset[DocSig], res: RetractResult): Dataset[DocSig] = {
     import res.memberSigs.sparkSession.implicits._
-    val drop = res.removed.select("doc_id")
-      .unionByName(res.memberIds.select("doc_id"))
-    oldSigs.toDF().join(drop, Seq("doc_id"), "left_anti")
+    oldSigs.toDF().join(res.dropIds, Seq("doc_id"), "left_anti")
       .unionByName(res.memberSigs.toDF()).as[DocSig]
   }
 
@@ -332,6 +339,18 @@ object Incremental {
       .join(rm, Seq("doc_id"), "left_anti").select("doc_id")
     val memberDocs = docs.join(memberIds, Seq("doc_id"), "left_semi").as[Doc]
       .persist(mem)
+    // coverage is a hard precondition, not a best effort: a survivor the
+    // doc table does not cover would silently VANISH from the output
+    // assignment while its stale signature row survived — exactly the
+    // sig/assignment inconsistency the generation readers exist to prevent
+    val (nMembers, nCovered) = (memberIds.count(), memberDocs.count())
+    if (nCovered != nMembers) {
+      rm.unpersist(); touched.unpersist(); memberDocs.unpersist()
+      throw new IllegalArgumentException(
+        s"retract: docs covers $nCovered of $nMembers surviving members of " +
+          "touched clusters — an incomplete doc table would silently drop " +
+          "the uncovered survivors from the corpus state")
+    }
 
     // the same stage composition as Pipeline.run, restricted to members
     val (repDocs, expansion) =

@@ -35,6 +35,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   *   - `CURRENT` — the committed generation's name, flipped by an atomic
   *     rename AFTER the new generation is fully written. A crash mid-fold
   *     leaves `CURRENT` on the previous intact generation.
+  *   - each generation carries a `MAXBATCH` marker — the folded-batch
+  *     high-water mark, the replay criterion (folds set it to their
+  *     batchId; retraction generations copy the parent's). Generation
+  *     NUMBERS are allocated from the committed pointer and say nothing
+  *     about batchIds: a retraction consumes a number without consuming
+  *     a batchId, so takedowns interleave safely with a live stream.
   *
   * Delta generations are the append-only-commit shape an Iceberg-backed
   * TableIO would give for free: a fold WRITES O(batch) signature/band
@@ -44,13 +50,14 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * O(corpus / compactEvery) per fold.
   *
   * Exactly-once: Spark replays an uncommitted micro-batch with the SAME
-  * batchId after a restart. The fold is deterministic and generation
-  * `gen-(batchId+1)` is derived from the batchId, so a replay overwrites
-  * the same (uncommitted) directory and re-flips the pointer to the same
-  * value — idempotent (the delta-vs-compact decision depends only on the
-  * committed chain, so a replay makes the same choice). A batch whose
-  * generation is already committed (pointer at or past it) is skipped
-  * outright. Old generations are kept for rollback/backfill; prune with
+  * batchId after a restart. The fold is deterministic and the next
+  * generation dir is derived from the COMMITTED pointer (which a crash
+  * leaves unmoved), so a replay overwrites the same uncommitted directory
+  * and re-flips the pointer to the same value — idempotent (the
+  * delta-vs-compact decision depends only on the committed chain, so a
+  * replay makes the same choice). A batch at or below the folded
+  * high-water mark (`MAXBATCH`) is skipped outright. Old generations are
+  * kept for rollback/backfill; prune with
   * [[pruneGenerations]] (chain ancestors of the current generation are
   * never pruned).
   */
@@ -70,6 +77,7 @@ object StreamIngest {
       checkpointDir = Some(s"$stateDir/$gen"))
     res.clusters.count()
     res.release()
+    writeMaxBatch(s"$stateDir/$gen", -1L)
     commitPointer(stateDir, gen)
   }
 
@@ -86,10 +94,10 @@ object StreamIngest {
     * deployment — the replay guard maps batchId → generation, and batchIds
     * are monotonic only within one streaming checkpoint. Starting a FRESH
     * streaming checkpoint against an existing stateDir restarts batchIds
-    * at 0, whose generations are already committed, so genuinely new data
-    * would be skipped as replays. To feed new data from a new stream into
-    * existing state, drive [[foldBatch]] directly with batchIds past the
-    * committed generation — it reads delta chains. ([[Incremental
+    * at 0, at or below the state's folded high-water mark, so genuinely
+    * new data would be skipped as replays. To feed new data from a new
+    * stream into existing state, drive [[foldBatch]] directly with
+    * batchIds past the high-water mark — it reads delta chains. ([[Incremental
     * .fromCheckpoint]] works only against a FULL generation dir — the
     * seed or a compaction — since a delta dir deliberately has no
     * `signatures` stage; read combined state with [[readCurrentState]].)
@@ -147,15 +155,17 @@ object StreamIngest {
     // 1 = compact every fold (the full-rewrite behavior); chains never
     // exceed compactEvery parts, which also bounds chainOf recursion
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
-    val next = genName(batchId)
     val cur = currentGen(stateDir)
-    if (genNum(cur) >= genNum(next)) { // NUMERIC compare — names are padded
-      // for readable listings, but gen-100000000 would sort lexicographically
-      // before gen-99999999, so ordering must never rely on the string
-      System.err.println(s"[graft] stream-ingest: batch $batchId already committed ($cur) — skipping replay")
+    // replay guard: against the folded-batch HIGH-WATER MARK carried by
+    // every generation, NOT the generation number — retraction generations
+    // consume generation numbers without consuming batchIds, so a live
+    // stream's next micro-batch stays safe across an interleaved takedown
+    if (batchId <= maxBatch(stateDir, cur)) {
+      System.err.println(s"[graft] stream-ingest: batch $batchId already folded (at $cur) — skipping replay")
       return
     }
-    if (batch.isEmpty) return // no state change; gen numbering has gaps, by design
+    val next = nextGen(cur)
+    if (batch.isEmpty) return // no state change
 
     // corpus state = the chain's stages unioned, through the shared
     // widen + persist fold-input treatment; bands fall back to one
@@ -207,6 +217,7 @@ object StreamIngest {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(nextDir, "PARENT"), cur)
     }
+    writeMaxBatch(nextDir, batchId)
     inc.release()
     if (bands0.isEmpty) oldBands.unpersist()
     releaseInputs()
@@ -216,55 +227,71 @@ object StreamIngest {
   /** Generation-level retraction — the takedown path beside the insert
     * stream: remove `removeIds` from the committed corpus state (via
     * [[Incremental.retract]], so only touched clusters are re-resolved)
-    * and commit the result as generation `batchId + 1`. Retraction
-    * rewrites state NON-monotonically — removed rows disappear and
-    * touched survivors' signature rows may be re-keyed — which the delta
-    * layout cannot express without tombstone semantics, so a retraction
+    * and commit the result as the next generation. Retraction rewrites
+    * state NON-monotonically — removed rows disappear and touched
+    * survivors' signature rows may be re-keyed — which the delta layout
+    * cannot express without tombstone semantics, so a retraction
     * generation is always FULL (compaction-style, self-contained,
     * chain-truncating); takedowns are rare relative to folds, and paying
     * one compaction per takedown batch keeps every reader invariant
-    * tombstone-free. The chain's band relation is reused: removed and
-    * touched-survivor rows are anti-joined away and the survivors'
-    * re-derived rows spliced in, so only a full-generation REWRITE is
-    * paid, never a corpus-wide key re-derivation.
+    * tombstone-free. The chain's band relation is reused: dropped rows
+    * are anti-joined away and the survivors' re-derived rows spliced in,
+    * so only a full-generation REWRITE is paid, never a corpus-wide key
+    * re-derivation.
+    *
+    * Retractions take no batchId: the generation number is allocated from
+    * the committed pointer, and the folded-batch high-water mark
+    * ([[maxBatch]]) is carried through unchanged — so a takedown
+    * interleaves safely with a LIVE insert stream (the stream's next
+    * micro-batch folds on top of the retraction generation instead of
+    * being mistaken for a replay). Crash-retry is idempotent: the
+    * uncommitted dir and its keys are a pure function of the committed
+    * state. A removal set with no id in the corpus (including a re-run of
+    * an already-executed takedown) commits nothing and logs.
     *
     * `docs` must cover the surviving members of touched clusters (the
-    * corpus doc table; the lookup is id-keyed). Idempotent under replay
-    * like [[foldBatch]]; an empty removal set is a no-op (no generation
-    * committed). `StreamIngestSpec` interleaves folds and retractions and
-    * asserts the final state byte-equals a full run over the surviving
-    * union.
+    * corpus doc table; the lookup is id-keyed — [[Incremental.retract]]
+    * fails loudly on gaps). `StreamIngestSpec` interleaves folds and
+    * retractions and asserts the final state byte-equals a full run over
+    * the surviving union.
     */
   def retractBatch(spark: SparkSession, docs: Dataset[Doc],
-                   removeIds: org.apache.spark.sql.DataFrame, batchId: Long,
+                   removeIds: org.apache.spark.sql.DataFrame,
                    stateDir: String, cfg: GraftConfig,
                    resolver: MediaResolver = DefaultMedia): Unit = {
-    val next = genName(batchId)
     val cur = currentGen(stateDir)
-    if (genNum(cur) >= genNum(next)) {
-      System.err.println(s"[graft] stream-ingest: retraction batch $batchId already committed ($cur) — skipping replay")
-      return
-    }
+    val next = nextGen(cur)
     if (removeIds.isEmpty) return
 
     val chain = chainOf(stateDir, cur)
     val (sigs0, assign, bands0, prevKey) = readChainParts(spark, stateDir, chain)
     val (sigs, bandsOpt, releaseInputs) = Incremental.foldInputs(spark, sigs0, bands0)
 
-    val res = Incremental.retract(spark, docs, assign, removeIds, cfg, resolver,
-      existingSigs = Some(sigs))
+    val res =
+      try Incremental.retract(spark, docs, assign, removeIds, cfg, resolver,
+        existingSigs = Some(sigs))
+      catch { case e: Throwable => releaseInputs(); throw e }
+    if (res.touched.isEmpty) { // nothing known was removed: state unchanged
+      System.err.println(s"[graft] stream-ingest: retraction touched no cluster (at $cur) — nothing to commit")
+      res.release(); releaseInputs()
+      return
+    }
     val nextSigs = Incremental.applyRetractSigs(sigs, res)
-    val drop = res.removed.select("doc_id")
-      .unionByName(res.memberIds.select("doc_id"))
     val nextBands = bandsOpt match {
-      case Some(b) => b.join(drop, Seq("doc_id"), "left_anti")
+      case Some(b) => b.join(res.dropIds, Seq("doc_id"), "left_anti")
         .unionByName(graft.pipeline.Blocking.bandRowsDF(res.memberSigs, cfg))
       case None => // some chain dir predates the bands stage — derive once
         graft.pipeline.Blocking.bandRowsDF(nextSigs, cfg)
     }
-    val genKey = Hashing.hash64(prevKey, batchId)
-    commitFullGeneration(spark, s"$stateDir/$next", nextSigs,
+    // tagged key derivation: a crashed FOLD attempt can leave stages in
+    // the same uncommitted dir; the tag keeps a retraction's keys from
+    // ever pairing with them
+    val genKey = Hashing.hash64(Hashing.hash64(prevKey, 0x72657472616374L),
+      genNum(next))
+    val nextDir = s"$stateDir/$next"
+    commitFullGeneration(spark, nextDir, nextSigs,
       res.assignments, genKey, nextBands)
+    writeMaxBatch(nextDir, maxBatch(stateDir, cur)) // carried, not consumed
     res.release()
     releaseInputs()
     commitPointer(stateDir, next)
@@ -404,11 +431,35 @@ object StreamIngest {
 
   private def genName(batchId: Long): String = f"gen-${batchId + 1}%08d"
 
+  /** The next generation name, allocated from the COMMITTED pointer (not
+    * from the batchId — retraction generations consume numbers without
+    * consuming batchIds). A crashed uncommitted attempt retries into the
+    * same dir because the pointer has not moved.
+    */
+  private def nextGen(cur: String): String = f"gen-${genNum(cur) + 1}%08d"
+
   /** Numeric generation ordinal — ALL ordering uses this, never the name:
     * the 8-digit padding keeps listings readable, but past 10^8 - 1 the
     * lexicographic order of the names diverges from the numeric order.
     */
   private def genNum(name: String): Long = name.stripPrefix("gen-").toLong
+
+  /** The folded-batch high-water mark at `gen` — the replay criterion:
+    * batchIds at or below it are already folded. Carried forward by every
+    * write (folds set it to their batchId; retractions copy the parent's).
+    * Generations from before the marker existed used gen number =
+    * batchId + 1, so `genNum - 1` is the exact legacy equivalent.
+    */
+  private def maxBatch(stateDir: String, gen: String): Long = {
+    val p = java.nio.file.Paths.get(stateDir, gen, "MAXBATCH")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else genNum(gen) - 1
+  }
+
+  private def writeMaxBatch(genDir: String, value: Long): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(genDir, "MAXBATCH"), value.toString)
 
   private def currentGen(stateDir: String): String = {
     val p = java.nio.file.Paths.get(stateDir, "CURRENT")

@@ -24,7 +24,10 @@ object GoldenGen {
   val OutRoot = "/root/repo/golden"
 
   def main(args: Array[String]): Unit = {
-    // optional args = subset of query names to regenerate (default: all)
+    // optional args = subset of query names to regenerate (default: all);
+    // an unknown name must fail loudly, not silently regenerate nothing
+    require(args.forall(GoldenQueries.contains),
+      s"unknown golden query name(s): ${args.filterNot(GoldenQueries.contains).mkString(", ")}")
     val wanted = if (args.isEmpty) GoldenQueries else GoldenQueries.filter(args.contains)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "8")

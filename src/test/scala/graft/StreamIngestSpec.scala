@@ -157,19 +157,34 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000001"))
 
     StreamIngest.retractBatch(s, ds(seedDocs ++ b1),
-      removed.toSeq.toDF("doc_id"), 1L, stateDir, cfg)
+      removed.toSeq.toDF("doc_id"), stateDir, cfg)
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
     // the retraction generation is FULL: no PARENT, standard readers accept it
     val gen2 = s"$stateDir/gen-00000002"
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gen2, "PARENT")))
     Pipeline.readState(s, gen2) // must not throw
-    // replaying the committed retraction batch is a no-op
+    // re-running the executed takedown commits nothing (ids now unknown)
     StreamIngest.retractBatch(s, ds(seedDocs ++ b1),
-      removed.toSeq.toDF("doc_id"), 1L, stateDir, cfg)
+      removed.toSeq.toDF("doc_id"), stateDir, cfg)
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
 
-    // a later fold chains a delta off the retraction generation
-    StreamIngest.foldBatch(s, ds(b2), 2L, stateDir, cfg)
+    // THE live-stream safety property: the stream's next micro-batch id
+    // (1, directly after b1's 0) must fold on top of the retraction
+    // generation — under batchId-coupled generation numbering it would
+    // have been mistaken for a replay and silently dropped
+    StreamIngest.foldBatch(s, ds(b2), 1L, stateDir, cfg)
+    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000003"))
+    // while a genuine replay of an already folded batch is still skipped
+    StreamIngest.foldBatch(s, ds(b1), 0L, stateDir, cfg)
+    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000003"))
+
+    // the coverage precondition is loud: a doc table missing a surviving
+    // member of a touched cluster must fail, not silently drop the doc
+    val rm2 = b2.take(5).map(_.doc_id)
+    intercept[IllegalArgumentException] {
+      StreamIngest.retractBatch(s, ds(Seq(all.head)), rm2.toDF("doc_id"),
+        stateDir, cfg)
+    }
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000003"))
 
     val (_, assign) = StreamIngest.readCurrentState(s, stateDir)
