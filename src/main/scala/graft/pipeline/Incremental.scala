@@ -331,7 +331,17 @@ object Incremental {
     val rm = removeIds.select("doc_id").distinct().persist(mem)
     val touched = existingAssign.join(rm, Seq("doc_id"))
       .select("cluster_id").distinct().persist(mem)
-    touched.count()
+    if (touched.count() == 0) {
+      // nothing known was removed (e.g. a re-run of an already executed
+      // takedown): the state is unchanged — short-circuit BEFORE any
+      // member gathering, signature work, or empty-relation pipeline jobs
+      return RetractResult(
+        existingAssign.select("doc_id", "cluster_id"),
+        existingAssign.select("doc_id", "cluster_id").limit(0),
+        touched, rm, rm.select("doc_id").limit(0),
+        spark.emptyDataset[DocSig],
+        () => { rm.unpersist(); touched.unpersist(); () })
+    }
 
     // surviving members of touched clusters; the broadcast is justified —
     // `touched` is bounded by the removal batch, not the corpus
@@ -342,14 +352,18 @@ object Incremental {
     // coverage is a hard precondition, not a best effort: a survivor the
     // doc table does not cover would silently VANISH from the output
     // assignment while its stale signature row survived — exactly the
-    // sig/assignment inconsistency the generation readers exist to prevent
-    val (nMembers, nCovered) = (memberIds.count(), memberDocs.count())
-    if (nCovered != nMembers) {
+    // sig/assignment inconsistency the generation readers exist to prevent.
+    // Checked by anti-join emptiness (NOT row counts, which duplicate
+    // doc_ids in `docs` could silently defeat in both directions).
+    val uncovered = memberIds
+      .join(docs.toDF().select("doc_id"), Seq("doc_id"), "left_anti")
+    if (!uncovered.isEmpty) {
+      val sample = uncovered.take(5).map(_.getString(0)).mkString(", ")
       rm.unpersist(); touched.unpersist(); memberDocs.unpersist()
       throw new IllegalArgumentException(
-        s"retract: docs covers $nCovered of $nMembers surviving members of " +
-          "touched clusters — an incomplete doc table would silently drop " +
-          "the uncovered survivors from the corpus state")
+        "retract: docs does not cover every surviving member of the " +
+          s"touched clusters (e.g. $sample) — an incomplete doc table " +
+          "would silently drop the uncovered survivors from the corpus state")
     }
 
     // the same stage composition as Pipeline.run, restricted to members

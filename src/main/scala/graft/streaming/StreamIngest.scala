@@ -73,12 +73,14 @@ object StreamIngest {
            cfg: GraftConfig = GraftConfig(),
            resolver: MediaResolver = DefaultMedia): Unit = {
     val gen = genName(-1L)
-    val res = Pipeline.run(spark, initial, cfg, resolver,
-      checkpointDir = Some(s"$stateDir/$gen"))
-    res.clusters.count()
-    res.release()
-    writeMaxBatch(s"$stateDir/$gen", -1L)
-    commitPointer(stateDir, gen)
+    withStateLock(stateDir) {
+      val res = Pipeline.run(spark, initial, cfg, resolver,
+        checkpointDir = Some(s"$stateDir/$gen"))
+      res.clusters.count()
+      res.release()
+      writeMaxBatch(s"$stateDir/$gen", -1L)
+      commitPointer(stateDir, gen, None)
+    }
   }
 
   /** The committed generation directory (absolute path). */
@@ -91,7 +93,7 @@ object StreamIngest {
     * caveats documented on [[StreamDedup]] apply.
     *
     * Lifecycle contract: `stateDir` and `streamingCheckpoint` are ONE
-    * deployment — the replay guard maps batchId → generation, and batchIds
+    * deployment — the replay guard compares batchIds against the state's folded high-water mark, and batchIds
     * are monotonic only within one streaming checkpoint. Starting a FRESH
     * streaming checkpoint against an existing stateDir restarts batchIds
     * at 0, at or below the state's folded high-water mark, so genuinely
@@ -151,7 +153,7 @@ object StreamIngest {
   def foldBatch(spark: SparkSession, batch: Dataset[Doc], batchId: Long,
                 stateDir: String, cfg: GraftConfig,
                 resolver: MediaResolver = DefaultMedia,
-                compactEvery: Int = 8): Unit = {
+                compactEvery: Int = 8): Unit = withStateLock(stateDir) {
     // 1 = compact every fold (the full-rewrite behavior); chains never
     // exceed compactEvery parts, which also bounds chainOf recursion
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
@@ -221,7 +223,7 @@ object StreamIngest {
     inc.release()
     if (bands0.isEmpty) oldBands.unpersist()
     releaseInputs()
-    commitPointer(stateDir, next)
+    commitPointer(stateDir, next, Some(cur))
   }
 
   /** Generation-level retraction — the takedown path beside the insert
@@ -258,7 +260,7 @@ object StreamIngest {
   def retractBatch(spark: SparkSession, docs: Dataset[Doc],
                    removeIds: org.apache.spark.sql.DataFrame,
                    stateDir: String, cfg: GraftConfig,
-                   resolver: MediaResolver = DefaultMedia): Unit = {
+                   resolver: MediaResolver = DefaultMedia): Unit = withStateLock(stateDir) {
     val cur = currentGen(stateDir)
     val next = nextGen(cur)
     if (removeIds.isEmpty) return
@@ -294,7 +296,7 @@ object StreamIngest {
     writeMaxBatch(nextDir, maxBatch(stateDir, cur)) // carried, not consumed
     res.release()
     releaseInputs()
-    commitPointer(stateDir, next)
+    commitPointer(stateDir, next, Some(cur))
   }
 
   /** Write + scrub a FULL generation dir (compactions and retractions):
@@ -469,12 +471,47 @@ object StreamIngest {
     java.nio.file.Files.readString(p).trim
   }
 
-  private def commitPointer(stateDir: String, gen: String): Unit = {
+  /** ONE writer per stateDir per JVM: foldBatch and retractBatch each
+    * read CURRENT, write the next generation, and flip the pointer —
+    * two interleaved writers would allocate the SAME next dir and one
+    * would overwrite the other's committed generation (losing a batch
+    * whose streaming offsets are already committed). The realistic
+    * concurrent pair — the stream's foreachBatch thread and a driver
+    * thread issuing a takedown — lives in one JVM, which this lock
+    * serializes; cross-PROCESS writers are additionally caught (not
+    * prevented) by [[commitPointer]]'s moved-pointer check.
+    */
+  private val stateLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def withStateLock[A](stateDir: String)(f: => A): A =
+    stateLocks.getOrElseUpdate(
+      java.nio.file.Paths.get(stateDir).toAbsolutePath.normalize.toString,
+      new Object).synchronized(f)
+
+  /** Flip the pointer — AFTER verifying it still reads `expectCur` (None
+    * = must not exist yet, the seed case): a cross-process writer racing
+    * this one fails loudly here instead of silently splicing its
+    * generation out of the chain. Best-effort (check and move are not one
+    * atomic step); same-JVM writers are fully serialized by
+    * [[withStateLock]].
+    */
+  private def commitPointer(stateDir: String, gen: String,
+                            expectCur: Option[String]): Unit = {
     val dir = java.nio.file.Paths.get(stateDir)
     java.nio.file.Files.createDirectories(dir)
+    val cur = dir.resolve("CURRENT")
+    val actual =
+      if (java.nio.file.Files.exists(cur))
+        Some(java.nio.file.Files.readString(cur).trim)
+      else None
+    if (actual != expectCur)
+      throw new IllegalStateException(
+        s"$stateDir CURRENT is ${actual.getOrElse("<none>")}, expected " +
+          s"${expectCur.getOrElse("<none>")} while committing $gen — another " +
+          "writer is active; state writers must be serialized per stateDir")
     val tmp = dir.resolve(s"CURRENT.tmp")
     java.nio.file.Files.writeString(tmp, gen)
-    java.nio.file.Files.move(tmp, dir.resolve("CURRENT"),
+    java.nio.file.Files.move(tmp, cur,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }

@@ -187,6 +187,13 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000003"))
 
+    // re-seeding over live state must fail the moved-pointer check, not
+    // silently splice a fresh gen-00000000 under the committed chain
+    intercept[IllegalStateException] {
+      StreamIngest.seed(s, ds(seedDocs.take(3)), stateDir, cfg)
+    }
+    assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000003"))
+
     val (_, assign) = StreamIngest.readCurrentState(s, stateDir)
     val got = assign.collect().map(r => (r.getString(0), r.getString(1))).toMap
     val survivors = (seedDocs ++ b1).filterNot(d => removed(d.doc_id)) ++ b2
