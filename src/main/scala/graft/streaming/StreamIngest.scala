@@ -315,6 +315,72 @@ object StreamIngest {
       deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
   }
 
+  /** One CDC record: an upsert carries the full document; a delete needs
+    * only the id (its spans are ignored).
+    */
+  final case class CdcRecord(doc: Doc, delete: Boolean)
+
+  /** The CDC front door: ONE stream carrying both upserts and deletes.
+    * Per micro-batch, in order: (1) ids to retract = the batch's deletes ∪
+    * the upsert ids ALREADY in the corpus (an upsert of a live id is
+    * retract-then-insert — the fold contract requires ids unique across
+    * old ∪ new, and this gives true replace semantics for edited
+    * documents); (2) [[retractBatch]] commits a full generation when any
+    * of those ids are live; (3) [[foldBatch]] folds the upsert docs.
+    * Replays are idempotent end-to-end: the high-water mark is advanced
+    * to `batchId` only after BOTH steps, and a replayed prefix re-runs as
+    * no-ops (the retracted ids are no longer live; the fold skips on the
+    * mark) — including a delete-only batch, whose mark lands on the
+    * retraction generation itself.
+    *
+    * `corpusDocs` must produce the CURRENT corpus document table (the
+    * rows ingested so far — retraction reads the touched survivors from
+    * it, id-keyed). Deleting an id that was never ingested is a no-op.
+    */
+  def cdcFoldBatch(spark: SparkSession, batch: Dataset[CdcRecord],
+                   batchId: Long, corpusDocs: SparkSession => Dataset[Doc],
+                   stateDir: String, cfg: GraftConfig,
+                   resolver: MediaResolver = DefaultMedia,
+                   compactEvery: Int = 8): Unit = withStateLock(stateDir) {
+    import spark.implicits._
+    val cur = currentGen(stateDir)
+    if (batchId <= maxBatch(stateDir, cur)) {
+      System.err.println(s"[graft] stream-ingest: CDC batch $batchId already applied (at $cur) — skipping replay")
+      return
+    }
+    val deletes = batch.filter((r: CdcRecord) => r.delete)
+      .map(_.doc.doc_id).toDF("doc_id")
+    val upserts = batch.filter((r: CdcRecord) => !r.delete).map(_.doc)
+    val liveIds = new ParquetTableIO(s"$stateDir/$cur")
+      .read(spark, "assignments").select("doc_id")
+    val toRetract = deletes
+      .union(liveIds.join(upserts.toDF().select("doc_id"), Seq("doc_id")))
+      .distinct()
+    retractBatch(spark, corpusDocs(spark), toRetract, stateDir, cfg, resolver)
+    foldBatch(spark, upserts, batchId, stateDir, cfg, resolver, compactEvery)
+    // the batch is fully applied: advance the mark on whatever generation
+    // is now committed (for a delete-only batch the fold was empty and the
+    // mark would otherwise stay behind, replaying the batch forever)
+    writeMaxBatch(currentDir(stateDir), batchId)
+  }
+
+  /** The `DataStreamWriter` for a CDC stream (callers add
+    * trigger/checkpoint and `.start()`): every micro-batch routes through
+    * [[cdcFoldBatch]].
+    */
+  def cdcWriter(stream: Dataset[CdcRecord],
+                corpusDocs: SparkSession => Dataset[Doc], stateDir: String,
+                cfg: GraftConfig = GraftConfig(),
+                resolver: MediaResolver = DefaultMedia,
+                compactEvery: Int = 8): DataStreamWriter[CdcRecord] = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[CdcRecord], batchId: Long) =>
+        cdcFoldBatch(batch.sparkSession, batch, batchId, corpusDocs,
+          stateDir, cfg, resolver, compactEvery)
+    }
+  }
+
   /** Generation chain, current-first, ending at the root full generation.
     * Tail-recursive: chain length is compactEvery-bounded in normal
     * operation, but the walk must not assume it.

@@ -206,6 +206,69 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(diffs.isEmpty, s"${diffs.size} docs differ, e.g. ${diffs.take(5)}")
   }
 
+  test("CDC batches: upsert-replace, delete, and insert in one stream equal the full run") {
+    implicit val s = spark
+    import s.implicits._
+    val all = labeled.map(_.doc)
+    val seedDocs = all.filterNot(_.doc_id.endsWith("-0"))
+    val inserts = all.filter(_.doc_id.endsWith("-0")).take(40)
+    val deleted = seedDocs.take(10).map(_.doc_id).toSet
+    // an existing doc edited in place: same id, new content
+    val editedBase = seedDocs(20)
+    val edited = editedBase.copy(spans = Seq(graft.model.Span.text(
+      editedBase.spans.collectFirst { case sp if sp.kind == "text" => sp.text }
+        .getOrElse("") + " edited edition markers appended", 0)))
+    assert(!deleted(edited.doc_id))
+
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    StreamIngest.seed(s, ds(seedDocs), stateDir, cfg)
+    var corpus = seedDocs
+    val provider = (_: org.apache.spark.sql.SparkSession) => ds(corpus)
+    def cdc(recs: Seq[StreamIngest.CdcRecord], id: Long): Unit =
+      StreamIngest.cdcFoldBatch(s,
+        spark.createDataset(recs)(org.apache.spark.sql.Encoders.product),
+        id, provider, stateDir, cfg)
+    def currentMap(): Map[String, String] = {
+      val (_, assign) = StreamIngest.readCurrentState(s, stateDir)
+      assign.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    }
+    def fullMap(docs: Seq[graft.model.Doc]): Map[String, String] = {
+      val r = Pipeline.run(s, ds(docs), cfg)
+      val m = r.clusters.select("doc_id", "cluster_id").collect()
+        .map(x => (x.getString(0), x.getString(1))).toMap
+      r.release(); m
+    }
+    def assertEq(want: Map[String, String], got: Map[String, String]): Unit = {
+      assert(got.keySet == want.keySet, "doc coverage differs")
+      val diffs = want.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+      assert(diffs.isEmpty, s"${diffs.size} docs differ, e.g. ${diffs.take(5)}")
+    }
+
+    val batch1 =
+      inserts.map(d => StreamIngest.CdcRecord(d, delete = false)) ++
+        deleted.toSeq.map(id =>
+          StreamIngest.CdcRecord(graft.model.Doc(id, Seq.empty), delete = true)) :+
+        StreamIngest.CdcRecord(edited, delete = false)
+    cdc(batch1, 0L)
+    corpus = seedDocs.filterNot(d =>
+      deleted(d.doc_id) || d.doc_id == edited.doc_id) ++ inserts :+ edited
+    assertEq(fullMap(corpus), currentMap())
+    // the replace really landed: state must carry exactly one row for the
+    // edited id, clustered per its NEW content (covered by the equality)
+    cdc(batch1, 0L) // replayed batch is a no-op
+    assertEq(fullMap(corpus), currentMap())
+
+    // a delete-only batch advances the high-water mark on the retraction
+    // generation itself (no fold generation exists to carry it)
+    val batch2 = Seq(
+      StreamIngest.CdcRecord(graft.model.Doc(inserts.head.doc_id, Seq.empty), delete = true))
+    cdc(batch2, 1L)
+    corpus = corpus.filterNot(_.doc_id == inserts.head.doc_id)
+    assertEq(fullMap(corpus), currentMap())
+    cdc(batch2, 1L) // and its replay is skipped outright
+    assertEq(fullMap(corpus), currentMap())
+  }
+
   test("exact copies streamed in do not accumulate in generation state") {
     // a k-copy farm in a micro-batch must add ONE signature row (its
     // representative) to the next generation, not k — otherwise every
