@@ -207,8 +207,10 @@ object StreamIngest {
       // could have left full 'signatures'/'bands' stages here — whose keys
       // would PAIR with the fresh assignments key and make readState
       // succeed on a partial dir, the exact failure this layout prevents
+      // (plus a crashed RETRACTION-delta attempt's tombstones, whose
+      // unpaired key would fail the chain reader's validation)
       import org.apache.spark.sql.functions.{col, struct}
-      Seq("signatures", "bands").foreach(st =>
+      Seq("signatures", "bands", "tombstones_delta").foreach(st =>
         deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
       val io = new ParquetTableIO(nextDir)
       io.write("signatures_delta",
@@ -231,36 +233,36 @@ object StreamIngest {
     * [[Incremental.retract]], so only touched clusters are re-resolved)
     * and commit the result as the next generation. Retraction rewrites
     * state NON-monotonically — removed rows disappear and touched
-    * survivors' signature rows may be re-keyed — which the delta layout
-    * cannot express without tombstone semantics, so a retraction
-    * generation is always FULL (compaction-style, self-contained,
-    * chain-truncating); takedowns are rare relative to folds, and paying
-    * one compaction per takedown batch keeps every reader invariant
-    * tombstone-free. The chain's band relation is reused: dropped rows
-    * are anti-joined away and the survivors' re-derived rows spliced in,
-    * so only a full-generation REWRITE is paid, never a corpus-wide key
-    * re-derivation.
+    * survivors' signature rows may be re-keyed — so a retraction DELTA
+    * carries a `tombstones_delta` stage (the drop ids) beside its
+    * O(touched) signature/band delta rows: readers subtract each delta's
+    * tombstones from its ANCESTORS before unioning its own rows. Like
+    * folds, a retraction compacts to a FULL chain-truncating generation
+    * once the chain reaches `compactEvery` parts — so an update-heavy CDC
+    * stream pays O(touched) per batch, not a full corpus rewrite.
     *
     * Retractions take no batchId: the generation number is allocated from
     * the committed pointer, and the folded-batch high-water mark
     * ([[maxBatch]]) is carried through unchanged — so a takedown
-    * interleaves safely with a LIVE insert stream (the stream's next
-    * micro-batch folds on top of the retraction generation instead of
-    * being mistaken for a replay). Crash-retry is idempotent: the
-    * uncommitted dir and its keys are a pure function of the committed
-    * state. A removal set with no id in the corpus (including a re-run of
-    * an already-executed takedown) commits nothing and logs.
+    * interleaves safely with a LIVE insert stream. Crash-retry
+    * is idempotent: the uncommitted dir and its keys are a pure function
+    * of the committed state. A removal set with no id in the corpus
+    * (including a re-run of an already-executed takedown) commits nothing
+    * and logs.
     *
-    * `docs` must cover the surviving members of touched clusters (the
-    * corpus doc table; the lookup is id-keyed — [[Incremental.retract]]
-    * fails loudly on gaps). `StreamIngestSpec` interleaves folds and
-    * retractions and asserts the final state byte-equals a full run over
-    * the surviving union.
+    * `docs` must cover the surviving members of touched clusters —
+    * typically the consumer's own materialized corpus table, maintained
+    * by the same loop (NOT an upstream source that may run ahead of the
+    * applied stream); [[Incremental.retract]] fails loudly on gaps.
+    * `StreamIngestSpec` interleaves folds and retractions and asserts the
+    * final state byte-equals a full run over the surviving union.
     */
   def retractBatch(spark: SparkSession, docs: Dataset[Doc],
                    removeIds: org.apache.spark.sql.DataFrame,
                    stateDir: String, cfg: GraftConfig,
-                   resolver: MediaResolver = DefaultMedia): Unit = withStateLock(stateDir) {
+                   resolver: MediaResolver = DefaultMedia,
+                   compactEvery: Int = 8): Unit = withStateLock(stateDir) {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     val cur = currentGen(stateDir)
     val next = nextGen(cur)
     if (removeIds.isEmpty) return
@@ -278,21 +280,40 @@ object StreamIngest {
       res.release(); releaseInputs()
       return
     }
-    val nextSigs = Incremental.applyRetractSigs(sigs, res)
-    val nextBands = bandsOpt match {
-      case Some(b) => b.join(res.dropIds, Seq("doc_id"), "left_anti")
-        .unionByName(graft.pipeline.Blocking.bandRowsDF(res.memberSigs, cfg))
-      case None => // some chain dir predates the bands stage — derive once
-        graft.pipeline.Blocking.bandRowsDF(nextSigs, cfg)
-    }
     // tagged key derivation: a crashed FOLD attempt can leave stages in
     // the same uncommitted dir; the tag keeps a retraction's keys from
     // ever pairing with them
     val genKey = Hashing.hash64(Hashing.hash64(prevKey, 0x72657472616374L),
       genNum(next))
     val nextDir = s"$stateDir/$next"
-    commitFullGeneration(spark, nextDir, nextSigs,
-      res.assignments, genKey, nextBands)
+    val memberBands = graft.pipeline.Blocking.bandRowsDF(res.memberSigs, cfg)
+    if (chain.length >= compactEvery) {
+      // compaction-style full generation, reusing the chain's band union
+      val nextSigs = Incremental.applyRetractSigs(sigs, res)
+      val nextBands = bandsOpt match {
+        case Some(b) => b.join(res.dropIds, Seq("doc_id"), "left_anti")
+          .unionByName(memberBands)
+        case None => // some chain dir predates the bands stage — derive once
+          graft.pipeline.Blocking.bandRowsDF(nextSigs, cfg)
+      }
+      commitFullGeneration(spark, nextDir, nextSigs,
+        res.assignments, genKey, nextBands)
+    } else {
+      // retraction delta: O(touched) rows + the tombstoned drop ids
+      import org.apache.spark.sql.functions.{col, struct}
+      Seq("signatures", "bands").foreach(st =>
+        deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
+      val io = new ParquetTableIO(nextDir)
+      io.write("signatures_delta",
+        res.memberSigs.toDF().select(struct(col("*")).as("sig")), genKey)
+      io.write("bands_delta", memberBands, Hashing.hash64(genKey, 7L))
+      io.write("tombstones_delta", res.dropIds.select("doc_id"),
+        Hashing.hash64(genKey, 9L))
+      io.write("assignments", res.assignments.select("doc_id", "cluster_id"),
+        Hashing.hash64(genKey, 5L))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(nextDir, "PARENT"), cur)
+    }
     writeMaxBatch(nextDir, maxBatch(stateDir, cur)) // carried, not consumed
     res.release()
     releaseInputs()
@@ -311,57 +332,82 @@ object StreamIngest {
     Incremental.writeState(spark, nextDir, sigs, assign, genKey,
       bands = Some(bands))
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(nextDir, "PARENT"))
-    Seq("signatures_delta", "bands_delta").foreach(st =>
+    Seq("signatures_delta", "bands_delta", "tombstones_delta").foreach(st =>
       deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
   }
 
   /** One CDC record: an upsert carries the full document; a delete needs
-    * only the id (its spans are ignored).
+    * only the id (its spans are ignored). `seq` is the SOURCE order
+    * (offset / LSN / commit timestamp) — when one micro-batch carries
+    * several records for the same id, the highest `seq` wins (deletes win
+    * ties), so insert-then-update folds only the final version and
+    * create-then-delete resolves to absent regardless of Spark's row
+    * order.
     */
-  final case class CdcRecord(doc: Doc, delete: Boolean)
+  final case class CdcRecord(doc: Doc, delete: Boolean, seq: Long = 0L)
 
   /** The CDC front door: ONE stream carrying both upserts and deletes.
-    * Per micro-batch, in order: (1) ids to retract = the batch's deletes ∪
-    * the upsert ids ALREADY in the corpus (an upsert of a live id is
-    * retract-then-insert — the fold contract requires ids unique across
-    * old ∪ new, and this gives true replace semantics for edited
-    * documents); (2) [[retractBatch]] commits a full generation when any
-    * of those ids are live; (3) [[foldBatch]] folds the upsert docs.
-    * Replays are idempotent end-to-end: the high-water mark is advanced
-    * to `batchId` only after BOTH steps, and a replayed prefix re-runs as
-    * no-ops (the retracted ids are no longer live; the fold skips on the
-    * mark) — including a delete-only batch, whose mark lands on the
-    * retraction generation itself.
+    * Per micro-batch, in order: (0) per-id last-wins reduction by `seq`;
+    * (1) ids to retract = the batch's deletes ∪ the upsert ids ALREADY in
+    * the corpus (an upsert of a live id is retract-then-insert — the fold
+    * contract requires ids unique across old ∪ new, and this gives true
+    * replace semantics for edited documents); (2) [[retractBatch]]
+    * commits a (delta, usually) retraction generation when any of those
+    * ids are live; (3) [[foldBatch]] folds the upsert docs and stamps the
+    * high-water mark; a batch with nothing to fold advances the mark on
+    * the committed generation afterwards (atomically). Replays are
+    * idempotent end-to-end: a replayed prefix re-runs as no-ops (the
+    * retracted ids are no longer live; the fold skips on the mark).
     *
-    * `corpusDocs` must produce the CURRENT corpus document table (the
-    * rows ingested so far — retraction reads the touched survivors from
-    * it, id-keyed). Deleting an id that was never ingested is a no-op.
+    * `corpusDocs` must produce the corpus document table AS APPLIED so
+    * far — typically the consumer's own materialized table, updated by
+    * the same batch loop. An upstream source table that runs AHEAD of the
+    * applied stream does not qualify: a source-side delete of a cluster
+    * survivor would leave retraction's coverage check nothing to read
+    * (it fails loudly rather than corrupting state). Deleting an id that
+    * was never ingested is a no-op.
     */
   def cdcFoldBatch(spark: SparkSession, batch: Dataset[CdcRecord],
                    batchId: Long, corpusDocs: SparkSession => Dataset[Doc],
                    stateDir: String, cfg: GraftConfig,
                    resolver: MediaResolver = DefaultMedia,
                    compactEvery: Int = 8): Unit = withStateLock(stateDir) {
+    // fail before the retraction commit, not between the two steps
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     import spark.implicits._
     val cur = currentGen(stateDir)
     if (batchId <= maxBatch(stateDir, cur)) {
       System.err.println(s"[graft] stream-ingest: CDC batch $batchId already applied (at $cur) — skipping replay")
       return
     }
-    val deletes = batch.filter((r: CdcRecord) => r.delete)
+    // last-wins per id; persisted — the reduced batch feeds four
+    // consumers (delete/upsert splits, the liveness join, the fold)
+    val latest = batch.groupByKey(_.doc.doc_id)
+      .reduceGroups((a: CdcRecord, b: CdcRecord) =>
+        if (a.seq > b.seq) a
+        else if (b.seq > a.seq) b
+        else if (a.delete) a else b)
+      .map(_._2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    latest.count()
+    val deletes = latest.filter((r: CdcRecord) => r.delete)
       .map(_.doc.doc_id).toDF("doc_id")
-    val upserts = batch.filter((r: CdcRecord) => !r.delete).map(_.doc)
+    val upserts = latest.filter((r: CdcRecord) => !r.delete).map(_.doc)
     val liveIds = new ParquetTableIO(s"$stateDir/$cur")
       .read(spark, "assignments").select("doc_id")
     val toRetract = deletes
       .union(liveIds.join(upserts.toDF().select("doc_id"), Seq("doc_id")))
       .distinct()
-    retractBatch(spark, corpusDocs(spark), toRetract, stateDir, cfg, resolver)
+    retractBatch(spark, corpusDocs(spark), toRetract, stateDir, cfg, resolver,
+      compactEvery)
     foldBatch(spark, upserts, batchId, stateDir, cfg, resolver, compactEvery)
-    // the batch is fully applied: advance the mark on whatever generation
-    // is now committed (for a delete-only batch the fold was empty and the
-    // mark would otherwise stay behind, replaying the batch forever)
-    writeMaxBatch(currentDir(stateDir), batchId)
+    // foldBatch stamps the mark when it commits; for a batch with no
+    // upserts to fold, advance it on the committed generation afterwards
+    // (writeMaxBatch is atomic, so patching committed state is safe)
+    if (maxBatch(stateDir, currentGen(stateDir)) < batchId)
+      writeMaxBatch(currentDir(stateDir), batchId)
+    latest.unpersist()
+    ()
   }
 
   /** The `DataStreamWriter` for a CDC stream (callers add
@@ -409,16 +455,24 @@ object StreamIngest {
   private def isDelta(stateDir: String, gen: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir, gen, "PARENT"))
 
-  /** (sig union, head assignments, band union, head signature key) of a
+  /** (sig state, head assignments, band state, head signature key) of a
     * chain. Each delta dir's stage keys are validated against the same
     * pairing rule [[Pipeline.readState]] enforces for full dirs, so a dir
     * mixing stages from different write attempts is rejected, not read.
+    *
+    * State is folded ROOT-FIRST: a delta's `tombstones_delta` ids (written
+    * by retraction deltas) are subtracted from everything accumulated so
+    * far — its ancestors — BEFORE the delta's own rows union in, so a
+    * tombstoned id re-inserted by a LATER fold (the CDC replace path)
+    * survives. Fold deltas carry no tombstones and reduce to the plain
+    * union this always was.
     */
   private def readChainParts(spark: SparkSession, stateDir: String,
       chain: List[String])
       : (Dataset[graft.model.DocSig], org.apache.spark.sql.DataFrame,
          Option[org.apache.spark.sql.DataFrame], Long) = {
     val sigEnc = org.apache.spark.sql.Encoders.product[graft.model.DocSig]
+    // (sigsDF, bands, key, headAssign, tombstones) per chain part
     val parts = chain.zipWithIndex.map { case (g, idx) =>
       val dir = s"$stateDir/$g"
       if (isDelta(stateDir, g)) {
@@ -429,27 +483,44 @@ object StreamIngest {
             !io.completedKey("bands_delta").contains(Hashing.hash64(k, 7L)))
           throw new IllegalStateException(
             s"delta generation $dir is not a consistent write (mixed stage keys)")
+        val tombstones = io.completedKey("tombstones_delta") match {
+          case Some(tk) if tk == Hashing.hash64(k, 9L) =>
+            Some(io.read(spark, "tombstones_delta"))
+          case Some(_) => throw new IllegalStateException(
+            s"delta generation $dir has a tombstones_delta stage from a different write attempt")
+          case None => None
+        }
         // only the HEAD's assignments are consumed — skip the parquet
         // open (driver-side listing + footer reads of a corpus-sized
         // table) for the up-to-compactEvery non-head chain parts
         val assign =
           if (idx == 0) Some(io.read(spark, "assignments").select("doc_id", "cluster_id"))
           else None
-        (io.read(spark, "signatures_delta").select("sig.*").as[graft.model.DocSig](sigEnc),
-          Some(io.read(spark, "bands_delta")), k, assign)
+        (io.read(spark, "signatures_delta").select("sig.*"),
+          Some(io.read(spark, "bands_delta")), k, assign, tombstones)
       } else {
         val (s, a) = Pipeline.readState(spark, dir)
-        (s, Pipeline.readBands(spark, dir),
-          new ParquetTableIO(dir).completedKey("signatures").get, Some(a))
+        (s.toDF(), Pipeline.readBands(spark, dir),
+          new ParquetTableIO(dir).completedKey("signatures").get, Some(a),
+          Option.empty[org.apache.spark.sql.DataFrame])
       }
     }
-    val sigs = parts.map(_._1).reduce(_ unionByName _)
-    val bands =
-      if (parts.forall(_._2.isDefined)) Some(parts.map(_._2.get).reduce(_ unionByName _))
-      else None
+    val ordered = parts.reverse // root-first
+    val bandsAvailable = parts.forall(_._2.isDefined)
+    var sigsAcc = ordered.head._1
+    var bandsAcc = if (bandsAvailable) ordered.head._2 else None
+    ordered.tail.foreach { p =>
+      p._5.foreach { t =>
+        sigsAcc = sigsAcc.join(t, Seq("doc_id"), "left_anti")
+        bandsAcc = bandsAcc.map(_.join(t, Seq("doc_id"), "left_anti"))
+      }
+      sigsAcc = sigsAcc.unionByName(p._1)
+      bandsAcc = bandsAcc.map(_.unionByName(p._2.get))
+    }
     // head's assignments come from the validated per-part reader —
     // always full in every generation
-    (sigs, parts.head._4.get, bands, parts.head._3)
+    (sigsAcc.as[graft.model.DocSig](sigEnc), parts.head._4.get, bandsAcc,
+      parts.head._3)
   }
 
   /** Delete generations no longer needed. Kept: the current generation's
@@ -525,9 +596,19 @@ object StreamIngest {
     else genNum(gen) - 1
   }
 
-  private def writeMaxBatch(genDir: String, value: Long): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(genDir, "MAXBATCH"), value.toString)
+  /** Atomic (tmp + rename) so a torn write can never leave a committed
+    * generation with an unparsable mark that kills every future replay
+    * check.
+    */
+  private def writeMaxBatch(genDir: String, value: Long): Unit = {
+    val dir = java.nio.file.Paths.get(genDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve("MAXBATCH.tmp")
+    java.nio.file.Files.writeString(tmp, value.toString)
+    java.nio.file.Files.move(tmp, dir.resolve("MAXBATCH"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def currentGen(stateDir: String): String = {
     val p = java.nio.file.Paths.get(stateDir, "CURRENT")

@@ -157,15 +157,16 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000001"))
 
     StreamIngest.retractBatch(s, ds(seedDocs ++ b1),
-      removed.toSeq.toDF("doc_id"), stateDir, cfg)
+      removed.toSeq.toDF("doc_id"), stateDir, cfg, compactEvery = 2)
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
-    // the retraction generation is FULL: no PARENT, standard readers accept it
+    // at the compaction threshold the retraction generation is FULL:
+    // no PARENT, standard readers accept it
     val gen2 = s"$stateDir/gen-00000002"
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gen2, "PARENT")))
     Pipeline.readState(s, gen2) // must not throw
     // re-running the executed takedown commits nothing (ids now unknown)
     StreamIngest.retractBatch(s, ds(seedDocs ++ b1),
-      removed.toSeq.toDF("doc_id"), stateDir, cfg)
+      removed.toSeq.toDF("doc_id"), stateDir, cfg, compactEvery = 2)
     assert(StreamIngest.currentDir(stateDir).endsWith("gen-00000002"))
 
     // THE live-stream safety property: the stream's next micro-batch id
@@ -244,15 +245,45 @@ class StreamIngestSpec extends AnyFunSuite with SparkTestBase {
       assert(diffs.isEmpty, s"${diffs.size} docs differ, e.g. ${diffs.take(5)}")
     }
 
+    // in-batch per-id conflicts: insert-then-update keeps only the final
+    // version, create-then-delete resolves to absent, delete-then-reinsert
+    // of a LIVE doc resolves to the new content — all by `seq`, not row order
+    def textDoc(id: String, t: String) =
+      graft.model.Doc(id, Seq(graft.model.Span.text(t, 0)))
+    val spare = all.filter(_.doc_id.endsWith("-0")).drop(40)
+    val c1Wrong = textDoc(spare(0).doc_id, "conflict one draft version zero words")
+    val c1Right = textDoc(spare(0).doc_id, "conflict one final version one words kept")
+    val c2 = textDoc(spare(1).doc_id, "conflict two created and deleted in one batch")
+    val c3Base = seedDocs(30)
+    val c3Edited = textDoc(c3Base.doc_id, "conflict three deleted then reinserted anew")
+    assert(!deleted(c3Base.doc_id) && c3Base.doc_id != edited.doc_id)
+
     val batch1 =
       inserts.map(d => StreamIngest.CdcRecord(d, delete = false)) ++
         deleted.toSeq.map(id =>
-          StreamIngest.CdcRecord(graft.model.Doc(id, Seq.empty), delete = true)) :+
-        StreamIngest.CdcRecord(edited, delete = false)
+          StreamIngest.CdcRecord(graft.model.Doc(id, Seq.empty), delete = true)) ++
+        Seq(
+          StreamIngest.CdcRecord(edited, delete = false),
+          StreamIngest.CdcRecord(c1Wrong, delete = false, seq = 0L),
+          StreamIngest.CdcRecord(c1Right, delete = false, seq = 1L),
+          StreamIngest.CdcRecord(c2, delete = false, seq = 0L),
+          StreamIngest.CdcRecord(graft.model.Doc(c2.doc_id, Seq.empty), delete = true, seq = 1L),
+          StreamIngest.CdcRecord(graft.model.Doc(c3Base.doc_id, Seq.empty), delete = true, seq = 0L),
+          StreamIngest.CdcRecord(c3Edited, delete = false, seq = 1L))
     cdc(batch1, 0L)
     corpus = seedDocs.filterNot(d =>
-      deleted(d.doc_id) || d.doc_id == edited.doc_id) ++ inserts :+ edited
+      deleted(d.doc_id) || d.doc_id == edited.doc_id ||
+        d.doc_id == c3Base.doc_id) ++
+      inserts ++ Seq(edited, c1Right, c3Edited)
     assertEq(fullMap(corpus), currentMap())
+    // the retraction landed as a DELTA generation (tombstones + PARENT;
+    // the full-generation reader refuses it) — an update-heavy CDC batch
+    // writes O(touched), not a corpus rewrite
+    val gen1 = s"$stateDir/gen-00000001"
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(gen1, "PARENT")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(gen1, "tombstones_delta")))
+    intercept[IllegalStateException] { Pipeline.readState(s, gen1) }
     // the replace really landed: state must carry exactly one row for the
     // edited id, clustered per its NEW content (covered by the equality)
     cdc(batch1, 0L) // replayed batch is a no-op
