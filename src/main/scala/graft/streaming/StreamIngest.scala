@@ -30,8 +30,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   *     dir fails loudly instead of returning a partial corpus), the FULL
   *     `assignments` table (tiny relative to signatures — two columns per
   *     doc, no text payloads), and a `PARENT` file naming the previous
-  *     generation. Corpus state at a delta generation = the union of
-  *     delta stages down the parent chain plus the root's full stages.
+  *     generation. A RETRACTION delta additionally carries a
+  *     `tombstones_delta` stage: the ids whose ancestor rows are dead.
+  *     Corpus state at a delta generation = fold the chain ROOT-FIRST,
+  *     subtracting each delta's tombstones from the accumulated ancestors
+  *     before unioning its own rows (so a tombstoned id re-inserted by a
+  *     later fold survives).
   *   - `CURRENT` — the committed generation's name, flipped by an atomic
   *     rename AFTER the new generation is fully written. A crash mid-fold
   *     leaves `CURRENT` on the previous intact generation.
