@@ -203,27 +203,11 @@ object StreamIngest {
       commitFullGeneration(spark, nextDir, sigs.unionByName(inc.batchSigs),
         newAssign, genKey, oldBands.unionByName(batchBands))
     } else {
-      // delta generation: O(batch) signature/band rows under DISTINCT
-      // stage names (Pipeline.readState on this dir fails loudly instead
-      // of returning a partial corpus), plus the full assignment table.
-      // Symmetric stale-stage guard to the compaction branch's PARENT
-      // delete: a crashed earlier attempt under a different compactEvery
-      // could have left full 'signatures'/'bands' stages here — whose keys
-      // would PAIR with the fresh assignments key and make readState
-      // succeed on a partial dir, the exact failure this layout prevents
-      // (plus a crashed RETRACTION-delta attempt's tombstones, whose
-      // unpaired key would fail the chain reader's validation)
-      import org.apache.spark.sql.functions.{col, struct}
-      Seq("signatures", "bands", "tombstones_delta").foreach(st =>
-        deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
-      val io = new ParquetTableIO(nextDir)
-      io.write("signatures_delta",
-        inc.batchSigs.toDF().select(struct(col("*")).as("sig")), genKey)
-      io.write("bands_delta", batchBands, Hashing.hash64(genKey, 7L))
-      io.write("assignments", newAssign.select("doc_id", "cluster_id"),
-        Hashing.hash64(genKey, 5L))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(nextDir, "PARENT"), cur)
+      // delta generation: O(batch) signature/band rows (an EMPTY
+      // tombstone set — folds only add) under DISTINCT stage names, plus
+      // the full assignment table and the PARENT link
+      commitDeltaGeneration(spark, nextDir, inc.batchSigs, batchBands,
+        newAssign.select("doc_id").limit(0), newAssign, genKey, cur)
     }
     writeMaxBatch(nextDir, batchId)
     inc.release()
@@ -304,24 +288,44 @@ object StreamIngest {
         res.assignments, genKey, nextBands)
     } else {
       // retraction delta: O(touched) rows + the tombstoned drop ids
-      import org.apache.spark.sql.functions.{col, struct}
-      Seq("signatures", "bands").foreach(st =>
-        deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
-      val io = new ParquetTableIO(nextDir)
-      io.write("signatures_delta",
-        res.memberSigs.toDF().select(struct(col("*")).as("sig")), genKey)
-      io.write("bands_delta", memberBands, Hashing.hash64(genKey, 7L))
-      io.write("tombstones_delta", res.dropIds.select("doc_id"),
-        Hashing.hash64(genKey, 9L))
-      io.write("assignments", res.assignments.select("doc_id", "cluster_id"),
-        Hashing.hash64(genKey, 5L))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(nextDir, "PARENT"), cur)
+      commitDeltaGeneration(spark, nextDir, res.memberSigs, memberBands,
+        res.dropIds, res.assignments, genKey, cur)
     }
     writeMaxBatch(nextDir, maxBatch(stateDir, cur)) // carried, not consumed
     res.release()
     releaseInputs()
     commitPointer(stateDir, next, Some(cur))
+  }
+
+  /** Write + scrub a DELTA generation dir — ONE implementation for fold
+    * and retraction deltas, so stage names, key derivations, the PARENT
+    * link, and the stale-full-stage scrub cannot drift apart. Every delta
+    * writes a `tombstones_delta` stage (folds write an EMPTY one): the
+    * chain reader REQUIRES the stage on every delta, so a retraction
+    * delta that lost its tombstones reads as corruption, never as a
+    * harmless fold that silently resurrects retracted docs.
+    */
+  private def commitDeltaGeneration(spark: SparkSession, nextDir: String,
+      sigs: Dataset[graft.model.DocSig], bands: org.apache.spark.sql.DataFrame,
+      tombstones: org.apache.spark.sql.DataFrame,
+      assign: org.apache.spark.sql.DataFrame, genKey: Long,
+      parent: String): Unit = {
+    import org.apache.spark.sql.functions.{col, struct}
+    // a crashed earlier FULL-generation attempt could have left
+    // 'signatures'/'bands' stages whose keys would PAIR with the fresh
+    // assignments key and make readState succeed on a partial dir
+    Seq("signatures", "bands").foreach(st =>
+      deleteRecursively(java.nio.file.Paths.get(nextDir, st)))
+    val io = new ParquetTableIO(nextDir)
+    io.write("signatures_delta",
+      sigs.toDF().select(struct(col("*")).as("sig")), genKey)
+    io.write("bands_delta", bands, Hashing.hash64(genKey, 7L))
+    io.write("tombstones_delta", tombstones.select("doc_id"),
+      Hashing.hash64(genKey, 9L))
+    io.write("assignments", assign.select("doc_id", "cluster_id"),
+      Hashing.hash64(genKey, 5L))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(nextDir, "PARENT"), parent)
   }
 
   /** Write + scrub a FULL generation dir (compactions and retractions):
@@ -385,12 +389,19 @@ object StreamIngest {
       return
     }
     // last-wins per id; persisted — the reduced batch feeds four
-    // consumers (delete/upsert splits, the liveness join, the fold)
+    // consumers (delete/upsert splits, the liveness join, the fold).
+    // The order is TOTAL and independent of Spark's reduction order:
+    // source seq, then delete-over-upsert, then a content digest — so
+    // equal-seq conflicts (a producer that never sets seq) resolve the
+    // same way on every replay, not by partition order
+    def rank(r: CdcRecord): (Long, Int, Long) = (r.seq,
+      if (r.delete) 1 else 0,
+      Hashing.hash64(r.doc.spans.map(sp =>
+        s"${sp.kind}|${sp.text}|${sp.media_ref}|${sp.offset}").mkString("\u0000")))
+    val ord = Ordering[(Long, Int, Long)]
     val latest = batch.groupByKey(_.doc.doc_id)
       .reduceGroups((a: CdcRecord, b: CdcRecord) =>
-        if (a.seq > b.seq) a
-        else if (b.seq > a.seq) b
-        else if (a.delete) a else b)
+        if (ord.compare(rank(a), rank(b)) >= 0) a else b)
       .map(_._2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     latest.count()
@@ -402,15 +413,16 @@ object StreamIngest {
     val toRetract = deletes
       .union(liveIds.join(upserts.toDF().select("doc_id"), Seq("doc_id")))
       .distinct()
-    retractBatch(spark, corpusDocs(spark), toRetract, stateDir, cfg, resolver,
-      compactEvery)
-    foldBatch(spark, upserts, batchId, stateDir, cfg, resolver, compactEvery)
-    // foldBatch stamps the mark when it commits; for a batch with no
-    // upserts to fold, advance it on the committed generation afterwards
-    // (writeMaxBatch is atomic, so patching committed state is safe)
-    if (maxBatch(stateDir, currentGen(stateDir)) < batchId)
-      writeMaxBatch(currentDir(stateDir), batchId)
-    latest.unpersist()
+    try {
+      retractBatch(spark, corpusDocs(spark), toRetract, stateDir, cfg, resolver,
+        compactEvery)
+      foldBatch(spark, upserts, batchId, stateDir, cfg, resolver, compactEvery)
+      // foldBatch stamps the mark when it commits; for a batch with no
+      // upserts to fold, advance it on the committed generation afterwards
+      // (writeMaxBatch is atomic, so patching committed state is safe)
+      if (maxBatch(stateDir, currentGen(stateDir)) < batchId)
+        writeMaxBatch(currentDir(stateDir), batchId)
+    } finally latest.unpersist()
     ()
   }
 
@@ -489,10 +501,10 @@ object StreamIngest {
             s"delta generation $dir is not a consistent write (mixed stage keys)")
         val tombstones = io.completedKey("tombstones_delta") match {
           case Some(tk) if tk == Hashing.hash64(k, 9L) =>
-            Some(io.read(spark, "tombstones_delta"))
-          case Some(_) => throw new IllegalStateException(
-            s"delta generation $dir has a tombstones_delta stage from a different write attempt")
-          case None => None
+            io.read(spark, "tombstones_delta")
+          case other => throw new IllegalStateException(
+            s"delta generation $dir lacks a consistent tombstones_delta stage (key=$other) — " +
+              "a retraction delta that lost its tombstones must never be read as a fold")
         }
         // only the HEAD's assignments are consumed — skip the parquet
         // open (driver-side listing + footer reads of a corpus-sized
@@ -501,7 +513,7 @@ object StreamIngest {
           if (idx == 0) Some(io.read(spark, "assignments").select("doc_id", "cluster_id"))
           else None
         (io.read(spark, "signatures_delta").select("sig.*"),
-          Some(io.read(spark, "bands_delta")), k, assign, tombstones)
+          Some(io.read(spark, "bands_delta")), k, assign, Some(tombstones))
       } else {
         val (s, a) = Pipeline.readState(spark, dir)
         (s.toDF(), Pipeline.readBands(spark, dir),
