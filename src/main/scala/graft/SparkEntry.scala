@@ -680,6 +680,41 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // Blocking-quality estimator: pairs completeness (recall) + reduction
+    // ratio — the standard blocking evaluation pair — on a deterministic
+    // HALF sample: brute-force ground truth (lev < 15 on 60-prefixes)
+    // versus the banded candidate set restricted to the sample. The
+    // O(sample²) scorer is the deliberate, bounded cost of ESTIMATING
+    // recall; the production path never pays it, and at 100 TB the sample
+    // fraction shrinks with the corpus.
+    "q_blocking_recall" -> ((s, dir) => {
+      val sample = docsTable(s, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      val pairs = sample.select(col("doc_id").as("a"), col("t").as("ta"))
+        .crossJoin(sample.select(col("doc_id").as("b"), col("t").as("tb")))
+        .filter(col("a") < col("b"))
+      // pinned: the lev pass over the sample² pairs is the expensive leg
+      // and feeds two consumers (count + the caught semi-join)
+      val truth = pairs.filter(levenshtein(col("ta"), col("tb")) < 15)
+        .select("a", "b").localCheckpoint(true)
+      val sampleIds = sample.select("doc_id")
+      val cands = sBandCandidates(s, dir)
+        .join(sampleIds.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+        .join(sampleIds.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val caught = truth.join(cands, Seq("a", "b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .select(col("n_true"), col("n_cand"), col("n_caught"), col("n_pairs"),
+          when(col("n_true") > 0, round(col("n_caught") / col("n_true"), 4))
+            .otherwise(lit(0.0)).as("recall"),
+          when(col("n_pairs") > 0,
+            round(lit(1.0) - col("n_cand") / col("n_pairs"), 6))
+            .otherwise(lit(0.0)).as("reduction_ratio"))
+    }),
+
     // PII scrub accounting (training-data hygiene): plant deterministic
     // contact PII (an email + an 8-digit account id derived from doc_id)
     // next to real text, then detect and redact with the same regex
@@ -1391,6 +1426,26 @@ object SparkEntry {
          |FROM cand c LEFT JOIN dots ON dots.da = c.a AND dots.db = c.b
          |JOIN nrm na ON na.doc_id = c.a JOIN nrm nb ON nb.doc_id = c.b
          |ORDER BY a, b""".stripMargin,
+
+    "q_blocking_recall" ->
+      s"""WITH $sBandCte,
+         |s AS (SELECT doc_id, substr(text,1,60) AS t FROM documents WHERE doc_id % 2 = 0),
+         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, a.t AS ta, b.t AS tb
+         |          FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         |truth AS (SELECT a, b FROM pairs WHERE levenshtein(ta, tb) < 15),
+         |cands AS (SELECT l.doc_id AS a, r.doc_id AS b FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |          WHERE $sBandCond AND l.doc_id % 2 = 0 AND r.doc_id % 2 = 0),
+         |caught AS (SELECT a, b FROM truth SEMI JOIN cands USING (a, b))
+         |SELECT (SELECT count(*) FROM truth) AS n_true,
+         |       (SELECT count(*) FROM cands) AS n_cand,
+         |       (SELECT count(*) FROM caught) AS n_caught,
+         |       (SELECT count(*) FROM pairs) AS n_pairs,
+         |       CASE WHEN (SELECT count(*) FROM truth) > 0
+         |            THEN round((SELECT count(*) FROM caught) / (SELECT count(*) FROM truth), 4)
+         |            ELSE 0.0 END AS recall,
+         |       CASE WHEN (SELECT count(*) FROM pairs) > 0
+         |            THEN round(1.0 - (SELECT count(*) FROM cands) / (SELECT count(*) FROM pairs), 6)
+         |            ELSE 0.0 END AS reduction_ratio""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH c AS (

@@ -213,6 +213,42 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(want.size < weights.size)
   }
 
+  test("q_blocking_recall: all four counts re-derived by brute force over the half sample") {
+    def editDist(a: String, b: String): Int = {
+      var prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter("doc_id % 2 = 0").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val keys = docs.map { case (id, t) => id -> jvmBandKeys(t) }.toMap
+    var (nTrue, nCand, nCaught, nPairs) = (0L, 0L, 0L, 0L)
+    for (i <- docs.indices; j <- i + 1 until docs.length) {
+      val ((ia, ta), (ib, tb)) = (docs(i), docs(j))
+      nPairs += 1
+      val isTrue = editDist(ta.take(60), tb.take(60)) < 15
+      val isCand = keys(ia).intersect(keys(ib)).nonEmpty
+      if (isTrue) nTrue += 1
+      if (isCand) nCand += 1
+      if (isTrue && isCand) nCaught += 1
+    }
+    val r = SparkEntry.queries("q_blocking_recall")(spark, sfDir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nTrue, nCand, nCaught, nPairs)))
+    assert(nTrue > 0, "sample has no true pairs — recall would be vacuous")
+    assert(r.getDouble(4) ==
+      java.math.BigDecimal.valueOf(nCaught.toDouble / nTrue)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue)
+  }
+
   test("q_fellegi_sunter: every score equals the closed-form log2 weight sum for its pattern") {
     import SparkEntry.Fs
     def score(l: Boolean, n: Boolean, j: Boolean, v: Boolean): Double = {
