@@ -680,6 +680,28 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // Leakage-safe train/val/test split: assignment at CLUSTER granularity
+    // — near-duplicates share a cluster, so no near-dup pair can straddle
+    // splits, the contamination a per-doc split (q_sample_split) cannot
+    // rule out. Each cluster's id hashes to its stratum; members inherit.
+    // Costs the CC relation (already bucket-bounded) + one id-keyed left
+    // join + one map-side-combined aggregate at any corpus size.
+    "q_cluster_split" -> ((s, dir) => {
+      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      val full = docsTable(s, dir).select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val bucket = conv(substring(
+        md5(concat(lit("csplit:"), col("cluster_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100
+      full.withColumn("split",
+          when(bucket < 5, "test").when(bucket < 10, "val").otherwise("train"))
+        .groupBy("split")
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    }),
+
     // Blocking-quality estimator: pairs completeness (recall) + reduction
     // ratio — the standard blocking evaluation pair — on a deterministic
     // HALF sample: brute-force ground truth (lev < 15 on 60-prefixes)
@@ -1426,6 +1448,31 @@ object SparkEntry {
          |FROM cand c LEFT JOIN dots ON dots.da = c.a AND dots.db = c.b
          |JOIN nrm na ON na.doc_id = c.a JOIN nrm nb ON nb.doc_id = c.b
          |ORDER BY a, b""".stripMargin,
+
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM reach GROUP BY u),
+         |fa AS (
+         |  SELECT documents.doc_id, coalesce(cc.cluster_id, documents.doc_id) AS cluster_id
+         |  FROM documents LEFT JOIN cc ON documents.doc_id = cc.doc_id),
+         |sp AS (
+         |  SELECT doc_id, cluster_id,
+         |    CASE WHEN CAST(('0x' || substr(md5('csplit:' || CAST(cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 5 THEN 'test'
+         |         WHEN CAST(('0x' || substr(md5('csplit:' || CAST(cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 10 THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM fa)
+         |SELECT split, count(DISTINCT cluster_id) AS n_clusters, count(*) AS n_docs
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "q_blocking_recall" ->
       s"""WITH $sBandCte,

@@ -213,6 +213,60 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(want.size < weights.size)
   }
 
+  test("q_cluster_split: counts re-derived; a doc-level split WOULD leak where this cannot") {
+    def editDist2(a: String, b: String): Int = {
+      var prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    def bucket(prefix: String, id: Long): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s"$prefix$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16) % 100
+    }
+    def splitOf(b: Long): String = if (b < 5) "test" else if (b < 10) "val" else "train"
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val keys = docs.map { case (id, t) => id -> jvmBandKeys(t) }.toMap
+    val edges = for {
+      i <- docs.indices
+      j <- i + 1 until docs.length
+      if keys(docs(i)._1).intersect(keys(docs(j)._1)).nonEmpty
+      if editDist2(docs(i)._2.take(60), docs(j)._2.take(60)) < 15
+    } yield (docs(i)._1, docs(j)._1)
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val cluster = docs.map(d => d._1 -> find(d._1)).toMap
+    val want = docs.groupBy(d => splitOf(bucket("csplit:", cluster(d._1))))
+      .map { case (sp, ds) =>
+        (sp, ds.map(d => cluster(d._1)).distinct.length.toLong, ds.length.toLong)
+      }.toSet
+    val got = SparkEntry.queries("q_cluster_split")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got=$got want=$want")
+
+    // the guarantee is non-vacuous: the per-DOC split rule would put the
+    // two ends of at least one near-dup edge in different strata, the
+    // leakage cluster-granular assignment rules out by construction
+    assert(edges.nonEmpty)
+    val docLevelLeak = edges.exists { case (a, b) =>
+      splitOf(bucket("split:", a)) != splitOf(bucket("split:", b))
+    }
+    assert(docLevelLeak, "every edge lands in one doc-level stratum — leakage claim vacuous here")
+  }
+
   test("q_blocking_recall: all four counts re-derived by brute force over the half sample") {
     def editDist(a: String, b: String): Int = {
       var prev = Array.tabulate(b.length + 1)(identity)
