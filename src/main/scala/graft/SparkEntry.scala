@@ -513,6 +513,33 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // clerical-review labeling queue (the human-in-the-loop front of an ER
+    // calibration pass, cf. Fellegi-Sunter's clerical band): a deterministic
+    // STRATIFIED sample of candidate pairs — ≤ 5 per 5-wide edit-distance
+    // bucket across the whole score distribution — so a reviewer sees
+    // confident matches, borderline pairs, and band-collision noise in one
+    // bounded queue. The sample order is rank-by-md5(a:b) (a fixed
+    // pseudo-random order both engines compute identically), so the queue is
+    // stable across runs and engines; cost is one pass over the already-
+    // O(N·bucket) candidate relation + a per-bucket top-k window — the
+    // output is ≤ 5·buckets rows at any corpus size.
+    "q_label_queue" -> ((s, dir) => {
+      val t = docsTable(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      val scored = sBandCandidates(s, dir)
+        .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+        .withColumn("d", levenshtein(col("ta"), col("tb")))
+        .withColumn("bucket", floor(col("d") / 5.0).cast("int"))
+        .withColumn("tag", md5(concat_ws(":", col("a"), col("b"))))
+      val w = Window.partitionBy("bucket").orderBy(col("tag"), col("a"), col("b"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("bucket"), col("rn").cast("long").as("rn"),
+          col("a"), col("b"), col("d").cast("long").as("d"))
+        .orderBy("bucket", "rn")
+    }),
+
     // sorted-neighborhood blocking (Hernández/Stolfo SNM — the classic ER
     // alternative to hash/LSH blocking): sort the corpus by a key, compare
     // each record only to its w = 3 successors. The global rank is computed
@@ -1076,6 +1103,58 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // substring-level dedup extents (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better", arXiv:2107.06499 —
+    // the span-removal counterpart of doc-level dedup): for every doc,
+    // the merged word-offset intervals covered by an 8-word gram that also
+    // appears VERBATIM in at least one other document. Grams are 60-bit
+    // md5 keys from one UDF pass per doc (same kernel shape as
+    // q_decontam); shared grams come from a map-side-combined groupBy;
+    // interval union is classic gaps-and-islands (a window per doc —
+    // bounded by doc length, never corpus-sized). At 100 TB every stage is
+    // a narrow hash shuffle on the gram key or a per-doc window; nothing
+    // quadratic. Output per affected doc: span count, covered words, and
+    // the duplicated fraction a span-removal pass would excise.
+    "q_dup_spans" -> ((s, dir) => {
+      val gram8 = udf { (w: Seq[String]) =>
+        if (w == null || w.length < 8) Array.empty[Long]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          Array.tabulate(w.length - 7) { i =>
+            md.reset()
+            val d = md.digest(w.slice(i, i + 8).mkString(" ").getBytes("UTF-8"))
+            ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+              ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+              ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+          }
+        }
+      }
+      val grams = docsTable(s, dir)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"), size(col("w")).as("n_words"),
+          posexplode(gram8(col("w"))))
+        .select(col("doc_id"), col("n_words"), (col("pos") + 1).as("p"), col("col").as("g"))
+      val shared = grams.groupBy("g")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).select("g")
+      val hits = grams.join(shared, Seq("g"))
+        .select("doc_id", "n_words", "p").distinct()
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      val spans = hits
+        .withColumn("f", when(lag("p", 1).over(byDoc).isNull
+          || col("p") - lag("p", 1).over(byDoc) > 8, 1).otherwise(0))
+        .withColumn("isl", sum("f").over(byDoc))
+        .groupBy("doc_id", "n_words", "isl")
+        .agg(min("p").as("sp"), (max("p") + 7).as("ep"))
+      spans.groupBy("doc_id", "n_words")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("ep") - col("sp") + 1).as("n_dup_words"))
+        .withColumn("dup_frac", round(col("n_dup_words") / col("n_words"), 6))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("n_dup_spans"), col("n_dup_words"), col("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic stratified train/val/test split — the data-mixing
     // primitive: bucket = top-60-bits(md5("split:" ++ doc_id)) mod 100, so
     // membership is a pure function of the id (reproducible across runs,
@@ -1214,6 +1293,37 @@ object SparkEntry {
         .groupBy((col("la") === col("lb")).as("same_label"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("same_label")
+    }),
+
+    // SemDeDup-style semantic prune (Abbas et al. 2023, arXiv:2303.09540):
+    // drop embedding-level near-duplicates keeping one representative per
+    // semantic group. Candidacy is the SAME sign-LSH band contract as
+    // q_embed_near_dup (shares ≥ 1 of 8 8-bit bands — defined identically
+    // in the oracle, no probabilistic gap); pairs above the 0.35 cosine
+    // cutoff become edges; transitive closure groups them; the keeper is the
+    // minimum vec_id (deterministic survivorship). Output = the prune list
+    // (dropped vec → its keeper). The band join is O(N·bucket), vectors
+    // rejoin by id after the distinct, and CC runs on the edge relation
+    // only (near-dup pairs, ≪ corpus) — the 100-TB path end to end.
+    "q_semdedup" -> ((s, dir) => {
+      val e = embTable(s, dir).select(col("vec_id"), col("embedding"),
+        normCol(col("embedding")).as("nrm"), signHash(col("embedding")).as("h"))
+      val bands = e.select(col("vec_id"),
+        explode(array((0 until 8).map(i =>
+          concat_ws(":", lit(i), shiftright(col("h"), i * 8).bitwiseAND(lit(0xffL)))): _*)).as("bucket"))
+      val cand = bands.select(col("vec_id").as("a"), col("bucket"))
+        .join(bands.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val ea = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val eb = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val edges = cand.join(ea, "a").join(eb, "b")
+        .filter(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")) > 0.35)
+        .select(col("a").as("src"), col("b").as("dst"))
+      Components.connectedComponents(edges)(s)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("vec_id"), col("cluster_id").as("kept_by"))
+        .orderBy("vec_id")
     }),
 
     // LSH-bucketed approximate NN (scale path; no SQL analog — rows-only)
@@ -1378,6 +1488,54 @@ object SparkEntry {
          |SELECT l.doc_id AS a, r.doc_id AS b, levenshtein(l.t, r.t) AS d
          |FROM d l JOIN d r ON l.doc_id < r.doc_id
          |WHERE $sBandCond AND levenshtein(l.t, r.t) < 15 ORDER BY a, b""".stripMargin,
+
+    "q_label_queue" ->
+      s"""WITH $sBandCte,
+         |p AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, levenshtein(l.t, r.t) AS d
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond),
+         |rk AS (
+         |  SELECT CAST(floor(d / 5.0) AS INT) AS bucket, a, b, d,
+         |         md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS tag
+         |  FROM p),
+         |q AS (
+         |  SELECT bucket,
+         |         row_number() OVER (PARTITION BY bucket ORDER BY tag, a, b) AS rn,
+         |         a, b, d
+         |  FROM rk)
+         |SELECT bucket, rn, a, b, CAST(d AS BIGINT) AS d
+         |FROM q WHERE rn <= 5 ORDER BY bucket, rn""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, len(w) AS n_words, w,
+        |         unnest(range(1, greatest(len(w)-7, 0)+1)) AS p FROM toks),
+        |grams AS (
+        |  SELECT doc_id, n_words, p,
+        |         CAST(('0x' || substr(md5(array_to_string(w[p:p+7], ' ')),1,15)) AS BIGINT) AS g
+        |  FROM idx),
+        |shared AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+        |hits AS (SELECT DISTINCT doc_id, n_words, p FROM grams JOIN shared USING (g)),
+        |fl AS (
+        |  SELECT doc_id, n_words, p,
+        |         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+        |                OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+        |              THEN 1 ELSE 0 END AS f
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, n_words, p,
+        |         sum(f) OVER (PARTITION BY doc_id ORDER BY p) AS i FROM fl),
+        |spans AS (
+        |  SELECT doc_id, n_words, i, min(p) AS sp, max(p)+7 AS ep
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |       count(*) AS n_dup_spans,
+        |       CAST(sum(ep-sp+1) AS BIGINT) AS n_dup_words,
+        |       round(CAST(sum(ep-sp+1) AS DOUBLE) / n_words, 6) AS dup_frac
+        |FROM spans GROUP BY doc_id, n_words ORDER BY doc_id""".stripMargin,
 
     "q_jw_pairs" ->
       s"""WITH $sBandCte
@@ -1853,6 +2011,37 @@ object SparkEntry {
         |      (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
         |       sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) > 0.35
         |GROUP BY 1 ORDER BY same_label""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding,
+        |         list_sum(list_transform(list_zip(embedding[1:63], range(0,63)),
+        |           x -> CASE WHEN x[1] > 0 THEN (CAST(1 AS BIGINT) << x[2]) ELSE 0 END))::BIGINT AS h
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE (((a.h >> 0) & 255) = ((b.h >> 0) & 255) OR
+        |         ((a.h >> 8) & 255) = ((b.h >> 8) & 255) OR
+        |         ((a.h >> 16) & 255) = ((b.h >> 16) & 255) OR
+        |         ((a.h >> 24) & 255) = ((b.h >> 24) & 255) OR
+        |         ((a.h >> 32) & 255) = ((b.h >> 32) & 255) OR
+        |         ((a.h >> 40) & 255) = ((b.h >> 40) & 255) OR
+        |         ((a.h >> 48) & 255) = ((b.h >> 48) & 255) OR
+        |         ((a.h >> 56) & 255) = ((b.h >> 56) & 255))
+        |    AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |        (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |         sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) > 0.35),
+        |sym AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |cc AS (SELECT u AS vec_id, least(u, min(v)) AS kept_by
+        |       FROM reach GROUP BY u)
+        |SELECT vec_id, kept_by FROM cc WHERE vec_id <> kept_by
+        |ORDER BY vec_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
