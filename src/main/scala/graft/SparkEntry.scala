@@ -385,9 +385,65 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // asymmetric containment near-dup (the directed complement of Jaccard):
+    // quote/subset/boilerplate-expansion detection — doc A "contained in"
+    // doc B when |toks(A) ∩ toks(B)| / |toks(A)| ≥ 0.7, which symmetric
+    // Jaccard misses whenever |B| ≫ |A| (a page quoting a paragraph).
+    // Candidacy is the shared banded-MinHash contract (O(N·bucket)); the
+    // token sets are already distinct so intersect size = set intersection
+    // in both engines. Emits both directions so survivorship can keep the
+    // superset doc.
+    "q_containment" -> ((s, dir) => {
+      val d = docsTable(s, dir).select(col("doc_id"),
+        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
+      sBandCandidates(s, dir)
+        .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
+        .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
+        .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
+        .withColumn("cont_a_in_b", round(col("inter").cast("double") / size(col("tA")), 6))
+        .withColumn("cont_b_in_a", round(col("inter").cast("double") / size(col("tB")), 6))
+        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.7)
+        .select("a", "b", "cont_a_in_b", "cont_b_in_a")
+        .orderBy("a", "b")
+    }),
+
     // transitive clustering over the lev-edges (A1 → large-star/small-star CC)
     "q_cc_clusters" -> ((s, dir) =>
       Components.connectedComponents(levEdges(s, dir))(s).orderBy("doc_id")),
+
+    // threshold-sensitivity sweep — the ER tuning report: score the banded
+    // candidates ONCE, cut edges at a loose (< 15) and a strict (< 8)
+    // edit-distance threshold, run CC on both edge sets, and report how
+    // each loose cluster shatters under the strict cut (n_parts = distinct
+    // strict components among its members; strict-edgeless members are
+    // their own part). One scoring pass feeds both cuts; CC runs on the
+    // edge relations only (≪ corpus), so the sweep costs one extra
+    // CC-on-edges over the single-threshold pipeline at any scale.
+    "q_threshold_sweep" -> ((s, dir) => {
+      val t = docsTable(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      val scored = sBandCandidates(s, dir)
+        .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+        .withColumn("d", levenshtein(col("ta"), col("tb")))
+        .filter(col("d") < 15)
+        .select(col("a").as("src"), col("b").as("dst"), col("d"))
+        .persist()
+      try {
+        val ccL = Components.connectedComponents(
+          scored.select("src", "dst"))(s)
+        val ccS = Components.connectedComponents(
+          scored.filter(col("d") < 8).select("src", "dst"))(s)
+          .withColumnRenamed("cluster_id", "strict_id")
+        ccL.join(ccS, Seq("doc_id"), "left")
+          .withColumn("strict_id", coalesce(col("strict_id"), col("doc_id")))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            countDistinct("strict_id").as("n_parts"))
+          .filter(col("n_members") > 1)
+          .orderBy("cluster_id")
+      } finally scored.unpersist()
+    }),
 
     // A3 group materialization + the reference's flagship report shape:
     // one row per multi-member cluster, members sorted keeper-first,
@@ -1665,6 +1721,44 @@ object SparkEntry {
          |SELECT source, count(*) AS n_docs, CAST(sum(n_email) AS BIGINT) AS n_emails,
          |       CAST(sum(n_id) AS BIGINT) AS n_ids, CAST(sum(redacted) AS BIGINT) AS chars_redacted
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH $sBandCte
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |       round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / len(l.toks), 6) AS cont_a_in_b,
+         |       round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / len(r.toks), 6) AS cont_b_in_a
+         |FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |WHERE $sBandCond
+         |  AND greatest(round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / len(l.toks), 6),
+         |               round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / len(r.toks), 6)) >= 0.7
+         |ORDER BY a, b""".stripMargin,
+
+    "q_threshold_sweep" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst, levenshtein(l.t, r.t) AS dd
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |symL AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reachL(u, v) AS (
+         |  SELECT u, v FROM symL
+         |  UNION
+         |  SELECT r.u, s.v FROM reachL r JOIN symL s ON r.v = s.u),
+         |ccL AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |        FROM reachL GROUP BY u),
+         |symS AS (SELECT src AS u, dst AS v FROM e WHERE dd < 8
+         |         UNION SELECT dst, src FROM e WHERE dd < 8),
+         |reachS(u, v) AS (
+         |  SELECT u, v FROM symS
+         |  UNION
+         |  SELECT r.u, s.v FROM reachS r JOIN symS s ON r.v = s.u),
+         |ccS AS (SELECT u AS doc_id, least(u, min(v)) AS strict_id
+         |        FROM reachS GROUP BY u)
+         |SELECT l.cluster_id, count(*) AS n_members,
+         |       count(DISTINCT coalesce(s.strict_id, l.doc_id)) AS n_parts
+         |FROM ccL l LEFT JOIN ccS s USING (doc_id)
+         |GROUP BY l.cluster_id HAVING count(*) > 1
+         |ORDER BY cluster_id""".stripMargin,
 
     "q_cc_clusters" ->
       s"""WITH RECURSIVE $sBandCte,
