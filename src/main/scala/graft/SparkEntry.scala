@@ -407,6 +407,79 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // PPJoin-style prefix-filtered EXACT set-similarity self-join (Bayardo,
+    // Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search"; the
+    // exact counterpart of the probabilistic MinHash candidacy). Tokens get
+    // a global total order by ascending document frequency (rarest first,
+    // ties by token); a doc with n distinct tokens joins only on its first
+    // p = n − ⌈t·n⌉ + 1 ordered tokens. For any pair with Jaccard ≥ t the
+    // overlap o ≥ t·n on BOTH sides, so the globally-smallest shared token
+    // must sit inside both prefixes (else one side's prefix would hold p
+    // all-unshared tokens, forcing o ≤ n − p = ⌈t·n⌉ − 1 < o) — candidacy
+    // is LOSSLESS, and the DuckDB oracle is therefore pure brute force: the
+    // driver compare proves the filter drops nothing. Scale shape: df is
+    // one token-keyed map-side-combined groupBy; the per-doc order is a
+    // local sort of the ≤ ~20-token list (never a global window); the
+    // candidate equi-join keys on the RAREST tokens by construction, so
+    // block sizes shrink as vocabulary grows — the opposite failure mode
+    // of the r2 prefix-of-string keys.
+    "q_prefix_join" -> ((s, dir) => {
+      val thr = 0.6
+      val d = docsTable(s, dir).select(col("doc_id"),
+        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
+      val tok = d.select(col("doc_id"), explode(col("toks")).as("token"))
+      val pref = tok
+        .join(tok.groupBy("token").agg(count(lit(1)).as("df")), "token")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
+        .withColumn("plen",
+          (size(col("ord")) - ceil(size(col("ord")) * lit(thr)) + lit(1)).cast("int"))
+        .select(col("doc_id"),
+          explode(slice(transform(col("ord"), _.getField("token")), lit(1), col("plen"))).as("ptok"))
+      pref.select(col("doc_id").as("a"), col("ptok"))
+        .join(pref.select(col("doc_id").as("b"), col("ptok")), Seq("ptok"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
+        .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
+        .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
+        .withColumn("jac", round(col("inter").cast("double") /
+          (size(col("tA")) + size(col("tB")) - col("inter")), 6))
+        .filter(col("jac") >= thr)
+        .select("a", "b", "jac")
+        .orderBy("a", "b")
+    }),
+
+    // MinHash estimator calibration over the banded candidates: per exact-
+    // Jaccard decile, how many candidate pairs land there and how far the
+    // 12-function MinHash estimate (#matching mins / 12) sits from truth
+    // (sum_abs_err / n_pairs = MAE). The mins are recovered from the shared
+    // band keys ("b:m:m:m"), so the estimate audited is EXACTLY the one the
+    // blocking layer uses — the report a tuner reads before moving the
+    // band/row split. Cost: one pass over the banded candidates (O(N·bucket)).
+    "q_minhash_err" -> ((s, dir) => {
+      val d = docsTable(s, dir).select(col("doc_id"),
+        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"),
+        flatten(transform(sBandKeys(col("text")),
+          b => slice(split(b, ":"), 2, 3))).as("mins"))
+      sBandCandidates(s, dir)
+        .join(d.select(col("doc_id").as("a"), col("toks").as("tA"), col("mins").as("mA")), "a")
+        .join(d.select(col("doc_id").as("b"), col("toks").as("tB"), col("mins").as("mB")), "b")
+        .withColumn("k", aggregate(zip_with(col("mA"), col("mB"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+        .withColumn("est", col("k").cast("double") / 12)
+        .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("tA")) + size(col("tB")) - col("inter")))
+        .withColumn("bucket", floor(col("jac") * 10).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(round(col("est"), 6).cast("decimal(28,10)")).cast("double"), 4).as("sum_est"),
+          round(sum(round(col("jac"), 6).cast("decimal(28,10)")).cast("double"), 4).as("sum_jac"),
+          round(sum(round(abs(col("est") - col("jac")), 6).cast("decimal(28,10)")).cast("double"), 4).as("sum_abs_err"))
+        .orderBy("bucket")
+    }),
+
     // transitive clustering over the lev-edges (A1 → large-star/small-star CC)
     "q_cc_clusters" -> ((s, dir) =>
       Components.connectedComponents(levEdges(s, dir))(s).orderBy("doc_id")),
@@ -1732,6 +1805,39 @@ object SparkEntry {
          |  AND greatest(round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / len(l.toks), 6),
          |               round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / len(r.toks), 6)) >= 0.7
          |ORDER BY a, b""".stripMargin,
+
+    // Deliberately NO prefix filter here: the oracle is brute-force
+    // all-pairs Jaccard, so the driver compare proves the Spark-side
+    // prefix filter is lossless (no shared candidacy contract).
+    "q_prefix_join" ->
+      s"""WITH $sBandCte
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |       round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+         |             (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) AS jac
+         |FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |WHERE round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+         |            (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) >= 0.6
+         |ORDER BY a, b""".stripMargin,
+
+    "q_minhash_err" -> {
+      val kSum = (0 until 12)
+        .map(j => s"(CASE WHEN l.m$j = r.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+      val bandCondM = (0 until 4).map { b =>
+        (0 until 3).map(i => s"l.m${3 * b + i} = r.m${3 * b + i}").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""WITH $sBandCte,
+         |p AS (
+         |  SELECT $kSum AS k,
+         |    CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+         |      (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) AS jac
+         |  FROM m l JOIN m r ON l.doc_id < r.doc_id
+         |  WHERE $bandCondM)
+         |SELECT CAST(floor(jac * 10) AS INT) AS bucket, count(*) AS n_pairs,
+         |  round(CAST(sum(CAST(round(CAST(k AS DOUBLE) / 12, 6) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_est,
+         |  round(CAST(sum(CAST(round(jac, 6) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_jac,
+         |  round(CAST(sum(CAST(round(abs(CAST(k AS DOUBLE) / 12 - jac), 6) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_abs_err
+         |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "q_threshold_sweep" ->
       s"""WITH RECURSIVE $sBandCte,
