@@ -126,6 +126,83 @@ object SparkEntry {
 
   private[graft] def sBandKeys(text: Column): Column = sBandUdf(text)
 
+  /** The DISTINCT 8-char character shingles of the first 120 chars — the
+    * exact set family the 12-function MinHash behind [[sBandKeys]] sketches
+    * (same window, same shingle width, pre-hash). Queries that claim to
+    * audit or exactly reproduce the banded candidacy (q_prefix_join,
+    * q_minhash_err) must measure Jaccard on THIS set, not on word unigrams:
+    * the synthetic corpus has a ~126-word vocabulary, so unigram blocks
+    * saturate (measured 34M candidate pairs at sf0.1), while the shingle
+    * vocabulary grows with the corpus and keeps blocks small. Pure
+    * substring HOF — cheap per element, unlike the md5-per-element trap
+    * documented on [[sBandKeys]].
+    */
+  private[graft] def shingleSet(text: Column): Column = {
+    val t = substring(text, 1, 120)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - 7, lit(1))),
+      i => t.substr(i, lit(8))))
+  }
+
+  /** EXACT set-similarity self-join over [[shingleSet]] sets at Jaccard ≥
+    * `thr` — PPJoin (Bayardo, Ma & Srikant, WWW'07; Xiao et al., WWW'08)
+    * with both lossless filters:
+    *
+    *  - PREFIX filter: tokens get a global total order by ascending
+    *    document frequency (rarest first, ties by token); a doc with n
+    *    distinct tokens joins only on its first p = n − ⌈t·n⌉ + 1 ordered
+    *    tokens. For a pair with Jaccard ≥ t the overlap o ≥ t·n on BOTH
+    *    sides, so the globally-smallest shared token must sit inside both
+    *    prefixes (else one side's prefix holds p all-unshared tokens,
+    *    forcing o ≤ n − p = ⌈t·n⌉ − 1 < o).
+    *  - POSITIONAL filter: that smallest shared token w is exactly the
+    *    join match with minimal positions (ia, jb); every shared token
+    *    ranks ≥ w on both sides, so o ≤ min(nA−ia+1, nB−jb+1), while
+    *    jac ≥ t needs o ≥ t·(nA+nB)/(1+t). Pairs failing the bound are
+    *    dropped BEFORE the array_intersect verify (measured at sf0.1:
+    *    2.23M prefix candidates → the handful of true near-dups).
+    *
+    * Both ε=1e-9 slacks err toward KEEPING candidates (longer prefix,
+    * looser bound), so double rounding can never prune an integer
+    * boundary — candidacy stays lossless and the verify step restores
+    * exactness. Scale shape: df is one token-keyed map-side-combined
+    * groupBy; the per-doc order is a local sort of the ~113-shingle list
+    * (never a global window); the equi-join keys on the RAREST shingles
+    * by construction and the shingle vocabulary GROWS with the corpus,
+    * so block sizes shrink as data grows — word unigrams here saturated
+    * at 126 tokens / 34M candidate pairs / 97 s at sf0.1.
+    */
+  private def exactShinglePairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
+    val d = docsTable(s, dir).select(col("doc_id"), shingleSet(col("text")).as("toks"))
+    val tok = d.select(col("doc_id"), explode(col("toks")).as("token"))
+    val pref = tok
+      .join(tok.groupBy("token").agg(count(lit(1)).as("df")), "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
+      .withColumn("n", size(col("ord")))
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * lit(thr) - lit(1e-9)) + lit(1)).cast("int"))
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(transform(col("ord"), _.getField("token")), lit(1), col("plen"))))
+      .withColumnRenamed("col", "ptok")
+      .withColumn("pos", col("pos") + 1)
+    pref.select(col("doc_id").as("a"), col("ptok"), col("pos").as("ia"), col("n").as("na"))
+      .join(pref.select(col("doc_id").as("b"), col("ptok"), col("pos").as("jb"), col("n").as("nb")), Seq("ptok"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(min("ia").as("ia"), min("jb").as("jb"), min("na").as("na"), min("nb").as("nb"))
+      .filter(least(col("na") - col("ia") + 1, col("nb") - col("jb") + 1).cast("double") >=
+        lit(thr / (1.0 + thr)) * (col("na") + col("nb")) - lit(1e-9))
+      .select("a", "b")
+      .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
+      .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
+      .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (size(col("tA")) + size(col("tB")) - col("inter")), 6))
+      .filter(col("jac") >= thr)
+      .select("a", "b", "jac")
+  }
+
   /** ONE pinned band relation per (session, table dir): the exploded
     * (doc_id, band key) rows, localCheckpoint-materialized so every
     * consumer — both sides of a self-join AND every subsequent band query
@@ -166,10 +243,12 @@ object SparkEntry {
     s"""raw AS (
        |  SELECT doc_id, lang, n_chars, substr(text,1,60) AS t,
        |    list_distinct(string_split_regex(trim(substr(text,1,120)), '\\s+')) AS toks,
+       |    list_distinct(list_transform(range(1, greatest(length(substr(text,1,120))-7,1)+1),
+       |      i -> substr(substr(text,1,120), CAST(i AS INT), 8))) AS shs,
        |    list_transform(range(1, greatest(length(substr(text,1,120))-7,1)+1),
        |      i -> CAST(('0x' || substr(md5(substr(substr(text,1,120), CAST(i AS INT), 8)),1,7)) AS BIGINT)) AS H
        |  FROM documents),
-       |m AS (SELECT doc_id, lang, n_chars, t, toks,
+       |m AS (SELECT doc_id, lang, n_chars, t, toks, shs,
        |      $mins
        |      FROM raw),
        |d AS (SELECT doc_id, lang, n_chars, t, toks,
@@ -407,59 +486,29 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
-    // PPJoin-style prefix-filtered EXACT set-similarity self-join (Bayardo,
-    // Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search"; the
-    // exact counterpart of the probabilistic MinHash candidacy). Tokens get
-    // a global total order by ascending document frequency (rarest first,
-    // ties by token); a doc with n distinct tokens joins only on its first
-    // p = n − ⌈t·n⌉ + 1 ordered tokens. For any pair with Jaccard ≥ t the
-    // overlap o ≥ t·n on BOTH sides, so the globally-smallest shared token
-    // must sit inside both prefixes (else one side's prefix would hold p
-    // all-unshared tokens, forcing o ≤ n − p = ⌈t·n⌉ − 1 < o) — candidacy
-    // is LOSSLESS, and the DuckDB oracle is therefore pure brute force: the
-    // driver compare proves the filter drops nothing. Scale shape: df is
-    // one token-keyed map-side-combined groupBy; the per-doc order is a
-    // local sort of the ≤ ~20-token list (never a global window); the
-    // candidate equi-join keys on the RAREST tokens by construction, so
-    // block sizes shrink as vocabulary grows — the opposite failure mode
-    // of the r2 prefix-of-string keys.
-    "q_prefix_join" -> ((s, dir) => {
-      val thr = 0.6
-      val d = docsTable(s, dir).select(col("doc_id"),
-        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
-      val tok = d.select(col("doc_id"), explode(col("toks")).as("token"))
-      val pref = tok
-        .join(tok.groupBy("token").agg(count(lit(1)).as("df")), "token")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
-        .withColumn("plen",
-          (size(col("ord")) - ceil(size(col("ord")) * lit(thr)) + lit(1)).cast("int"))
-        .select(col("doc_id"),
-          explode(slice(transform(col("ord"), _.getField("token")), lit(1), col("plen"))).as("ptok"))
-      pref.select(col("doc_id").as("a"), col("ptok"))
-        .join(pref.select(col("doc_id").as("b"), col("ptok")), Seq("ptok"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-        .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
-        .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
-        .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
-        .withColumn("jac", round(col("inter").cast("double") /
-          (size(col("tA")) + size(col("tB")) - col("inter")), 6))
-        .filter(col("jac") >= thr)
-        .select("a", "b", "jac")
-        .orderBy("a", "b")
-    }),
+    // PPJoin-style prefix-filtered EXACT set-similarity self-join over the
+    // SAME 8-char shingle sets the MinHash bands sketch — the exact
+    // counterpart of the probabilistic candidacy, at the Jaccard ≥ 0.8
+    // regime the banded blocking targets (a 0.8-pair shares ≥ 2 of the 4
+    // bands w.p. ~1). Kernel + lossless prefix/positional-filter proof:
+    // [[exactShinglePairs]]. The DuckDB oracle is deliberately pure brute
+    // force — NO shared candidacy contract — so the driver compare proves
+    // the Spark-side filters drop nothing.
+    "q_prefix_join" -> ((s, dir) =>
+      exactShinglePairs(s, dir, 0.8).orderBy("a", "b")),
 
     // MinHash estimator calibration over the banded candidates: per exact-
     // Jaccard decile, how many candidate pairs land there and how far the
     // 12-function MinHash estimate (#matching mins / 12) sits from truth
-    // (sum_abs_err / n_pairs = MAE). The mins are recovered from the shared
-    // band keys ("b:m:m:m"), so the estimate audited is EXACTLY the one the
-    // blocking layer uses — the report a tuner reads before moving the
-    // band/row split. Cost: one pass over the banded candidates (O(N·bucket)).
+    // (sum_abs_err / n_pairs = MAE). Truth = exact Jaccard of the 8-char
+    // shingle sets the signature actually sketches ([[shingleSet]]), and
+    // the mins are recovered from the shared band keys ("b:m:m:m") — so
+    // both sides of the audit are EXACTLY what the blocking layer uses;
+    // this is the report a tuner reads before moving the band/row split.
+    // Cost: one pass over the banded candidates (O(N·bucket)).
     "q_minhash_err" -> ((s, dir) => {
       val d = docsTable(s, dir).select(col("doc_id"),
-        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"),
+        shingleSet(col("text")).as("toks"),
         flatten(transform(sBandKeys(col("text")),
           b => slice(split(b, ":"), 2, 3))).as("mins"))
       sBandCandidates(s, dir)
@@ -891,6 +940,39 @@ object SparkEntry {
           when(col("n_pairs") > 0,
             round(lit(1.0) - col("n_cand") / col("n_pairs"), 6))
             .otherwise(lit(0.0)).as("reduction_ratio"))
+    }),
+
+    // End-to-end pairwise ER evaluation — the north rule's own acceptance
+    // metric (pairwise F1 on labeled pairs) as a first-class report.
+    // Ground truth = EXACT shingle-Jaccard ≥ 0.9 pairs from the lossless
+    // PPJoin kernel ([[exactShinglePairs]] — O(N·block), never the
+    // O(sample²) q_blocking_recall pays, so this runs over the FULL
+    // corpus); predicted = same-cluster pairs of the flagship clustering
+    // (banded candidacy → lev < 15 → large-star/small-star CC).
+    // Intra-cluster pair expansion is quadratic only within a cluster
+    // (near-dup groups, bounded by survivorship policy), and both sides
+    // are pinned before the counts so neither recomputes per aggregate.
+    // precision/recall/f1 are derived from UNROUNDED double ratios of
+    // exact integer counts, then rounded once — identical bits in both
+    // engines.
+    "q_er_f1" -> ((s, dir) => {
+      val truth = exactShinglePairs(s, dir, 0.9).select("a", "b").localCheckpoint(true)
+      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      val pred = cc.select(col("doc_id").as("a"), col("cluster_id"))
+        .join(cc.select(col("doc_id").as("b"), col("cluster_id")), "cluster_id")
+        .filter(col("a") < col("b"))
+        .select("a", "b").localCheckpoint(true)
+      val hit = truth.join(pred, Seq("a", "b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("p", when(col("n_pred") > 0, col("n_hit") / col("n_pred")).otherwise(lit(0.0)))
+        .withColumn("r", when(col("n_true") > 0, col("n_hit") / col("n_true")).otherwise(lit(0.0)))
+        .select(col("n_true"), col("n_pred"), col("n_hit"),
+          round(col("p"), 6).as("prec"), round(col("r"), 6).as("rec"),
+          round(when(col("p") + col("r") > 0,
+            lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+            .otherwise(lit(0.0)), 6).as("f1"))
     }),
 
     // PII scrub accounting (training-data hygiene): plant deterministic
@@ -1781,6 +1863,41 @@ object SparkEntry {
          |            THEN round(1.0 - (SELECT count(*) FROM cands) / (SELECT count(*) FROM pairs), 6)
          |            ELSE 0.0 END AS reduction_ratio""".stripMargin,
 
+    // Truth side is BRUTE FORCE (all-pairs exact shingle Jaccard — no
+    // shared candidacy contract with the Spark PPJoin), so the compare
+    // also re-proves the exact join lossless at t=0.9; the predicted side
+    // shares the band+lev candidacy contract like every CC oracle.
+    "q_er_f1" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |truth AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM m l JOIN m r ON l.doc_id < r.doc_id
+         |  WHERE round(CAST(len(list_intersect(l.shs, r.shs)) AS DOUBLE) /
+         |        (len(l.shs) + len(r.shs) - len(list_intersect(l.shs, r.shs))), 6) >= 0.9),
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |pred AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |         FROM cc l JOIN cc r ON l.cluster_id = r.cluster_id AND l.doc_id < r.doc_id),
+         |hit AS (SELECT a, b FROM truth SEMI JOIN pred USING (a, b)),
+         |c AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+         |             (SELECT count(*) FROM pred) AS n_pred,
+         |             (SELECT count(*) FROM hit) AS n_hit),
+         |pr AS (SELECT n_true, n_pred, n_hit,
+         |         CASE WHEN n_pred > 0 THEN CAST(n_hit AS DOUBLE) / n_pred ELSE 0.0 END AS p,
+         |         CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true ELSE 0.0 END AS r
+         |       FROM c)
+         |SELECT n_true, n_pred, n_hit, round(p, 6) AS prec, round(r, 6) AS rec,
+         |       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+         |FROM pr""".stripMargin,
+
     "q_pii_scrub" ->
       s"""WITH c AS (
          |  SELECT source,
@@ -1807,16 +1924,21 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin,
 
     // Deliberately NO prefix filter here: the oracle is brute-force
-    // all-pairs Jaccard, so the driver compare proves the Spark-side
-    // prefix filter is lossless (no shared candidacy contract).
+    // all-pairs Jaccard over the 8-char shingle sets, so the driver compare
+    // proves the Spark-side prefix filter is lossless (no shared candidacy
+    // contract).
     "q_prefix_join" ->
-      s"""WITH $sBandCte
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(length(substr(text,1,120))-7,1)+1),
+         |      i -> substr(substr(text,1,120), CAST(i AS INT), 8))) AS toks
+         |  FROM documents)
          |SELECT l.doc_id AS a, r.doc_id AS b,
          |       round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
          |             (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) AS jac
          |FROM d l JOIN d r ON l.doc_id < r.doc_id
          |WHERE round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
-         |            (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) >= 0.6
+         |            (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) >= 0.8
          |ORDER BY a, b""".stripMargin,
 
     "q_minhash_err" -> {
@@ -1828,8 +1950,8 @@ object SparkEntry {
       s"""WITH $sBandCte,
          |p AS (
          |  SELECT $kSum AS k,
-         |    CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
-         |      (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) AS jac
+         |    CAST(len(list_intersect(l.shs, r.shs)) AS DOUBLE) /
+         |      (len(l.shs) + len(r.shs) - len(list_intersect(l.shs, r.shs))) AS jac
          |  FROM m l JOIN m r ON l.doc_id < r.doc_id
          |  WHERE $bandCondM)
          |SELECT CAST(floor(jac * 10) AS INT) AS bucket, count(*) AS n_pairs,

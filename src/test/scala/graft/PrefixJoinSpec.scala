@@ -27,32 +27,39 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestBase {
     dir
   }
 
-  /** Brute-force all-pairs Jaccard >= 0.6 with the query's exact
-    * tokenization and rounding.
+  /** Brute-force all-pairs Jaccard >= 0.8 with the query's exact
+    * tokenization (8-char character shingles, the MinHash set family) and
+    * rounding.
     */
   private def brute(dir: String) = {
     val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"),
-      array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
+      SparkEntry.shingleSet(col("text")).as("toks"))
     d.select(col("doc_id").as("a"), col("toks").as("tA"))
       .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), col("a") < col("b"))
       .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
       .withColumn("jac", round(col("inter").cast("double") /
         (size(col("tA")) + size(col("tB")) - col("inter")), 6))
-      .filter(col("jac") >= 0.6)
+      .filter(col("jac") >= 0.8)
       .select("a", "b", "jac")
   }
 
   test("q_prefix_join: planted boundary cases (above, exactly-at, below threshold)") {
+    // 16-char texts have 9 8-char shingle windows, all distinct below.
+    // doc2 differs from doc1 in the LAST char only: windows 1-8 shared,
+    // window 9 differs on each side -> jac = 8 / (9+9-8) = 0.8 EXACTLY
+    // (inclusive boundary). doc3 differs in the last TWO chars: windows
+    // 8-9 differ -> jac(1,3) = 7/11 = 0.636 -> no pair. doc4 is a single
+    // repeated char (one distinct shingle, disjoint). doc5 == doc1 ->
+    // jac(1,5) = 1.0 and jac(2,5) = 0.8.
     val dir = plantedDir(Seq(
-      (1L, "a b c d e"), // jac(1,2) = 4/6 = 0.6667 -> pair
-      (2L, "a b c d f"),
-      (3L, "a b x y z"), // jac(1,3) = 2/8 = 0.25  -> no
-      (4L, "p q r s t"), // disjoint               -> no
-      (5L, "m n o u"), // jac(5,6) = 3/5 = 0.6 exactly -> pair (>= is inclusive)
-      (6L, "m n o v")))
+      (1L, "abcdefghijklmnop"),
+      (2L, "abcdefghijklmnoQ"),
+      (3L, "abcdefghijklmnQR"),
+      (4L, "zzzzzzzzzzzzzzzz"),
+      (5L, "abcdefghijklmnop")))
     val got = SparkEntry.queries("q_prefix_join")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 2L), (5L, 6L)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.8), (1L, 5L, 1.0), (2L, 5L, 0.8)))
   }
 
   test("q_prefix_join: lossless vs brute force on sf0.01") {
@@ -76,5 +83,18 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestBase {
       assert(sumJac >= 0.0 && sumJac <= n.toDouble + 1e-9)
       assert(sumErr >= 0.0 && sumErr <= n.toDouble + 1e-9)
     }
+  }
+
+  test("q_er_f1: counts coherent and flagship clustering reaches the north-rule F1 bar") {
+    val r = SparkEntry.queries("q_er_f1")(spark, sfDir).collect().head
+    val (nTrue, nPred, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (p, rec, f1) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(nHit <= math.min(nTrue, nPred))
+    assert(p >= 0.0 && p <= 1.0 && rec >= 0.0 && rec <= 1.0)
+    // harmonic mean of the recomputed ratios matches the reported f1
+    val (pe, re) = (nHit.toDouble / nPred, nHit.toDouble / nTrue)
+    assert(math.abs(f1 - 2 * pe * re / (pe + re)) < 1e-6)
+    // the north rule's acceptance criterion, on this corpus
+    assert(f1 >= 0.99, s"pairwise F1 $f1 below the north-rule bar")
   }
 }
