@@ -917,7 +917,12 @@ object SparkEntry {
     "q_blocking_recall" -> ((s, dir) => {
       val sample = docsTable(s, dir).filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      // the sample reads as 1-2 parquet splits, and BroadcastNestedLoopJoin
+      // parallelizes over LEFT partitions only — without this repartition
+      // the O(sample²) lev pass runs on one core (measured 88.7 s at
+      // sf0.1; ~3 s fanned out)
       val pairs = sample.select(col("doc_id").as("a"), col("t").as("ta"))
+        .repartition(64)
         .crossJoin(sample.select(col("doc_id").as("b"), col("t").as("tb")))
         .filter(col("a") < col("b"))
       // pinned: the lev pass over the sample² pairs is the expensive leg
@@ -973,6 +978,48 @@ object SparkEntry {
           round(when(col("p") + col("r") > 0,
             lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
             .otherwise(lit(0.0)), 6).as("f1"))
+    }),
+
+    // B³ (B-cubed) clustering evaluation (Bagga & Baldwin 1998; Amigó et
+    // al. 2009) — the per-DOC complement of q_er_f1's pairwise metric:
+    // pairwise F1 over-weights large clusters (pairs grow quadratically),
+    // B³ weighs every document equally, so a mangled small cluster still
+    // moves the score. Truth clustering = CC over the exact shingle-
+    // Jaccard ≥ 0.9 pairs ([[exactShinglePairs]]); predicted = the
+    // flagship clustering; unmatched docs are singletons on both sides
+    // (cluster reps are member min-ids, so a singleton's own id can never
+    // collide with another component's rep). B³P = (1/N)·Σ_cells n²/|C|
+    // over the (pred, truth) contingency cells — three linear groupBys,
+    // no pair expansion at all, so this evaluator is even cheaper than
+    // the pairwise one at any scale. Per-cell terms are quantized to 6
+    // decimals and summed as DECIMAL so both engines add identical
+    // addends in any order.
+    "q_bcubed" -> ((s, dir) => {
+      val tcc = Components.connectedComponents(
+        exactShinglePairs(s, dir, 0.9).select(col("a").as("src"), col("b").as("dst")))(s)
+      val pcc = Components.connectedComponents(levEdges(s, dir))(s)
+      val assign = docsTable(s, dir).select(col("doc_id"))
+        .join(pcc.withColumnRenamed("cluster_id", "c"), Seq("doc_id"), "left")
+        .join(tcc.withColumnRenamed("cluster_id", "tt"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("c"),
+          coalesce(col("tt"), col("doc_id")).as("tt"))
+        .localCheckpoint(true)
+      val cells = assign.groupBy("c", "tt").agg(count(lit(1)).as("n"))
+        .join(assign.groupBy("c").agg(count(lit(1)).as("nc")), "c")
+        .join(assign.groupBy("tt").agg(count(lit(1)).as("nt")), "tt")
+      cells.agg(
+          sum(col("n")).cast("long").as("n_docs"),
+          sum(round(col("n") * col("n") / col("nc"), 6).cast("decimal(28,10)"))
+            .cast("double").as("sp"),
+          sum(round(col("n") * col("n") / col("nt"), 6).cast("decimal(28,10)"))
+            .cast("double").as("sr"))
+        .withColumn("p", col("sp") / col("n_docs"))
+        .withColumn("r", col("sr") / col("n_docs"))
+        .select(col("n_docs"), round(col("p"), 6).as("b3_prec"),
+          round(col("r"), 6).as("b3_rec"),
+          round(when(col("p") + col("r") > 0,
+            lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+            .otherwise(lit(0.0)), 6).as("b3_f1"))
     }),
 
     // PII scrub accounting (training-data hygiene): plant deterministic
@@ -1896,6 +1943,54 @@ object SparkEntry {
          |       FROM c)
          |SELECT n_true, n_pred, n_hit, round(p, 6) AS prec, round(r, 6) AS rec,
          |       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+         |FROM pr""".stripMargin,
+
+    // Truth clustering is transitive closure over BRUTE-FORCE exact
+    // shingle-Jaccard ≥ 0.9 pairs; predicted shares the band+lev contract.
+    // Both engines quantize per-cell B³ terms to 6 decimals and sum as
+    // DECIMAL, so float addition order cannot differ.
+    "q_bcubed" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |tp AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM m l JOIN m r ON l.doc_id < r.doc_id
+         |  WHERE round(CAST(len(list_intersect(l.shs, r.shs)) AS DOUBLE) /
+         |        (len(l.shs) + len(r.shs) - len(list_intersect(l.shs, r.shs))), 6) >= 0.9),
+         |tsym AS (SELECT src AS u, dst AS v FROM tp UNION SELECT dst, src FROM tp),
+         |treach(u, v) AS (
+         |  SELECT u, v FROM tsym
+         |  UNION
+         |  SELECT r.u, s.v FROM treach r JOIN tsym s ON r.v = s.u),
+         |tcc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM treach GROUP BY u),
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |assign AS (
+         |  SELECT d0.doc_id,
+         |         coalesce(p.cluster_id, d0.doc_id) AS c,
+         |         coalesce(t.cluster_id, d0.doc_id) AS tt
+         |  FROM documents d0
+         |  LEFT JOIN cc p ON p.doc_id = d0.doc_id
+         |  LEFT JOIN tcc t ON t.doc_id = d0.doc_id),
+         |cells AS (SELECT c, tt, count(*) AS n FROM assign GROUP BY c, tt),
+         |cs AS (SELECT c, count(*) AS nc FROM assign GROUP BY c),
+         |ts AS (SELECT tt, count(*) AS nt FROM assign GROUP BY tt),
+         |j AS (SELECT cells.n, cs.nc, ts.nt
+         |      FROM cells JOIN cs USING (c) JOIN ts USING (tt)),
+         |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |          CAST(sum(CAST(round(CAST(n * n AS DOUBLE) / nc, 6) AS DECIMAL(28,10))) AS DOUBLE) AS sp,
+         |          CAST(sum(CAST(round(CAST(n * n AS DOUBLE) / nt, 6) AS DECIMAL(28,10))) AS DOUBLE) AS sr
+         |        FROM j),
+         |pr AS (SELECT n_docs, sp / n_docs AS p, sr / n_docs AS r FROM agg)
+         |SELECT n_docs, round(p, 6) AS b3_prec, round(r, 6) AS b3_rec,
+         |       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS b3_f1
          |FROM pr""".stripMargin,
 
     "q_pii_scrub" ->

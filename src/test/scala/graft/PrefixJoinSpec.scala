@@ -97,4 +97,14 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestBase {
     // the north rule's acceptance criterion, on this corpus
     assert(f1 >= 0.99, s"pairwise F1 $f1 below the north-rule bar")
   }
+
+  test("q_bcubed: per-doc B3 metrics bounded and consistent with the F1-perfect corpus") {
+    val r = SparkEntry.queries("q_bcubed")(spark, sfDir).collect().head
+    val (n, p3, r3, f3) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n == 500L)
+    assert(p3 >= 0.0 && p3 <= 1.0 && r3 >= 0.0 && r3 <= 1.0)
+    // q_er_f1 shows pairwise-perfect clustering on this corpus; B3 must
+    // then be perfect too (identical contingency cells)
+    assert(f3 >= 0.99, s"B3 F1 $f3 below the bar")
+  }
 }
