@@ -1674,6 +1674,39 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // AS-OF join (attribution): each purchase matched to the same user's
+    // most recent STRICTLY-earlier view — the canonical operator Spark
+    // lacks natively, composed the scale-correct way: tag and union both
+    // sides, ONE shuffle on the key, ONE ordered window pass carrying the
+    // last non-null view forward (never a per-row lateral probe; wall
+    // cost = a user-partitioned sort at any corpus size). Determinism at
+    // ties is DEFINED, not inherited: the window order (ts, tag,
+    // event_id) puts purchases BEFORE views at equal ts (strict <) and
+    // breaks equal-ts view ties by max event_id; the oracle mirrors the
+    // same window rather than using DuckDB's native ASOF JOIN, whose
+    // equal-ts winner is engine-arbitrary. gap_us stays in integer
+    // microseconds — no float time arithmetic in either engine.
+    "q_events_asof" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val u = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          lit(null).cast("long").as("view_id"),
+          lit(null).cast("long").as("view_us"), col("event_id"))
+        .unionByName(ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"),
+            col("event_id").as("view_id"),
+            unix_micros(col("ts").cast("timestamp")).as("view_us"), col("event_id")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("lv", last(col("view_id"), ignoreNulls = true).over(w))
+        .withColumn("lv_us", last(col("view_us"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 0 && col("lv").isNotNull)
+        .select(col("event_id"), col("user_id"), col("lv").as("view_id"),
+          (unix_micros(col("ts").cast("timestamp")) - col("lv_us")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     "q_set_ops" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_nationkey").as("k"))
       val sup = s.read.parquet(s"$dir/supplier.parquet").select(col("s_nationkey").as("k"))
@@ -2493,6 +2526,29 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM w GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // Mirrors the Spark union+window construction EXACTLY (not DuckDB's
+    // native ASOF JOIN, whose equal-ts winner is engine-arbitrary): the
+    // window order (ts, tag, event_id) defines strict-before and the
+    // equal-ts view tie-break identically in both engines.
+    "q_events_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS tag, CAST(NULL AS BIGINT) AS view_id,
+        |         CAST(NULL AS BIGINT) AS view_us, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS tag, event_id, epoch_us(ts), event_id
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(view_id IGNORE NULLS) OVER win AS lv,
+        |    last_value(view_us IGNORE NULLS) OVER win AS lv_us
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, lv AS view_id, epoch_us(ts) - lv_us AS gap_us
+        |FROM w WHERE tag = 0 AND lv IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
 
     "q_set_ops" ->
       """SELECT (SELECT count(*) FROM (SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier)) AS n_union,

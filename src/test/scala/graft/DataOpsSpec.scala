@@ -371,4 +371,27 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     // the planted email and id are really detected in every doc
     assert(per.forall(p => p._2 >= 1 && p._3 >= 1))
   }
+
+  test("q_events_asof: strict-before, equal-ts exclusion, max-id view tie-break, no-view drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    // (event_id, us, user_id, event_type)
+    Seq(
+      (10L, 1000L, 1L, "view"), // equal-ts tie with 11
+      (11L, 1000L, 1L, "view"), // max id among the tie -> the winner
+      (20L, 1000L, 1L, "purchase"), // equal ts to the views -> strictly-before fails -> dropped
+      (21L, 2000L, 1L, "purchase"), // matches view 11 (tie-break), gap 1000us
+      (12L, 3000L, 1L, "view"),
+      (22L, 3500L, 1L, "purchase"), // matches view 12, gap 500us
+      (23L, 9000L, 2L, "purchase")) // user 2 has no views -> dropped
+      .toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"us"))
+      .withColumn("value", org.apache.spark.sql.functions.lit(0.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .drop("us")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_events_asof")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List((21L, 1L, 11L, 1000L), (22L, 1L, 12L, 500L)))
+  }
 }
