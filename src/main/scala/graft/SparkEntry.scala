@@ -533,6 +533,17 @@ object SparkEntry {
     "q_cc_clusters" -> ((s, dir) =>
       Components.connectedComponents(levEdges(s, dir))(s).orderBy("doc_id")),
 
+    // center clustering over the same lev-edges — the radius-1 clustering
+    // strategy (greedy lex-first-MIS centers + min-adjacent-center
+    // assignment; see [[Components.centerClusters]]): the over-merge-proof
+    // complement to q_cc_clusters from the ER clustering-strategy
+    // literature (Hassanzadeh & Miller, VLDB'09). Golden-backed (the
+    // non-monotonic MIS fixpoint has no recursive-CTE form);
+    // ComponentsSpec proves the distributed rounds ≡ the sequential
+    // greedy, and CrossCheckSpec re-derives this output independently.
+    "q_center_clusters" -> ((s, dir) =>
+      Components.centerClusters(levEdges(s, dir))(s).orderBy("doc_id")),
+
     // threshold-sensitivity sweep — the ER tuning report: score the banded
     // candidates ONCE, cut edges at a loose (< 15) and a strict (< 8)
     // edit-distance threshold, run CC on both edge sets, and report how
@@ -1734,6 +1745,7 @@ object SparkEntry {
     golden("q_ann_ivf"),
     golden("q_ann_lsh"),
     golden("q_audio_near_dups"),
+    golden("q_center_clusters"),
     golden("q_compare_target"),
     golden("q_doc_stats"),
     golden("q_fingerprint"),

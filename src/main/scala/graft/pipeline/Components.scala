@@ -61,6 +61,123 @@ object Components {
       .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
   }
 
+  /** Center clustering (Haveliwala et al. 2000 "Scalable techniques for
+    * clustering the web"; evaluated for dedup by Hassanzadeh & Miller,
+    * VLDB'09): the radius-1 alternative to transitive CC — a chain
+    * a−b−c−d yields ONE component under CC but centers {a, c} here, so
+    * drifting near-dup chains cannot over-merge. Semantics = the
+    * sequential greedy by ascending node id: an unassigned node becomes a
+    * CENTER; its unassigned neighbors join it.
+    *
+    * Parallel derivation (provably equal to the greedy):
+    *  - the center set is exactly the lexicographically-first maximal
+    *    independent set (u is a center iff no adjacent center < u);
+    *    round k peels the local minima of the ACTIVE subgraph — a peeled
+    *    local min u has no remaining smaller neighbor, and every removed
+    *    smaller neighbor was either a center (then u would have been
+    *    removed as claimed) or claimed (non-center, final), so u is a
+    *    true MIS member; nodes that lose all neighbors without being
+    *    claimed have no adjacent center and join the MIS by maximality;
+    *  - claims are NOT finalized during the rounds: a node adjacent to a
+    *    round-1 center may belong to a SMALLER round-2 center (e.g.
+    *    1−2, 2−3, 3−6, 5−6: node 6 touches round-1 center 5 but the
+    *    greedy assigns it to center 3). After the MIS converges, one
+    *    join assigns every non-center to its MIN adjacent center — the
+    *    first center the sequential greedy would have processed. Two
+    *    centers are never adjacent, so the assignment covers exactly
+    *    the non-centers.
+    *
+    * Scale shape: per round one groupBy-min plus two anti-joins, all on
+    * the shrinking active edge set, localCheckpoint-truncated like the
+    * star iterations. Round count = the longest strictly-increasing id
+    * path in the graph — O(1)-ish on blocked near-dup components (tiny
+    * diameter by construction), adversarially O(n) on a sorted path
+    * graph, hence the loud maxIterations failure rather than a silent
+    * partial result. Tiny edge sets short-circuit to the sequential
+    * greedy itself on the driver.
+    */
+  def centerClusters(edges: DataFrame, maxIterations: Int = 100,
+                     driverCutoff: Long = 200000)(
+      implicit spark: SparkSession): DataFrame = {
+    val norm = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    if (norm.count() <= driverCutoff) return driverCenter(norm)
+
+    val symAll = norm.select(col("src").as("u"), col("dst").as("v"))
+      .union(norm.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    var sym = symAll
+    var centerParts = List.empty[DataFrame]
+    var it = 0
+    while (!sym.isEmpty) {
+      require(it < maxIterations,
+        s"centerClusters: no MIS fixpoint after $maxIterations rounds " +
+          "(pathological monotone chain — raise maxIterations)")
+      val mn = sym.groupBy("u").agg(min("v").as("mn"))
+      val c = mn.filter(col("mn") > col("u")).select(col("u").as("c"))
+        .localCheckpoint(true)
+      val claimed = sym.join(c.withColumnRenamed("c", "v"), Seq("v"))
+        .select(col("u")).distinct()
+      val removed = c.select(col("c").as("u")).union(claimed)
+        .localCheckpoint(true)
+      val before = sym.select(col("u")).distinct()
+      val next = sym
+        .join(removed, Seq("u"), "left_anti")
+        .join(removed.withColumnRenamed("u", "v"), Seq("v"), "left_anti")
+        .select("u", "v").localCheckpoint(true)
+      val isolated = before
+        .join(removed, Seq("u"), "left_anti")
+        .join(next.select(col("u")).distinct(), Seq("u"), "left_anti")
+        .select(col("u").as("c"))
+      centerParts = c.union(isolated).localCheckpoint(true) :: centerParts
+      sym = next
+      it += 1
+    }
+    val centersAll = centerParts
+      .reduceOption(_ union _)
+      .getOrElse(symAll.select(col("u").as("c")).limit(0))
+      .localCheckpoint(true)
+    // adjacent centers are impossible (MIS), so grouping the center-side
+    // edges by the other endpoint enumerates exactly the non-centers
+    val assigned = symAll
+      .join(centersAll.withColumnRenamed("c", "v"), Seq("v"))
+      .groupBy("u").agg(min(col("v")).as("center_id"))
+      .select(col("u").as("doc_id"), col("center_id"))
+    centersAll.select(col("c").as("doc_id"), col("c").as("center_id"))
+      .union(assigned)
+  }
+
+  /** The definition itself: sequential greedy by ascending id. */
+  private def driverCenter(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val keyType = e.schema("src").dataType
+    @inline def less(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val arr = e.select("src", "dst").collect()
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    arr.foreach { r =>
+      adj.getOrElseUpdate(r.get(0), scala.collection.mutable.ArrayBuffer.empty) += r.get(1)
+      adj.getOrElseUpdate(r.get(1), scala.collection.mutable.ArrayBuffer.empty) += r.get(0)
+    }
+    val nodes = adj.keys.toArray.sortWith(less)
+    val assigned = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+    nodes.foreach { u =>
+      if (!assigned.contains(u)) {
+        assigned(u) = u
+        adj(u).foreach(v => if (!assigned.contains(v)) assigned(v) = u)
+      }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](assigned.size)
+    assigned.foreach { case (n, c) => out.add(org.apache.spark.sql.Row(n, c)) }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", keyType),
+      org.apache.spark.sql.types.StructField("center_id", keyType))))
+  }
+
   /** large-star: per node u, connect every strictly-larger neighbor to
     * min(Γ(u) ∪ {u}).
     */

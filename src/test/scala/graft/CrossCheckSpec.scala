@@ -702,4 +702,56 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
       assert((dr, dc) == NaiveImage.dhash(img), s"doc $id: dhash")
     }
   }
+
+  test("q_center_clusters: greedy rederived from collected band keys + local DP lev") {
+    // Shared with the engine: the band-key KERNEL (it is the candidacy
+    // definition, same stance as the pipeline rederive). Independent:
+    // bucket grouping, edit distance (local DP, not Spark levenshtein),
+    // and the sequential greedy itself (by-id center selection + claim).
+    import org.apache.spark.sql.functions.{col, substring}
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("t"),
+        SparkEntry.sBandKeys(col("text")).as("keys"))
+      .collect()
+    val text = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byKey = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      r.getSeq[String](2).foreach(k =>
+        byKey.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += id)
+    }
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val cands: Set[(Long, Long)] = byKey.values.iterator.flatMap { ids =>
+      val srt = ids.distinct.sorted
+      for (i <- srt.indices.iterator; j <- (i + 1 until srt.size).iterator)
+        yield (srt(i), srt(j))
+    }.toSet
+    val edges = cands.filter { case (a, b) => lev(text(a), text(b)) < 15 }
+    // independent sequential greedy (numeric id order)
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val assigned = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { u =>
+      if (!assigned.contains(u)) {
+        assigned(u) = u
+        adj(u).toSeq.sorted.foreach(v => if (!assigned.contains(v)) assigned(v) = u)
+      }
+    }
+    val got = SparkEntry.queries("q_center_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == assigned.toMap)
+    assert(got.nonEmpty)
+  }
 }
