@@ -153,9 +153,6 @@ object Components {
 
   /** The definition itself: sequential greedy by ascending id. */
   private def driverCenter(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    val keyType = e.schema("src").dataType
-    @inline def less(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
     val arr = e.select("src", "dst").collect()
     val adj = scala.collection.mutable.HashMap
       .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
@@ -171,11 +168,8 @@ object Components {
         adj(u).foreach(v => if (!assigned.contains(v)) assigned(v) = u)
       }
     }
-    val out = new java.util.ArrayList[org.apache.spark.sql.Row](assigned.size)
-    assigned.foreach { case (n, c) => out.add(org.apache.spark.sql.Row(n, c)) }
-    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", keyType),
-      org.apache.spark.sql.types.StructField("center_id", keyType))))
+    labeledFrame(assigned.iterator, assigned.size,
+      e.schema("src").dataType, "center_id")
   }
 
   /** large-star: per node u, connect every strictly-larger neighbor to
@@ -208,13 +202,29 @@ object Components {
       .distinct()
   }
 
+  // node ids keep the edge column's type (string doc_ids in the pipeline,
+  // but any orderable key works — the SQL-facing CC query uses bigints)
+  @inline private def less(a: Any, b: Any): Boolean =
+    a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+
+  /** (node, label) pairs → a (doc_id, `labelCol`) DataFrame with the edge
+    * column's key type — the shared tail of both driver fast paths.
+    */
+  private def labeledFrame(pairs: Iterator[(Any, Any)], n: Int,
+                           keyType: org.apache.spark.sql.types.DataType,
+                           labelCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    pairs.foreach { case (node, label) =>
+      out.add(org.apache.spark.sql.Row(node, label))
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", keyType),
+      org.apache.spark.sql.types.StructField(labelCol, keyType))))
+  }
+
   private def driverUnionFind(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    // node ids keep the edge column's type (string doc_ids in the pipeline,
-    // but any orderable key works — the SQL-facing CC query uses bigints)
-    val keyType = e.schema("src").dataType
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
-    @inline def less(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
     def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -228,11 +238,8 @@ object Components {
       if (ra != rb) { if (less(ra, rb)) parent(rb) = ra else parent(ra) = rb }
     }
     val nodes = (arr.iterator.map(_.get(0)) ++ arr.iterator.map(_.get(1))).toSet
-    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
-    nodes.foreach(n => out.add(org.apache.spark.sql.Row(n, find(n))))
-    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", keyType),
-      org.apache.spark.sql.types.StructField("cluster_id", keyType))))
+    labeledFrame(nodes.iterator.map(n => n -> find(n)), nodes.size,
+      e.schema("src").dataType, "cluster_id")
   }
 
   private def edgeDigest(e: DataFrame): (Long, Long) = {
