@@ -991,6 +991,43 @@ object SparkEntry {
             .otherwise(lit(0.0)), 6).as("f1"))
     }),
 
+    // Clustering-STRATEGY comparison — q_er_f1's pairwise metric computed
+    // for BOTH clustering semantics over the same edge relation
+    // (transitive CC vs radius-1 center clustering), one row per
+    // strategy: the report that decides which semantics fits a corpus
+    // (CC over-merges drifting chains, centers over-split long true
+    // clusters — here the truth is exact shingle-Jaccard ≥ 0.9 from the
+    // lossless PPJoin). The edge relation is pinned once and shared by
+    // both clusterings; the oracle derives the CC side from the shared
+    // band+lev contract and the center side from the committed golden,
+    // so a center-clustering drift trips this query too.
+    "q_strategy_f1" -> ((s, dir) => {
+      val truth = exactShinglePairs(s, dir, 0.9).select("a", "b").localCheckpoint(true)
+      val edges = levEdges(s, dir).localCheckpoint(true)
+      def pairsOf(assign: DataFrame): DataFrame = assign
+        .select(col("doc_id").as("a"), col("cluster_id"))
+        .join(assign.select(col("doc_id").as("b"), col("cluster_id")), "cluster_id")
+        .filter(col("a") < col("b")).select("a", "b").localCheckpoint(true)
+      def leg(name: String, pred: DataFrame): DataFrame = {
+        val hit = truth.join(pred, Seq("a", "b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .withColumn("strategy", lit(name))
+      }
+      leg("cc", pairsOf(Components.connectedComponents(edges)(s)))
+        .unionByName(leg("center", pairsOf(Components.centerClusters(edges)(s)
+          .withColumnRenamed("center_id", "cluster_id"))))
+        .withColumn("p", when(col("n_pred") > 0, col("n_hit") / col("n_pred")).otherwise(lit(0.0)))
+        .withColumn("r", when(col("n_true") > 0, col("n_hit") / col("n_true")).otherwise(lit(0.0)))
+        .select(col("strategy"), col("n_true"), col("n_pred"), col("n_hit"),
+          round(col("p"), 6).as("prec"), round(col("r"), 6).as("rec"),
+          round(when(col("p") + col("r") > 0,
+            lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+            .otherwise(lit(0.0)), 6).as("f1"))
+        .orderBy("strategy")
+    }),
+
     // B³ (B-cubed) clustering evaluation (Bagga & Baldwin 1998; Amigó et
     // al. 2009) — the per-DOC complement of q_er_f1's pairwise metric:
     // pairwise F1 over-weights large clusters (pairs grow quadratically),
@@ -1989,6 +2026,50 @@ object SparkEntry {
          |SELECT n_true, n_pred, n_hit, round(p, 6) AS prec, round(r, 6) AS rec,
          |       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
          |FROM pr""".stripMargin,
+
+    // CC leg from the shared band+lev contract; center leg read from the
+    // committed golden (the Spark side recomputes it fresh, so the compare
+    // doubles as a center-clustering drift tripwire).
+    "q_strategy_f1" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |truth AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM m l JOIN m r ON l.doc_id < r.doc_id
+         |  WHERE round(CAST(len(list_intersect(l.shs, r.shs)) AS DOUBLE) /
+         |        (len(l.shs) + len(r.shs) - len(list_intersect(l.shs, r.shs))), 6) >= 0.9),
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |ccp AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |        FROM cc l JOIN cc r ON l.cluster_id = r.cluster_id AND l.doc_id < r.doc_id),
+         |ctr AS (SELECT doc_id, center_id
+         |        FROM read_parquet('/root/repo/golden/q_center_clusters/*.parquet')),
+         |ctp AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |        FROM ctr l JOIN ctr r ON l.center_id = r.center_id AND l.doc_id < r.doc_id),
+         |stats AS (
+         |  SELECT 'cc' AS strategy,
+         |    (SELECT count(*) FROM truth) AS n_true,
+         |    (SELECT count(*) FROM ccp) AS n_pred,
+         |    (SELECT count(*) FROM (SELECT a, b FROM truth SEMI JOIN ccp USING (a, b))) AS n_hit
+         |  UNION ALL
+         |  SELECT 'center',
+         |    (SELECT count(*) FROM truth),
+         |    (SELECT count(*) FROM ctp),
+         |    (SELECT count(*) FROM (SELECT a, b FROM truth SEMI JOIN ctp USING (a, b)))),
+         |pr AS (SELECT strategy, n_true, n_pred, n_hit,
+         |         CASE WHEN n_pred > 0 THEN CAST(n_hit AS DOUBLE) / n_pred ELSE 0.0 END AS p,
+         |         CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true ELSE 0.0 END AS r
+         |       FROM stats)
+         |SELECT strategy, n_true, n_pred, n_hit, round(p, 6) AS prec, round(r, 6) AS rec,
+         |       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+         |FROM pr ORDER BY strategy""".stripMargin,
 
     // Truth clustering is transitive closure over BRUTE-FORCE exact
     // shingle-Jaccard ≥ 0.9 pairs; predicted shares the band+lev contract.
