@@ -172,7 +172,7 @@ object SparkEntry {
     * so block sizes shrink as data grows — word unigrams here saturated
     * at 126 tokens / 34M candidate pairs / 97 s at sf0.1.
     */
-  private def exactShinglePairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
+  private[graft] def exactShinglePairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
     val d = docsTable(s, dir).select(col("doc_id"), shingleSet(col("text")).as("toks"))
     val tok = d.select(col("doc_id"), explode(col("toks")).as("token"))
     val pref = tok

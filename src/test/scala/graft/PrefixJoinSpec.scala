@@ -107,4 +107,32 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestBase {
     // then be perfect too (identical contingency cells)
     assert(f3 >= 0.99, s"B3 F1 $f3 below the bar")
   }
+
+  test("exactShinglePairs: randomized corpora match brute force at every threshold (property fuzz)") {
+    // Small alphabet + short texts force heavy shingle overlap, the regime
+    // where a prefix/positional-filter bug would actually drop pairs.
+    val rnd = new scala.util.Random(20260817L)
+    def randText(): String = {
+      val n = 8 + rnd.nextInt(30)
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    (1 to 3).foreach { trial =>
+      val docs = (1L to 40L).map(i => (i, randText()))
+      val dir = plantedDir(docs)
+      Seq(0.5, 0.7, 0.9).foreach { t =>
+        val got = SparkEntry.exactShinglePairs(spark, dir, t).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"),
+          SparkEntry.shingleSet(col("text")).as("toks"))
+        val want = d.select(col("doc_id").as("a"), col("toks").as("tA"))
+          .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), col("a") < col("b"))
+          .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
+          .withColumn("jac", round(col("inter").cast("double") /
+            (size(col("tA")) + size(col("tB")) - col("inter")), 6))
+          .filter(col("jac") >= t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+        assert(got == want, s"trial $trial t=$t: lossy or over-emitting prefix filter")
+      }
+    }
+  }
 }
