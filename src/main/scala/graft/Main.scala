@@ -283,6 +283,8 @@ object Main {
         val spark = SparkSession.builder()
           .appName("graft-dedupe")
           .config("spark.sql.adaptive.enabled", "true")
+          // SQL function registry + the Hamming-join optimizer rule
+          .withExtensions(new graft.functions.GraftExtensions)
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         val code = run(spark, cli)

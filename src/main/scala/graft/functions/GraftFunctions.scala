@@ -217,6 +217,10 @@ object GraftFunctions {
   * GraftExtensions)` or `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registryEntries.foreach(ext.injectFunction)
+    // naive O(N²) Hamming cross joins → Manku band equi-join (lossless
+    // for thresholds ≤ 7); see graft.plans.HammingJoinRule
+    ext.injectOptimizerRule(_ => graft.plans.HammingJoinRule)
+  }
 }
