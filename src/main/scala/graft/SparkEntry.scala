@@ -172,10 +172,13 @@ object SparkEntry {
     * so block sizes shrink as data grows — word unigrams here saturated
     * at 126 tokens / 34M candidate pairs / 97 s at sf0.1.
     */
-  private[graft] def exactShinglePairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
-    val d = docsTable(s, dir).select(col("doc_id"), shingleSet(col("text")).as("toks"))
+  /** The df-ordered prefix relation (doc_id, n, pos, ptok) for a
+    * (doc_id, toks) set table — shared by [[exactShinglePairs]] and the
+    * DiagPPJoin census so the census always measures the join that ships.
+    */
+  private[graft] def shinglePrefix(d: DataFrame, thr: Double): DataFrame = {
     val tok = d.select(col("doc_id"), explode(col("toks")).as("token"))
-    val pref = tok
+    tok
       .join(tok.groupBy("token").agg(count(lit(1)).as("df")), "token")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
@@ -186,6 +189,12 @@ object SparkEntry {
         posexplode(slice(transform(col("ord"), _.getField("token")), lit(1), col("plen"))))
       .withColumnRenamed("col", "ptok")
       .withColumn("pos", col("pos") + 1)
+  }
+
+  /** Prefix-block equi-join + positional filter over [[shinglePrefix]]:
+    * the candidate (a, b) pairs that can still reach Jaccard ≥ thr.
+    */
+  private[graft] def positionalCandidates(pref: DataFrame, thr: Double): DataFrame =
     pref.select(col("doc_id").as("a"), col("ptok"), col("pos").as("ia"), col("n").as("na"))
       .join(pref.select(col("doc_id").as("b"), col("ptok"), col("pos").as("jb"), col("n").as("nb")), Seq("ptok"))
       .filter(col("a") < col("b"))
@@ -194,6 +203,10 @@ object SparkEntry {
       .filter(least(col("na") - col("ia") + 1, col("nb") - col("jb") + 1).cast("double") >=
         lit(thr / (1.0 + thr)) * (col("na") + col("nb")) - lit(1e-9))
       .select("a", "b")
+
+  private[graft] def exactShinglePairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
+    val d = docsTable(s, dir).select(col("doc_id"), shingleSet(col("text")).as("toks"))
+    positionalCandidates(shinglePrefix(d, thr), thr)
       .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
       .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
       .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))

@@ -40,7 +40,7 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * Injected by [[graft.functions.GraftExtensions]]
   * (`spark.sql.extensions=graft.functions.GraftExtensions`).
   */
-object HammingJoinRule extends Rule[LogicalPlan] {
+object HammingJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val Pairs: Seq[(Int, Int)] =
     for (i <- 0 until 8; j <- (i + 1) until 8) yield (i, j)
@@ -59,11 +59,6 @@ object HammingJoinRule extends Rule[LogicalPlan] {
         case Some((hl, hr)) => rewrite(j, hl, hr)
         case None => j
       }
-  }
-
-  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-    case other => Seq(other)
   }
 
   /** (leftSideExpr, rightSideExpr) when each input references exactly one

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 /** Census for the exactShinglePairs (PPJoin) key family across scale
   * factors: prefix-block growth is the quantity that decides whether the
   * exact join survives a 100× scale-up (the r2 prefix-of-string family
-  * grew 2.8× per 10× docs and was retired for it). Prints, per sf dir:
-  * docs, shingle vocabulary, prefix rows, block count, max block size,
-  * prefix-candidate pairs, positional-filter survivors, verified pairs.
+  * grew 2.8× per 10× docs and was retired for it). Reuses the SHIPPING
+  * [[SparkEntry.shinglePrefix]]/[[SparkEntry.positionalCandidates]]
+  * stages, so the census cannot drift from the join it measures. Prints,
+  * per sf dir: docs, shingle vocabulary, prefix rows, block count, max
+  * block size, prefix-candidate pairs, positional-filter survivors,
+  * verified pairs.
   */
 object DiagPPJoin {
   def main(args: Array[String]): Unit = {
@@ -21,29 +24,11 @@ object DiagPPJoin {
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), SparkEntry.shingleSet(col("text")).as("toks"))
       val tok = d.select(col("doc_id"), explode(col("toks")).as("token"))
-      val pref = tok
-        .join(tok.groupBy("token").agg(count(lit(1)).as("df")), "token")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
-        .withColumn("n", size(col("ord")))
-        .withColumn("plen",
-          (col("n") - ceil(col("n") * lit(thr) - lit(1e-9)) + lit(1)).cast("int"))
-        .select(col("doc_id"), col("n"),
-          posexplode(slice(transform(col("ord"), _.getField("token")), lit(1), col("plen"))))
-        .withColumnRenamed("col", "ptok")
-        .withColumn("pos", col("pos") + 1)
-        .localCheckpoint(true)
+      val pref = SparkEntry.shinglePrefix(d, thr).localCheckpoint(true)
       val blocks = pref.groupBy("ptok").agg(count(lit(1)).as("bn"))
       val bstats = blocks.agg(count(lit(1)).as("nblocks"), max("bn").as("maxblk"),
         sum(col("bn") * (col("bn") - 1) / 2).as("cand")).collect()(0)
-      val surv = pref.select(col("doc_id").as("a"), col("ptok"), col("pos").as("ia"), col("n").as("na"))
-        .join(pref.select(col("doc_id").as("b"), col("ptok"), col("pos").as("jb"), col("n").as("nb")), Seq("ptok"))
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b")
-        .agg(min("ia").as("ia"), min("jb").as("jb"), min("na").as("na"), min("nb").as("nb"))
-        .filter(least(col("na") - col("ia") + 1, col("nb") - col("jb") + 1).cast("double") >=
-          lit(thr / (1.0 + thr)) * (col("na") + col("nb")) - lit(1e-9))
-        .count()
+      val surv = SparkEntry.positionalCandidates(pref, thr).count()
       val docs = d.count()
       val vocab = tok.select("token").distinct().count()
       val prefRows = pref.count()

@@ -113,4 +113,39 @@ class HammingJoinSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("production injection path: GraftExtensions session rewrites inside the operator-optimization batch") {
+    // getOrCreate reuses the shared test session and ignores extensions,
+    // so clear the default/active session, build one WITH GraftExtensions
+    // on the same SparkContext, and restore afterwards. This exercises
+    // injectOptimizerRule's real placement (the operator-optimization
+    // fixpoint, where PushPredicateThroughJoin must fire first), not the
+    // experimental extraOptimizations batch the other tests use.
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val a = Seq((1L, base), (2L, flip(base, 0, 17))).toDF("ida", "ha")
+      val b = Seq((10L, base), (11L, flip(base, 5))).toDF("idb", "hb")
+      val df = a.crossJoin(b).filter(bit_count(col("ha").bitwiseXOR(col("hb"))) < 7)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).filter {
+        case (ia, ib) =>
+          val ha = if (ia == 1L) base else flip(base, 0, 17)
+          val hb = if (ib == 10L) base else flip(base, 5)
+          java.lang.Long.bitCount(ha ^ hb) < 7
+      })
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_hj_key"), "rule not active via GraftExtensions")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
 }

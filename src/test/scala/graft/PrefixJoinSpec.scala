@@ -109,15 +109,24 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("exactShinglePairs: randomized corpora match brute force at every threshold (property fuzz)") {
-    // Small alphabet + short texts force heavy shingle overlap, the regime
-    // where a prefix/positional-filter bug would actually drop pairs.
+    // Docs are MUTATIONS of a few shared base strings (substitutions +
+    // truncations), so shingle overlap actually spans every threshold
+    // band — independent random texts share 8-char shingles essentially
+    // never, which would make this test vacuous.
     val rnd = new scala.util.Random(20260817L)
-    def randText(): String = {
-      val n = 8 + rnd.nextInt(30)
-      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    def baseText(): String =
+      (0 until 40 + rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    def mutate(t: String): String = {
+      val chars = t.toCharArray
+      (0 until rnd.nextInt(6)).foreach { _ =>
+        chars(rnd.nextInt(chars.length)) = ('a' + rnd.nextInt(6)).toChar
+      }
+      new String(chars).take(8 + rnd.nextInt(chars.length))
     }
+    var sawPairs = 0
     (1 to 3).foreach { trial =>
-      val docs = (1L to 40L).map(i => (i, randText()))
+      val bases = Array.fill(5)(baseText())
+      val docs = (1L to 40L).map(i => (i, mutate(bases(rnd.nextInt(5)))))
       val dir = plantedDir(docs)
       Seq(0.5, 0.7, 0.9).foreach { t =>
         val got = SparkEntry.exactShinglePairs(spark, dir, t).collect()
@@ -130,9 +139,12 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestBase {
           .withColumn("jac", round(col("inter").cast("double") /
             (size(col("tA")) + size(col("tB")) - col("inter")), 6))
           .filter(col("jac") >= t)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+          .select("a", "b", "jac")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        sawPairs += want.size
         assert(got == want, s"trial $trial t=$t: lossy or over-emitting prefix filter")
       }
     }
+    assert(sawPairs > 0, "fuzz corpus produced no qualifying pairs — test is vacuous")
   }
 }
