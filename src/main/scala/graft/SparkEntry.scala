@@ -2,7 +2,7 @@ package graft
 
 import graft.media.SynthMedia
 import graft.model.{Doc, Span}
-import graft.pipeline.{Components, GraftConfig, Pipeline}
+import graft.pipeline.{Canopy, Components, GraftConfig, Pipeline, Swoosh}
 import graft.text.{JaroWinkler, MinHash, SimHash, TextStats, Tokenize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -82,8 +82,8 @@ object SparkEntry {
     * recall 25/25 at sf0.01 and 256/256 at sf0.1 — versus the prefix key's
     * 6/25 — with max band-block size 3 → 7 (flat) and ~0.1 candidates/doc.
     */
-  private val SBandP = 1073741789L // prime < 2^30
-  private val SBandAB: IndexedSeq[(Long, Long)] = Vector(
+  private[graft] val SBandP = 1073741789L // prime < 2^30
+  private[graft] val SBandAB: IndexedSeq[(Long, Long)] = Vector(
     (686579304L, 119540831L), (26855093L, 796233790L), (295310486L, 262950628L),
     (239670712L, 149827706L), (790779947L, 110053353L), (726600540L, 795285932L),
     (957970517L, 585582861L), (93349857L, 634036506L), (453035111L, 34126396L),
@@ -556,6 +556,51 @@ object SparkEntry {
     // greedy, and CrossCheckSpec re-derives this output independently.
     "q_center_clusters" -> ((s, dir) =>
       Components.centerClusters(levEdges(s, dir))(s).orderBy("doc_id")),
+
+    // canopy blocking (McCallum et al., KDD 2000) over the shared-band-count
+    // cheap metric: tight = shares ≥ 2 of 4 MinHash bands, loose = shares
+    // ≥ 1 — the two-threshold, deliberately-OVERLAPPING alternative to
+    // single-key blocking (a doc loose-close to two tight-separated centers
+    // is scored in BOTH canopies, so borderline pairs the single-threshold
+    // cut would split are retained). Centers = lex-first MIS of the tight
+    // graph + tight-isolated docs ([[graft.pipeline.Canopy]]); golden-backed
+    // (the MIS fixpoint has no recursive-CTE form), CanopySpec proves
+    // distributed ≡ sequential greedy and the membership/overlap laws.
+    "q_canopy" -> ((s, dir) => {
+      val d = sBandRelation(s, dir)
+      val counted = d.select(col("doc_id").as("a"), col("bk"))
+        .join(d.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nb"))
+        .localCheckpoint(true)
+      val loose = counted.select(col("a").as("src"), col("b").as("dst"))
+      val tight = counted.filter(col("nb") >= 2)
+        .select(col("a").as("src"), col("b").as("dst"))
+      Canopy.canopies(loose, tight, docsTable(s, dir).select("doc_id"))(s)
+        .groupBy("canopy_id")
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("members"))
+        .filter(col("n_members") > 1)
+        .orderBy("canopy_id")
+    }),
+
+    // iterative match-merge ER (R-Swoosh family, Benjelloun et al. 2009):
+    // merged profiles (token-set unions) re-enter matching, so the fixpoint
+    // can merge entities no pairwise base comparison matched — semantics CC
+    // over one-shot edges cannot express ([[graft.pipeline.Swoosh]]; the
+    // spec constructs the differentiating witness). Entity MinHash
+    // signatures FOLD from member mins (min of union = elementwise min), so
+    // rounds never re-hash text. Golden-backed; SwooshSpec re-derives the
+    // fixpoint sequentially with brute-force all-pairs matching.
+    "q_swoosh" -> ((s, dir) => {
+      val base = docsTable(s, dir)
+      val toks = base.select(col("doc_id"), shingleSet(col("text")).as("toks"))
+      val mins = base.select(col("doc_id"),
+        transform(flatten(transform(sBandKeys(col("text")),
+          b => slice(split(b, ":"), 2, 3))), _.cast("long")).as("mins"))
+      Swoosh.resolve(toks, mins, 0.8)(s).orderBy("doc_id")
+    }),
 
     // threshold-sensitivity sweep — the ER tuning report: score the banded
     // candidates ONCE, cut edges at a loose (< 15) and a strict (< 8)
@@ -1795,6 +1840,7 @@ object SparkEntry {
     golden("q_ann_ivf"),
     golden("q_ann_lsh"),
     golden("q_audio_near_dups"),
+    golden("q_canopy"),
     golden("q_center_clusters"),
     golden("q_compare_target"),
     golden("q_doc_stats"),
@@ -1805,6 +1851,7 @@ object SparkEntry {
     golden("q_pipeline_clusters"),
     golden("q_retract_clusters"),
     golden("q_simhash"),
+    golden("q_swoosh"),
     golden("q_video_near_dups"),
     "q_exact_dedup" ->
       """SELECT doc_id,

@@ -110,12 +110,35 @@ object Components {
     val symAll = norm.select(col("src").as("u"), col("dst").as("v"))
       .union(norm.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint(true)
+    val centersAll = lexFirstMis(symAll, maxIterations)
+    // adjacent centers are impossible (MIS), so grouping the center-side
+    // edges by the other endpoint enumerates exactly the non-centers
+    val assigned = symAll
+      .join(centersAll.withColumnRenamed("c", "v"), Seq("v"))
+      .groupBy("u").agg(min(col("v")).as("center_id"))
+      .select(col("u").as("doc_id"), col("center_id"))
+    centersAll.select(col("c").as("doc_id"), col("c").as("center_id"))
+      .union(assigned)
+  }
+
+  /** Lexicographically-first maximal independent set of the undirected
+    * graph given as a SYMMETRIC (u, v) edge relation — the center set of
+    * the sequential greedy (u is in the MIS iff no adjacent MIS member
+    * < u). Round k peels the local minima of the active subgraph; the
+    * correctness argument lives on [[centerClusters]], which this peel was
+    * extracted from. Shared by center clustering and canopy blocking
+    * ([[Canopy]], where removal-by-tight-edge makes the canopy center set
+    * exactly this MIS on the tight graph). Returns one column `c`
+    * covering the MIS over nodes that appear in ≥ 1 edge.
+    */
+  private[graft] def lexFirstMis(symAll: DataFrame, maxIterations: Int = 100)(
+      implicit spark: SparkSession): DataFrame = {
     var sym = symAll
     var centerParts = List.empty[DataFrame]
     var it = 0
     while (!sym.isEmpty) {
       require(it < maxIterations,
-        s"centerClusters: no MIS fixpoint after $maxIterations rounds " +
+        s"lexFirstMis: no fixpoint after $maxIterations rounds " +
           "(pathological monotone chain — raise maxIterations)")
       val mn = sym.groupBy("u").agg(min("v").as("mn"))
       val c = mn.filter(col("mn") > col("u")).select(col("u").as("c"))
@@ -137,18 +160,10 @@ object Components {
       sym = next
       it += 1
     }
-    val centersAll = centerParts
+    centerParts
       .reduceOption(_ union _)
       .getOrElse(symAll.select(col("u").as("c")).limit(0))
       .localCheckpoint(true)
-    // adjacent centers are impossible (MIS), so grouping the center-side
-    // edges by the other endpoint enumerates exactly the non-centers
-    val assigned = symAll
-      .join(centersAll.withColumnRenamed("c", "v"), Seq("v"))
-      .groupBy("u").agg(min(col("v")).as("center_id"))
-      .select(col("u").as("doc_id"), col("center_id"))
-    centersAll.select(col("c").as("doc_id"), col("c").as("center_id"))
-      .union(assigned)
   }
 
   /** The definition itself: sequential greedy by ascending id. */

@@ -16,9 +16,11 @@ package graft
   */
 object GoldenGen {
   val GoldenQueries: Seq[String] = Seq(
-    "q_ann_ivf", "q_ann_lsh", "q_audio_near_dups", "q_center_clusters", "q_compare_target", "q_doc_stats", "q_fingerprint",
+    "q_ann_ivf", "q_ann_lsh", "q_audio_near_dups", "q_canopy",
+    "q_center_clusters", "q_compare_target", "q_doc_stats", "q_fingerprint",
     "q_image_features", "q_media_phash", "q_minhash_lsh",
-    "q_pipeline_clusters", "q_retract_clusters", "q_simhash", "q_video_near_dups")
+    "q_pipeline_clusters", "q_retract_clusters", "q_simhash", "q_swoosh",
+    "q_video_near_dups")
 
   val SfDir = "/root/testdata/sf0.01" // the driver's Verify scale
   val OutRoot = "/root/repo/golden"

@@ -1,0 +1,125 @@
+package graft
+
+import graft.pipeline.Swoosh
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iterative match-merge (R-Swoosh family) vs (1) the canonical witness
+  * separating merge-closure from one-shot CC, and (2) a sequential
+  * rederivation of the whole fixpoint on the sf0.01 corpus — independent
+  * JVM code modeling the same definition (shingle sets, md5-affine MinHash
+  * mins recomputed from the MERGED profile, banded candidacy, exact
+  * Jaccard), which also proves the library's signature FOLD (elementwise
+  * min over member docs) equals re-hashing the union.
+  */
+class SwooshSpec extends AnyFunSuite with SparkTestBase {
+
+  // ---- kernel mirror (the shared band-key definition, reimplemented) ----
+
+  private def h28(tok: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+  }
+
+  private def minsOf(toks: Iterable[String]): IndexedSeq[Long] = {
+    val hs = toks.map(h28).toArray
+    SparkEntry.SBandAB.map { case (a, b) =>
+      hs.iterator.map(h => (a * h + b) % SparkEntry.SBandP).min
+    }
+  }
+
+  private def bandsOf(mins: IndexedSeq[Long]): Set[String] =
+    (0 until 4).map(b => s"$b:${mins(3 * b)}:${mins(3 * b + 1)}:${mins(3 * b + 2)}").toSet
+
+  private def jac(a: Set[String], b: Set[String]): Double = {
+    val i = (a & b).size
+    i.toDouble / (a.size + b.size - i)
+  }
+
+  private def shingles(text: String): Set[String] = {
+    val t = text.substring(0, math.min(120, text.length))
+    (0 until math.max(t.length - 7, 1))
+      .map(i => t.substring(i, math.min(i + 8, t.length))).toSet
+  }
+
+  /** Sequential match-merge fixpoint with the SAME banded candidacy, mins
+    * recomputed from each merged profile (not folded — the independent
+    * side of the fold-equals-rehash equality).
+    */
+  private def seqSwoosh(toks: Map[Long, Set[String]], thr: Double): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      val profiles = toks.keys.groupBy(find).map { case (e, members) =>
+        e -> members.map(toks).reduce(_ ++ _)
+      }
+      val buckets = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      profiles.foreach { case (e, p) =>
+        bandsOf(minsOf(p)).foreach(bk =>
+          buckets.getOrElseUpdate(bk, scala.collection.mutable.ArrayBuffer.empty) += e)
+      }
+      val cand = buckets.values.flatMap(es =>
+        for (i <- es.indices; j <- (i + 1) until es.size)
+          yield (math.min(es(i), es(j)), math.max(es(i), es(j)))).toSet
+      cand.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb && jac(profiles(ra), profiles(rb)) >= thr) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          changed = true
+        }
+      }
+    }
+    toks.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("merge-closure witness: C joins only through the merged A|B profile") {
+    val shared = (0 until 60).map(i => f"sh$i%02d")
+    val aOnly = (0 until 20).map(i => f"ax$i%02d")
+    val bOnly = (0 until 20).map(i => f"bx$i%02d")
+    val A = (shared ++ aOnly).toSet
+    val B = (shared ++ bOnly).toSet
+    val C = (aOnly ++ bOnly ++ shared.take(39)).toSet
+    val U = A ++ B
+    val thr = 0.6
+    // the arithmetic that makes this the differentiating case:
+    assert(jac(A, B) >= thr, "A and B must match pairwise")
+    assert(jac(A, C) < thr && jac(B, C) < thr,
+      "C must match NEITHER base record — CC over one-shot edges leaves it out")
+    assert(jac(U, C) >= thr, "C must match the merged profile")
+    // banded candidacy must surface both the round-1 and the round-2 pair
+    // (deterministic given the fixed token strings; loud if the fixture drifts)
+    assert((bandsOf(minsOf(A)) & bandsOf(minsOf(B))).nonEmpty,
+      "fixture: A-B must share a MinHash band")
+    assert((bandsOf(minsOf(U)) & bandsOf(minsOf(C))).nonEmpty,
+      "fixture: (A|B)-C must share a MinHash band")
+
+    implicit val s = spark
+    import s.implicits._
+    val docToks = Seq(1L -> A, 2L -> B, 3L -> C)
+      .map { case (id, t) => (id, t.toSeq.sorted) }.toDF("doc_id", "toks")
+    val docMins = Seq(1L -> A, 2L -> B, 3L -> C)
+      .map { case (id, t) => (id, minsOf(t)) }.toDF("doc_id", "mins")
+    val got = Swoosh.resolve(docToks, docMins, thr)(s)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "the fixpoint must pull C into the merged entity")
+    assert(got === seqSwoosh(Map(1L -> A, 2L -> B, 3L -> C), thr))
+  }
+
+  test("q_swoosh equals the sequential banded fixpoint on sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_swoosh")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    assert(got === seqSwoosh(toks, 0.8))
+  }
+}
