@@ -24,19 +24,31 @@ import org.apache.spark.sql.functions._
   * exact Jaccard of the entity token sets at `thr`, verified on the
   * banded candidates only.
   *
-  * Scale shape per round: the token relation is the exploded
-  * (entity_id, token) distinct pairs — O(corpus tokens), map-side
-  * combined; the band self-join carries only (entity_id, band key); the
-  * Jaccard verify runs on candidate pairs (O(N·bucket)); merging is
-  * [[Components.connectedComponents]] over the match edges (≪ corpus).
-  * Entity count strictly decreases every non-final round, and real
-  * corpora converge in 1-3 rounds; a non-converged `maxRounds` fails
-  * loudly rather than returning a silent partial fixpoint.
+  * Rounds after the first are DELTA rounds (the D-Swoosh work-restriction
+  * insight): only candidate pairs involving an entity CHANGED by the
+  * previous round's merges are scored. This is lossless by induction —
+  * a pair of entities both unchanged since round k has the same band keys
+  * and profiles it had at round k, where it either shared no band (still
+  * does not) or was scored and failed (still fails) — so each delta round
+  * costs O(changed × bucket) instead of O(corpus × bucket). Per-entity
+  * state (token relation, sizes, band keys) is maintained incrementally:
+  * merged entities are dropped with a broadcast anti-join on the (small)
+  * merge mapping and re-derived only for the changed ids.
+  *
+  * Scale shape: the token relation is the exploded (entity_id, token)
+  * distinct pairs — O(corpus tokens), map-side combined; the band join
+  * carries only (entity_id, band key); the Jaccard verify runs on
+  * candidate pairs (O(N·bucket) in round 1, O(changed·bucket) after);
+  * merging is [[Components.connectedComponents]] over the match edges
+  * (≪ corpus). Entity count strictly decreases every non-final round,
+  * and real corpora converge in 1-3 rounds; a non-converged `maxRounds`
+  * fails loudly rather than returning a silent partial fixpoint.
   */
 object Swoosh {
 
-  /** @param docToks (doc_id, toks: array<string>) distinct token/shingle
-    *                sets — the mergeable profile
+  /** @param docToks (doc_id, toks: array<string>) token/shingle sets —
+    *                the mergeable profile (duplicate tokens tolerated;
+    *                deduped on ingest)
     * @param docMins (doc_id, mins: array<long>) the 12 MinHash minima the
     *                banded blocking layer derives (3 rows × 4 bands,
     *                SparkEntry.sBandKeys order)
@@ -47,54 +59,79 @@ object Swoosh {
   def resolve(docToks: DataFrame, docMins: DataFrame, thr: Double,
               maxRounds: Int = 10)(implicit spark: SparkSession): DataFrame = {
     val toksRel = docToks
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), explode(col("toks")).as("tok")).distinct()
       .localCheckpoint(true)
     val minsRel = docMins
       .select(col("doc_id"), posexplode(col("mins")).as(Seq("pos", "m")))
       .localCheckpoint(true)
 
-    var assign = docToks.select(col("doc_id"), col("doc_id").as("entity_id"))
-      .localCheckpoint(true)
-    var rounds = 0
-    var done = false
-    while (!done) {
-      require(rounds < maxRounds,
-        s"Swoosh.resolve: no fixpoint after $maxRounds rounds")
-      val eToks = assign.join(toksRel, "doc_id")
-        .select(col("entity_id"), col("tok")).distinct()
-        .localCheckpoint(true)
-      val sizes = eToks.groupBy("entity_id").agg(count(lit(1)).as("n"))
-      // entity signature = elementwise min over member docs' mins
+    def bandKeysOf(entityDocs: DataFrame): DataFrame = {
       val minCols = (0 until 12).map(j =>
         min(when(col("pos") === j, col("m"))).as(s"m$j"))
-      val eBands = assign.join(minsRel, "doc_id")
+      entityDocs.join(minsRel, "doc_id")
         .groupBy("entity_id")
         .agg(minCols.head, minCols.tail: _*)
         .select(col("entity_id"), explode(array((0 until 4).map(b =>
           concat_ws(":", lit(b), col(s"m${3 * b}"), col(s"m${3 * b + 1}"),
             col(s"m${3 * b + 2}"))): _*)).as("bk"))
-      val cand = eBands.select(col("entity_id").as("a"), col("bk"))
-        .join(eBands.select(col("entity_id").as("b"), col("bk")), Seq("bk"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+    }
+
+    var assign = docToks.select(col("doc_id"), col("doc_id").as("entity_id"))
+      .localCheckpoint(true)
+    // per-entity state, maintained incrementally across rounds
+    var eToks = toksRel.select(col("doc_id").as("entity_id"), col("tok"))
+      .localCheckpoint(true)
+    var eSizes = eToks.groupBy("entity_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    var eBands = bandKeysOf(assign).localCheckpoint(true)
+    // entities whose profile changed since last scored: round 1 = all
+    var changedBands = eBands
+
+    var rounds = 0
+    var done = false
+    while (!done) {
+      require(rounds < maxRounds,
+        s"Swoosh.resolve: no fixpoint after $maxRounds rounds")
+      val cand = changedBands.select(col("entity_id").as("x"), col("bk"))
+        .join(eBands.select(col("entity_id").as("y"), col("bk")), Seq("bk"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct()
       val matches = cand
         .join(eToks.select(col("entity_id").as("a"), col("tok")), Seq("a"))
         .join(eToks.select(col("entity_id").as("b"), col("tok")), Seq("b", "tok"))
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("entity_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("entity_id").as("b"), col("n").as("nb")), "b")
+        .join(eSizes.select(col("entity_id").as("a"), col("n").as("na")), "a")
+        .join(eSizes.select(col("entity_id").as("b"), col("n").as("nb")), "b")
         .filter(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")) >= thr)
         .select(col("a").as("src"), col("b").as("dst"))
         .localCheckpoint(true)
       if (matches.isEmpty) done = true
       else {
-        val merged = Components.connectedComponents(matches)
+        // old entity id → merged entity id, for matched components only
+        val mapping = Components.connectedComponents(matches)
           .select(col("doc_id").as("entity_id"), col("cluster_id"))
-        assign = assign.join(merged, Seq("entity_id"), "left")
+          .localCheckpoint(true)
+        assign = assign.join(mapping, Seq("entity_id"), "left")
           .select(col("doc_id"),
             coalesce(col("cluster_id"), col("entity_id")).as("entity_id"))
           .localCheckpoint(true)
+        val changed = mapping.select(col("cluster_id").as("entity_id")).distinct()
+        val changedDocs = assign.join(changed, Seq("entity_id"))
+          .select("entity_id", "doc_id")
+        val oldIds = mapping.select("entity_id")
+        val chToks = changedDocs.join(toksRel, "doc_id")
+          .select(col("entity_id"), col("tok")).distinct()
+        eToks = eToks.join(oldIds, Seq("entity_id"), "left_anti")
+          .union(chToks).localCheckpoint(true)
+        eSizes = eSizes.join(oldIds, Seq("entity_id"), "left_anti")
+          .union(chToks.groupBy("entity_id").agg(count(lit(1)).as("n")))
+          .localCheckpoint(true)
+        changedBands = bandKeysOf(changedDocs).localCheckpoint(true)
+        eBands = eBands.join(oldIds, Seq("entity_id"), "left_anti")
+          .union(changedBands).localCheckpoint(true)
       }
       rounds += 1
     }

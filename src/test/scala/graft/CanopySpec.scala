@@ -13,16 +13,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CanopySpec extends AnyFunSuite with SparkTestBase {
 
-  private def seqCanopy(loose: Seq[(String, String)], tight: Seq[(String, String)],
-                        universe: Seq[String]): Set[(String, String)] = {
-    def adj(es: Seq[(String, String)]): Map[String, Set[String]] =
+  private def seqCanopy[T: Ordering](loose: Seq[(T, T)], tight: Seq[(T, T)],
+                                     universe: Seq[T]): Set[(T, T)] = {
+    def adj(es: Seq[(T, T)]): Map[T, Set[T]] =
       (es.flatMap { case (a, b) => Seq(a -> b, b -> a) })
         .filter { case (a, b) => a != b }
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
     val la = adj(loose)
     val ta = adj(tight)
     val pool = scala.collection.mutable.SortedSet(universe: _*)
-    val out = scala.collection.mutable.Set.empty[(String, String)]
+    val out = scala.collection.mutable.Set.empty[(T, T)]
     while (pool.nonEmpty) {
       val c = pool.head
       out += ((c, c))
@@ -78,6 +78,34 @@ class CanopySpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set(("a", "a"), ("a", "b"), ("c", "c"), ("c", "b"),
       ("d", "d"), ("d", "b")))
     assert(got === seqCanopy(loose, tight, Seq("a", "b", "c", "d")))
+  }
+
+  test("q_canopy equals the sequential greedy over independently derived band edges (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> BandMirror.bandsOf(
+        BandMirror.minsOf(BandMirror.shingles(r.getString(1))))).toMap
+    // pair → number of shared position-tagged band keys, via bucket expansion
+    val buckets = docs.toSeq.flatMap { case (id, bks) => bks.map(_ -> id) }
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val shared = scala.collection.mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+    buckets.foreach { ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.size)
+        shared((ids(i), ids(j))) += 1
+    }
+    val loose = shared.keys.toSeq
+    // iterator first: .collect on a Map yielding tuples would REBUILD a
+    // map and silently collapse edges sharing a first endpoint
+    val tight = shared.iterator.collect { case (p, n) if n >= 2 => p }.toSeq
+    val expected = seqCanopy(loose, tight, docs.keys.toSeq)
+      .groupBy(_._1).map { case (c, ms) =>
+        val sorted = ms.map(_._2).toSeq.sorted
+        (c, sorted.size.toLong, sorted.mkString(","))
+      }.filter(_._2 > 1L).toSet
+    val got = SparkEntry.queries("q_canopy")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === expected)
   }
 
   test("tight-isolated universe docs become singleton canopies") {

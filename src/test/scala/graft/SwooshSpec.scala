@@ -13,35 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SwooshSpec extends AnyFunSuite with SparkTestBase {
 
-  // ---- kernel mirror (the shared band-key definition, reimplemented) ----
-
-  private def h28(tok: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(tok.getBytes("UTF-8"))
-    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-      ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
-  }
-
-  private def minsOf(toks: Iterable[String]): IndexedSeq[Long] = {
-    val hs = toks.map(h28).toArray
-    SparkEntry.SBandAB.map { case (a, b) =>
-      hs.iterator.map(h => (a * h + b) % SparkEntry.SBandP).min
-    }
-  }
-
-  private def bandsOf(mins: IndexedSeq[Long]): Set[String] =
-    (0 until 4).map(b => s"$b:${mins(3 * b)}:${mins(3 * b + 1)}:${mins(3 * b + 2)}").toSet
-
-  private def jac(a: Set[String], b: Set[String]): Double = {
-    val i = (a & b).size
-    i.toDouble / (a.size + b.size - i)
-  }
-
-  private def shingles(text: String): Set[String] = {
-    val t = text.substring(0, math.min(120, text.length))
-    (0 until math.max(t.length - 7, 1))
-      .map(i => t.substring(i, math.min(i + 8, t.length))).toSet
-  }
+  import BandMirror.{bandsOf, jac, minsOf, shingles}
 
   /** Sequential match-merge fixpoint with the SAME banded candidacy, mins
     * recomputed from each merged profile (not folded — the independent
