@@ -49,60 +49,31 @@ object Canopy {
   def canopies(loose: DataFrame, tight: DataFrame, universe: DataFrame,
                maxIterations: Int = 100, driverCutoff: Long = 200000)(
       implicit spark: SparkSession): DataFrame = {
-    val normT = norm(tight).localCheckpoint(true)
+    val normT = Components.normEdges(tight).localCheckpoint(true)
+    // driver fast path: a node is its own center in the sequential greedy
+    // exactly when it is in the lex-first MIS, so the center-clustering
+    // driver greedy doubles as the MIS kernel (CanopySpec asserts the two
+    // paths equal)
     val misCenters =
-      if (normT.count() <= driverCutoff) driverMis(normT)
-      else Components.lexFirstMis(sym(normT), maxIterations)
+      if (normT.count() <= driverCutoff)
+        Components.driverCenter(normT)
+          .filter(col("doc_id") === col("center_id")).select(col("doc_id").as("c"))
+      else Components.lexFirstMis(Components.symmetrize(normT), maxIterations)
     val tightNodes = normT.select(col("src").as("doc_id"))
       .union(normT.select(col("dst").as("doc_id"))).distinct()
     val centers = misCenters.select(col("c").as("canopy_id"))
       .union(universe.join(tightNodes, Seq("doc_id"), "left_anti")
         .select(col("doc_id").as("canopy_id")))
       .localCheckpoint(true)
-    val members = sym(norm(loose))
+    // membership edges include the tight set, so a tight edge a caller
+    // failed to mirror into `loose` still lands its doc in the removing
+    // center's canopy (T2 < T1 semantically ⇒ tight-close IS loose-close)
+    // instead of silently dropping it from every canopy
+    val members = Components.symmetrize(Components.normEdges(loose.union(tight)))
       .join(centers, col("u") === col("canopy_id"))
       .select(col("canopy_id"), col("v").as("doc_id"))
     centers.select(col("canopy_id"), col("canopy_id").as("doc_id"))
       .union(members)
       .distinct()
-  }
-
-  private def norm(e: DataFrame): DataFrame = e
-    .select(least(col("src"), col("dst")).as("src"),
-      greatest(col("src"), col("dst")).as("dst"))
-    .filter(col("src") =!= col("dst"))
-    .distinct()
-
-  private def sym(e: DataFrame): DataFrame =
-    e.select(col("src").as("u"), col("dst").as("v"))
-      .union(e.select(col("dst").as("u"), col("src").as("v")))
-
-  /** Driver fast path for small tight-edge sets: the sequential greedy MIS
-    * itself (ascending id; u joins iff no smaller adjacent member) —
-    * identical to the distributed peel's fixpoint, without its
-    * per-iteration shuffle floor. CanopySpec asserts the two paths equal.
-    */
-  private def driverMis(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    val arr = e.select("src", "dst").collect()
-    val adj = scala.collection.mutable.HashMap
-      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
-    arr.foreach { r =>
-      adj.getOrElseUpdate(r.get(0), scala.collection.mutable.ArrayBuffer.empty) += r.get(1)
-      adj.getOrElseUpdate(r.get(1), scala.collection.mutable.ArrayBuffer.empty) += r.get(0)
-    }
-    val nodes = adj.keys.toArray
-      .sortWith(_.asInstanceOf[Comparable[Any]].compareTo(_) < 0)
-    val inMis = scala.collection.mutable.LinkedHashSet.empty[Any]
-    val removed = scala.collection.mutable.HashSet.empty[Any]
-    nodes.foreach { u =>
-      if (!removed.contains(u)) {
-        inMis += u
-        adj(u).foreach(removed += _)
-      }
-    }
-    val out = new java.util.ArrayList[org.apache.spark.sql.Row](inMis.size)
-    inMis.foreach(c => out.add(org.apache.spark.sql.Row(c)))
-    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("c", e.schema("src").dataType))))
   }
 }

@@ -31,15 +31,24 @@ object Components {
     * duplicate graph is a few thousand edges. At the 10¹²-doc design point
     * the distributed star iterations below are the path taken.
     */
+  /** Undirected-edge normal form: (min, max) endpoints, self-loops
+    * dropped, deduped — the shared head of every graph operator here.
+    */
+  private[pipeline] def normEdges(e: DataFrame): DataFrame = e
+    .select(least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst"))
+    .filter(col("src") =!= col("dst"))
+    .distinct()
+
+  /** Both orientations of a normalized edge set, as (u, v). */
+  private[pipeline] def symmetrize(e: DataFrame): DataFrame =
+    e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
                           driverCutoff: Long = 200000)(
       implicit spark: SparkSession): DataFrame = {
-    var e = edges
-      .select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    var e = normEdges(edges).localCheckpoint(true)
 
     if (e.count() <= driverCutoff) return driverUnionFind(e)
 
@@ -99,17 +108,10 @@ object Components {
   def centerClusters(edges: DataFrame, maxIterations: Int = 100,
                      driverCutoff: Long = 200000)(
       implicit spark: SparkSession): DataFrame = {
-    val norm = edges
-      .select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    val norm = normEdges(edges).localCheckpoint(true)
     if (norm.count() <= driverCutoff) return driverCenter(norm)
 
-    val symAll = norm.select(col("src").as("u"), col("dst").as("v"))
-      .union(norm.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint(true)
+    val symAll = symmetrize(norm).localCheckpoint(true)
     val centersAll = lexFirstMis(symAll, maxIterations)
     // adjacent centers are impossible (MIS), so grouping the center-side
     // edges by the other endpoint enumerates exactly the non-centers
@@ -166,8 +168,11 @@ object Components {
       .localCheckpoint(true)
   }
 
-  /** The definition itself: sequential greedy by ascending id. */
-  private def driverCenter(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  /** The definition itself: sequential greedy by ascending id. A node is
+    * its own center exactly when it is in the lex-first MIS, so
+    * [[Canopy]]'s driver fast path reuses this for the center set.
+    */
+  private[pipeline] def driverCenter(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val arr = e.select("src", "dst").collect()
     val adj = scala.collection.mutable.HashMap
       .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
@@ -191,8 +196,7 @@ object Components {
     * min(Γ(u) ∪ {u}).
     */
   private[pipeline] def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.select(col("src").as("u"), col("dst").as("v"))
-      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val sym = symmetrize(e)
     val w = Window.partitionBy("u")
     sym.withColumn("m", least(min(col("v")).over(w), col("u")))
       .filter(col("v") > col("u"))

@@ -83,7 +83,14 @@ object Swoosh {
       .localCheckpoint(true)
     var eSizes = eToks.groupBy("entity_id").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
-    var eBands = bandKeysOf(assign).localCheckpoint(true)
+    // round-1 entities are single docs: band keys come straight off each
+    // mins array (narrow map) — the posexplode+groupBy fold in bandKeysOf
+    // is only needed once entities hold several docs
+    var eBands = docMins.select(col("doc_id").as("entity_id"),
+        explode(array((0 until 4).map(b => concat_ws(":", lit(b),
+          element_at(col("mins"), 3 * b + 1), element_at(col("mins"), 3 * b + 2),
+          element_at(col("mins"), 3 * b + 3))): _*)).as("bk"))
+      .localCheckpoint(true)
     // entities whose profile changed since last scored: round 1 = all
     var changedBands = eBands
 

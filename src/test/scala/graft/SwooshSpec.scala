@@ -40,9 +40,16 @@ class SwooshSpec extends AnyFunSuite with SparkTestBase {
       val cand = buckets.values.flatMap(es =>
         for (i <- es.indices; j <- (i + 1) until es.size)
           yield (math.min(es(i), es(j)), math.max(es(i), es(j)))).toSet
-      cand.foreach { case (a, b) =>
+      // score ALL candidates on round-start profiles FIRST, then merge —
+      // mutating the union-find while scoring would make the oracle
+      // iteration-order-dependent and unfaithful to the library's
+      // CC-over-round-matches semantics
+      val matched = cand.filter { case (a, b) =>
+        jac(profiles(a), profiles(b)) >= thr
+      }
+      matched.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb && jac(profiles(ra), profiles(rb)) >= thr) {
+        if (ra != rb) {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
           changed = true
         }
