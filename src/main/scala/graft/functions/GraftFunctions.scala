@@ -222,5 +222,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // naive O(N²) Hamming cross joins → Manku band equi-join (lossless
     // for thresholds ≤ 7); see graft.plans.HammingJoinRule
     ext.injectOptimizerRule(_ => graft.plans.HammingJoinRule)
+    // naive O(N²) set-overlap/Jaccard cross joins → element equi-join
+    // (lossless: overlap ≥ k ≥ 1 / ratio > 0 imply a shared element);
+    // see graft.plans.SetOverlapJoinRule
+    ext.injectOptimizerRule(_ => graft.plans.SetOverlapJoinRule)
   }
 }

@@ -1,0 +1,167 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.First
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: a set-similarity join written the naive way —
+  *
+  * {{{
+  * a.crossJoin(b).filter(size(array_intersect(ta, tb)) >= k)        // k ≥ 1
+  * a.crossJoin(b).filter(inter / (size(ta)+size(tb)-inter) >= t)    // t > 0
+  * }}}
+  *
+  * — plans as a cartesian nested loop (O(N²) at any cluster size). Both
+  * predicates IMPLY at least one shared element (overlap ≥ k ≥ 1
+  * directly; a ratio whose numerator is the intersection size can only
+  * clear a positive threshold when the intersection is non-empty — the
+  * denominator's sign is irrelevant since a non-positive quotient fails
+  * the test and 0-denominator division is NULL). So the EXACT rewrite:
+  * explode each side's (deduplicated) element set, equi-join on the
+  * element — null-safe, because `array_intersect` counts a null present
+  * on both sides — and keep the ORIGINAL predicate as the residual.
+  * Candidacy is lossless for any such conjunct; joins without one are
+  * left untouched.
+  *
+  * Multiplicity: a pair can share several elements, so each side is
+  * tagged with `monotonically_increasing_id()` below the explode and the
+  * join is grouped back on the two ids (the same First-per-payload
+  * construction as [[HammingJoinRule]]).
+  *
+  * Scale shape: the cartesian O(N²) becomes O(Σ_token df(token)²) — the
+  * token equi-join hash-partitions across the cluster. A degenerate
+  * stop-token (df ≈ N) degrades back to O(N²) pairs; the manual route for
+  * adversarial frequency skew is the df-ordered PPJoin prefix filter
+  * (SparkEntry.exactShinglePairs), which this rule deliberately does not
+  * attempt — a rewrite must be semantics-preserving on every input, and
+  * the prefix filter's global df ordering is a two-pass plan.
+  *
+  * Guards: Inner/Cross joins whose condition has NO equi-conjunct
+  * (anything with an equality key already hash-partitions; the rewritten
+  * join gains one, making the rule a fixpoint), array element type
+  * atomic, each array expression referencing exactly one join side.
+  * Injected by [[graft.functions.GraftExtensions]].
+  */
+object SetOverlapJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case j @ Join(left, right, Inner | Cross, Some(cond), _)
+        if left.resolved && right.resolved =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hasEqui = conjuncts.exists {
+        case EqualTo(l, r) => separable(l, r, left, right).isDefined
+        case EqualNullSafe(l, r) => separable(l, r, left, right).isDefined
+        case _ => false
+      }
+      val overlap =
+        if (hasEqui) None
+        else conjuncts.view.flatMap(matchOverlap(_, left, right)).headOption
+      overlap match {
+        case Some((ta, tb)) => rewrite(j, ta, tb)
+        case None => j
+      }
+  }
+
+  private def separable(a: Expression, b: Expression,
+                        left: LogicalPlan, right: LogicalPlan): Option[(Expression, Expression)] = {
+    def side(e: Expression): Option[Boolean] =
+      if (e.references.nonEmpty && e.references.subsetOf(left.outputSet)) Some(true)
+      else if (e.references.nonEmpty && e.references.subsetOf(right.outputSet)) Some(false)
+      else None
+    (side(a), side(b)) match {
+      case (Some(true), Some(false)) => Some((a, b))
+      case (Some(false), Some(true)) => Some((b, a))
+      case _ => None
+    }
+  }
+
+  @scala.annotation.tailrec
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case _ => e
+  }
+
+  private object NumLit {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v: Int, _) => Some(v.toDouble)
+      case Literal(v: Long, _) => Some(v.toDouble)
+      case Literal(v: Float, _) => Some(v.toDouble)
+      case Literal(v: Double, _) => Some(v)
+      case Literal(v: Decimal, _) => Some(v.toDouble)
+      case _ => None
+    }
+  }
+
+  /** The intersection-size expression at the root of `e` (casts stripped;
+    * for a ratio, the numerator), as the separable (left, right) arrays
+    * with an atomic element type.
+    */
+  private def intersectArrays(e: Expression, left: LogicalPlan,
+                              right: LogicalPlan): Option[(Expression, Expression)] =
+    stripCast(e) match {
+      case s: Size => s.child match {
+        case ai: ArrayIntersect =>
+          separable(ai.left, ai.right, left, right).filter { case (a, _) =>
+            // join-key-safe element types only: no nested/map types, and no
+            // floats (array_intersect's NaN/-0.0 handling differs from
+            // join-key equality)
+            a.dataType.asInstanceOf[ArrayType].elementType match {
+              case StringType | BooleanType | ByteType | ShortType |
+                   IntegerType | LongType | DateType | TimestampType |
+                   _: DecimalType => true
+              case _ => false
+            }
+          }
+        case _ => None
+      }
+      case d: Divide => intersectArrays(d.left, left, right)
+      case _ => None
+    }
+
+  /** Matches a conjunct whose truth implies size(array_intersect) ≥ 1:
+    * `expr >= lo` with lo > 0, or `expr > lo` with lo ≥ 0, either operand
+    * order, where expr is the (possibly cast/ratio-wrapped) intersection
+    * size. The intersection size is a non-negative integer and a ratio of
+    * it clears a positive bound only when it is non-zero.
+    */
+  private def matchOverlap(e: Expression, left: LogicalPlan,
+                           right: LogicalPlan): Option[(Expression, Expression)] = {
+    def pos(x: Expression, lo: Double, strict: Boolean): Option[(Expression, Expression)] =
+      if ((strict && lo >= 0) || (!strict && lo > 0)) intersectArrays(x, left, right)
+      else None
+    e match {
+      case GreaterThanOrEqual(x, NumLit(lo)) => pos(x, lo, strict = false)
+      case GreaterThan(x, NumLit(lo)) => pos(x, lo, strict = true)
+      case LessThanOrEqual(NumLit(lo), x) => pos(x, lo, strict = false)
+      case LessThan(NumLit(lo), x) => pos(x, lo, strict = true)
+      case _ => None
+    }
+  }
+
+  /** child → (plan with id + exploded distinct element, idAttr, keyAttr) */
+  private def banded(child: LogicalPlan, arr: Expression,
+                     tag: String): (LogicalPlan, Attribute, Attribute) = {
+    val idAlias = Alias(MonotonicallyIncreasingID(), s"__graft_oj_id_$tag")()
+    val withId = Project(child.output :+ idAlias, child)
+    val at = arr.dataType.asInstanceOf[ArrayType]
+    val keyAttr = AttributeReference(s"__graft_oj_key_$tag", at.elementType,
+      nullable = at.containsNull)()
+    val gen = Generate(Explode(ArrayDistinct(arr)), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(keyAttr), child = withId)
+    (gen, idAlias.toAttribute, keyAttr)
+  }
+
+  private def rewrite(j: Join, ta: Expression, tb: Expression): LogicalPlan = {
+    val (genL, idL, keyL) = banded(j.left, ta, "l")
+    val (genR, idR, keyR) = banded(j.right, tb, "r")
+    val joined = Join(genL, genR, Inner,
+      Some(And(EqualNullSafe(keyL, keyR), j.condition.get)), j.hint)
+    val aggCols = (idL :: idR :: Nil) ++ j.output.map { a =>
+      Alias(First(a, ignoreNulls = false).toAggregateExpression(), a.name)(exprId = a.exprId)
+    }
+    Project(j.output, Aggregate(Seq(idL, idR), aggCols, joined))
+  }
+}
