@@ -204,17 +204,27 @@ object SparkEntry {
         lit(thr / (1.0 + thr)) * (col("na") + col("nb")) - lit(1e-9))
       .select("a", "b")
 
-  private[graft] def exactShinglePairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
-    val d = docsTable(s, dir).select(col("doc_id"), shingleSet(col("text")).as("toks"))
-    positionalCandidates(shinglePrefix(d, thr), thr)
-      .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
-      .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
-      .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
-      .withColumn("jac", round(col("inter").cast("double") /
-        (size(col("tA")) + size(col("tB")) - col("inter")), 6))
-      .filter(col("jac") >= thr)
-      .select("a", "b", "jac")
-  }
+  /** Memoized per (session, dir, thr) and localCheckpoint-pinned: the
+    * PPJoin is the shared truth generator for q_prefix_join (0.8) and the
+    * q_er_f1 / q_bcubed / q_strategy_f1 evaluation family (0.9) — without
+    * the pin each consumer re-ran the full prefix+verify derivation
+    * (~6 s each at sf0.1, three times per bench sweep).
+    */
+  private val exactPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
+  private[graft] def exactShinglePairs(s: SparkSession, dir: String, thr: Double): DataFrame =
+    exactPairsCache.getOrElseUpdate((s.sparkContext.applicationId, dir, thr), {
+      val d = docsTable(s, dir).select(col("doc_id"), shingleSet(col("text")).as("toks"))
+      positionalCandidates(shinglePrefix(d, thr), thr)
+        .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
+        .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
+        .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
+        .withColumn("jac", round(col("inter").cast("double") /
+          (size(col("tA")) + size(col("tB")) - col("inter")), 6))
+        .filter(col("jac") >= thr)
+        .select("a", "b", "jac")
+        .localCheckpoint(true)
+    })
 
   /** ONE pinned band relation per (session, table dir): the exploded
     * (doc_id, band key) rows, localCheckpoint-materialized so every

@@ -92,6 +92,48 @@ class SwooshSpec extends AnyFunSuite with SparkTestBase {
     assert(got === seqSwoosh(Map(1L -> A, 2L -> B, 3L -> C), thr))
   }
 
+  test("three-round chain: each merge unlocks exactly the next match") {
+    // D1–D2 match pairwise; D3 matches only U12 = D1∪D2; D4 matches only
+    // U123 (it needs D3's c1 token to clear the bound) — so the fixpoint
+    // takes three merge rounds, exercising the delta-round state updates
+    // (anti-join + re-derive) repeatedly, and every pairwise base
+    // comparison other than D1–D2 fails.
+    // the "s9" prefix is a searched seed: it makes all three rounds'
+    // band-candidacy assertions below hold for these fixed token strings
+    val a = (1 to 10).map(i => f"s9-a$i%02d")
+    val b = (1 to 3).map(i => f"s9-b$i%02d")
+    val c1 = "s9-c01"
+    val D1 = a.toSet
+    val D2 = (a.take(7) ++ b).toSet
+    val D3 = (a.drop(4) ++ b ++ Seq(c1)).toSet // a5..a10, b1..b3, c1
+    val D4 = Set(c1, a(0), a(1), a(6), a(7), b(0), b(1))
+    val U12 = D1 ++ D2
+    val U123 = U12 ++ D3
+    val thr = 0.5
+    // the round structure this fixture encodes:
+    assert(jac(D1, D2) >= thr)
+    for ((x, y) <- Seq((D1, D3), (D2, D3), (D1, D4), (D2, D4), (D3, D4)))
+      assert(jac(x, y) < thr, "pairwise base comparisons must fail")
+    assert(jac(U12, D3) >= thr, "round 2: D3 joins the merged U12")
+    assert(jac(U12, D4) < thr, "D4 must NOT match before D3's merge")
+    assert(jac(U123, D4) >= thr, "round 3: D4 joins U123")
+    // banded candidacy must surface each round's pair (deterministic for
+    // the fixed token strings; loud if the fixture drifts)
+    assert((bandsOf(minsOf(D1)) & bandsOf(minsOf(D2))).nonEmpty, "r1 candidacy")
+    assert((bandsOf(minsOf(U12)) & bandsOf(minsOf(D3))).nonEmpty, "r2 candidacy")
+    assert((bandsOf(minsOf(U123)) & bandsOf(minsOf(D4))).nonEmpty, "r3 candidacy")
+
+    implicit val s = spark
+    import s.implicits._
+    val sets = Seq(1L -> D1, 2L -> D2, 3L -> D3, 4L -> D4)
+    val docToks = sets.map { case (id, t) => (id, t.toSeq.sorted) }.toDF("doc_id", "toks")
+    val docMins = sets.map { case (id, t) => (id, minsOf(t)) }.toDF("doc_id", "mins")
+    val got = Swoosh.resolve(docToks, docMins, thr)(s)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(got === seqSwoosh(sets.toMap, thr))
+  }
+
   test("q_swoosh equals the sequential banded fixpoint on sf0.01") {
     val dir = "/root/testdata/sf0.01"
     val got = SparkEntry.queries("q_swoosh")(spark, dir)
