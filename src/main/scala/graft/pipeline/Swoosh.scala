@@ -30,10 +30,8 @@ import org.apache.spark.sql.functions._
   * a pair of entities both unchanged since round k has the same band keys
   * and profiles it had at round k, where it either shared no band (still
   * does not) or was scored and failed (still fails) — so each delta round
-  * costs O(changed × bucket) instead of O(corpus × bucket). Per-entity
-  * state (token relation, sizes, band keys) is maintained incrementally:
-  * merged entities are dropped with a broadcast anti-join on the (small)
-  * merge mapping and re-derived only for the changed ids.
+  * costs O(changed × bucket) instead of O(corpus × bucket), in both the
+  * candidate join and the on-demand profile derivation.
   *
   * Scale shape: the token relation is the exploded (entity_id, token)
   * distinct pairs — O(corpus tokens), map-side combined; the band join
@@ -57,7 +55,8 @@ object Swoosh {
     *         min member doc_id
     */
   def resolve(docToks: DataFrame, docMins: DataFrame, thr: Double,
-              maxRounds: Int = 10)(implicit spark: SparkSession): DataFrame = {
+              maxRounds: Int = 10, logRounds: Boolean = false)(
+      implicit spark: SparkSession): DataFrame = {
     val toksRel = docToks
       .select(col("doc_id"), explode(col("toks")).as("tok")).distinct()
       .localCheckpoint(true)
@@ -78,11 +77,6 @@ object Swoosh {
 
     var assign = docToks.select(col("doc_id"), col("doc_id").as("entity_id"))
       .localCheckpoint(true)
-    // per-entity state, maintained incrementally across rounds
-    var eToks = toksRel.select(col("doc_id").as("entity_id"), col("tok"))
-      .localCheckpoint(true)
-    var eSizes = eToks.groupBy("entity_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
     // round-1 entities are single docs: band keys come straight off each
     // mins array (narrow map) — the posexplode+groupBy fold in bandKeysOf
     // is only needed once entities hold several docs
@@ -99,22 +93,41 @@ object Swoosh {
     while (!done) {
       require(rounds < maxRounds,
         s"Swoosh.resolve: no fixpoint after $maxRounds rounds")
+      // pinned: feeds the candidate-entity scope, the verify join, and
+      // the optional census
       val cand = changedBands.select(col("entity_id").as("x"), col("bk"))
         .join(eBands.select(col("entity_id").as("y"), col("bk")), Seq("bk"))
         .filter(col("x") =!= col("y"))
         .select(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b"))
         .distinct()
+        .localCheckpoint(true)
+      // entity token profiles ON DEMAND, restricted to this round's
+      // candidate entities — the only rows whose exact profiles matter.
+      // No token state is maintained across rounds: the doc-level token
+      // relation is immutable, so a candidate entity's profile is one
+      // semi-join + distinct away, and delta rounds touch O(changed ×
+      // bucket) token rows instead of re-checkpointing O(corpus tokens)
+      val candEnts = cand.select(col("a").as("entity_id"))
+        .union(cand.select(col("b").as("entity_id"))).distinct()
+      val scopedToks = assign.join(candEnts, Seq("entity_id"), "left_semi")
+        .join(toksRel, "doc_id")
+        .select(col("entity_id"), col("tok")).distinct()
+        .localCheckpoint(true)
+      val scopedSizes = scopedToks.groupBy("entity_id").agg(count(lit(1)).as("n"))
       val matches = cand
-        .join(eToks.select(col("entity_id").as("a"), col("tok")), Seq("a"))
-        .join(eToks.select(col("entity_id").as("b"), col("tok")), Seq("b", "tok"))
+        .join(scopedToks.select(col("entity_id").as("a"), col("tok")), Seq("a"))
+        .join(scopedToks.select(col("entity_id").as("b"), col("tok")), Seq("b", "tok"))
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-        .join(eSizes.select(col("entity_id").as("a"), col("n").as("na")), "a")
-        .join(eSizes.select(col("entity_id").as("b"), col("n").as("nb")), "b")
+        .join(scopedSizes.select(col("entity_id").as("a"), col("n").as("na")), "a")
+        .join(scopedSizes.select(col("entity_id").as("b"), col("n").as("nb")), "b")
         .filter(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")) >= thr)
         .select(col("a").as("src"), col("b").as("dst"))
         .localCheckpoint(true)
+      if (logRounds)
+        println(s"[graft] swoosh round $rounds: ${cand.count()} candidates, " +
+          s"${matches.count()} matches")
       if (matches.isEmpty) done = true
       else {
         // old entity id → merged entity id, for matched components only
@@ -129,13 +142,6 @@ object Swoosh {
         val changedDocs = assign.join(changed, Seq("entity_id"))
           .select("entity_id", "doc_id")
         val oldIds = mapping.select("entity_id")
-        val chToks = changedDocs.join(toksRel, "doc_id")
-          .select(col("entity_id"), col("tok")).distinct()
-        eToks = eToks.join(oldIds, Seq("entity_id"), "left_anti")
-          .union(chToks).localCheckpoint(true)
-        eSizes = eSizes.join(oldIds, Seq("entity_id"), "left_anti")
-          .union(chToks.groupBy("entity_id").agg(count(lit(1)).as("n")))
-          .localCheckpoint(true)
         changedBands = bandKeysOf(changedDocs).localCheckpoint(true)
         eBands = eBands.join(oldIds, Seq("entity_id"), "left_anti")
           .union(changedBands).localCheckpoint(true)
