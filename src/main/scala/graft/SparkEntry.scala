@@ -204,16 +204,38 @@ object SparkEntry {
         lit(thr / (1.0 + thr)) * (col("na") + col("nb")) - lit(1e-9))
       .select("a", "b")
 
+  /** Swoosh input pair — (doc_id, toks) profile sets and (doc_id, mins)
+    * 12-function MinHash minima recovered from the shared band keys — for
+    * a (doc_id, text) relation. Shared by q_swoosh and DiagSwoosh so the
+    * bench-scale census always measures the shipping derivation.
+    */
+  private[graft] def swooshInputs(base: DataFrame): (DataFrame, DataFrame) = {
+    val toks = base.select(col("doc_id"), shingleSet(col("text")).as("toks"))
+    val mins = base.select(col("doc_id"),
+      transform(flatten(transform(sBandKeys(col("text")),
+        b => slice(split(b, ":"), 2, 3))), _.cast("long")).as("mins"))
+    (toks, mins)
+  }
+
   /** Memoized per (session, dir, thr) and localCheckpoint-pinned: the
     * PPJoin is the shared truth generator for q_prefix_join (0.8) and the
     * q_er_f1 / q_bcubed / q_strategy_f1 evaluation family (0.9) — without
     * the pin each consumer re-ran the full prefix+verify derivation
     * (~6 s each at sf0.1, three times per bench sweep).
+    *
+    * Cache contract (same as [[sBandRelation]]): table dirs are IMMUTABLE
+    * within a Spark application — the driver writes each sf dir once —
+    * so entries are never invalidated; rewriting a dir in-session would
+    * serve the pre-rewrite relation. Entries pin checkpoint blocks for
+    * the application's lifetime, bounded by the handful of (dir, thr)
+    * combinations the query surface uses. The first derivation is
+    * serialized so a concurrent first call cannot double-checkpoint and
+    * leak an unreachable pinned copy.
     */
   private val exactPairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
   private[graft] def exactShinglePairs(s: SparkSession, dir: String, thr: Double): DataFrame =
-    exactPairsCache.getOrElseUpdate((s.sparkContext.applicationId, dir, thr), {
+    exactPairsCache.synchronized { exactPairsCache.getOrElseUpdate((s.sparkContext.applicationId, dir, thr), {
       val d = docsTable(s, dir).select(col("doc_id"), shingleSet(col("text")).as("toks"))
       positionalCandidates(shinglePrefix(d, thr), thr)
         .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
@@ -224,7 +246,7 @@ object SparkEntry {
         .filter(col("jac") >= thr)
         .select("a", "b", "jac")
         .localCheckpoint(true)
-    })
+    }) }
 
   /** ONE pinned band relation per (session, table dir): the exploded
     * (doc_id, band key) rows, localCheckpoint-materialized so every
@@ -233,15 +255,17 @@ object SparkEntry {
     * band UDF over the corpus (the persist-the-block-relation treatment
     * the pipeline applies, hoisted to the query surface). Keyed by
     * applicationId so a fresh session recomputes; the cache bounds the
-    * pinned copies at one per dir rather than one per query.
+    * pinned copies at one per dir rather than one per query. Cache
+    * contract as on [[exactShinglePairs]]: table dirs are immutable
+    * within an application; first derivation serialized.
     */
   private val bandRelCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def sBandRelation(s: SparkSession, dir: String): DataFrame =
-    bandRelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+    bandRelCache.synchronized { bandRelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       docsTable(s, dir)
         .select(col("doc_id"), explode(sBandKeys(col("text"))).as("bk"))
-        .localCheckpoint(true))
+        .localCheckpoint(true)) }
 
   /** Candidate (a, b) pairs sharing ≥ 1 band: explode → equi-join →
     * distinct. Payload columns are rejoined by id AFTER the distinct —
@@ -604,11 +628,7 @@ object SparkEntry {
     // rounds never re-hash text. Golden-backed; SwooshSpec re-derives the
     // fixpoint sequentially with brute-force all-pairs matching.
     "q_swoosh" -> ((s, dir) => {
-      val base = docsTable(s, dir)
-      val toks = base.select(col("doc_id"), shingleSet(col("text")).as("toks"))
-      val mins = base.select(col("doc_id"),
-        transform(flatten(transform(sBandKeys(col("text")),
-          b => slice(split(b, ":"), 2, 3))), _.cast("long")).as("mins"))
+      val (toks, mins) = swooshInputs(docsTable(s, dir))
       Swoosh.resolve(toks, mins, 0.8)(s).orderBy("doc_id")
     }),
 

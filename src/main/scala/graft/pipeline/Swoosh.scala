@@ -114,7 +114,10 @@ object Swoosh {
         .join(toksRel, "doc_id")
         .select(col("entity_id"), col("tok")).distinct()
         .localCheckpoint(true)
+      // pinned: feeds both the na and nb join branches — unpinned, the
+      // aggregation over the scoped token relation planned twice
       val scopedSizes = scopedToks.groupBy("entity_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val matches = cand
         .join(scopedToks.select(col("entity_id").as("a"), col("tok")), Seq("a"))
         .join(scopedToks.select(col("entity_id").as("b"), col("tok")), Seq("b", "tok"))

@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 /** Bench-scale evidence for the Swoosh delta rounds: runs the match-merge
   * fixpoint over the deterministic labeled bench corpus (same generator
   * and seed as graft.Bench) and prints per-round candidate/match volumes
-  * plus wall time. The delta-round claim is visible directly: round 2+
-  * candidate counts collapse to O(changed × bucket) while round 1 scans
-  * the full banded candidacy.
+  * plus wall time. The delta-round claim is visible directly: round 1+
+  * candidate counts collapse to O(changed × bucket) while round 0 (as
+  * printed — rounds are 0-based) scans the full banded candidacy.
   *
   *   SWOOSH_ENTITIES=60000 sbt "Test/runMain graft.DiagSwoosh"
   */
@@ -32,10 +32,7 @@ object DiagSwoosh {
       .cache()
     val n = base.count()
 
-    val toks = base.select(col("doc_id"), SparkEntry.shingleSet(col("text")).as("toks"))
-    val mins = base.select(col("doc_id"),
-      transform(flatten(transform(SparkEntry.sBandKeys(col("text")),
-        b => slice(split(b, ":"), 2, 3))), _.cast("long")).as("mins"))
+    val (toks, mins) = SparkEntry.swooshInputs(base) // the shipping derivation
 
     val t0 = System.nanoTime()
     val resolved = Swoosh.resolve(toks, mins, 0.8, logRounds = true)(spark)
