@@ -307,6 +307,46 @@ object SparkEntry {
   private val sBandCond =
     "(l.band0 = r.band0 OR l.band1 = r.band1 OR l.band2 = r.band2 OR l.band3 = r.band3)"
 
+  /** DuckDB mirror of q_pprl: Bloom lanes via bit_or (the 1<<63 case needs
+    * the min-long literal — DuckDB's << raises on overflow), byte-pair
+    * keys, ≥6 vote, Dice scoring. Generated so the 112-key family is
+    * spelled once per engine.
+    */
+  private val pprlOracle: String = {
+    val lanes = (0 until 4).map(w =>
+      s"bit_or(CASE WHEN p//64=$w THEN (CASE WHEN p%64=63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+        s"ELSE (CAST(1 AS BIGINT) << CAST(p%64 AS INT)) END) ELSE CAST(0 AS BIGINT) END) AS w$w")
+      .mkString(",\n      ")
+    val keyList = (for { li <- 0 until 4; i <- 0 until 8; j <- (i + 1) until 8 } yield
+      s"concat_ws(':', '$li-$i-$j', (w$li >> ${8 * i}) & 255, (w$li >> ${8 * j}) & 255)")
+      .mkString("[", ",\n        ", "]")
+    // DuckDB bit_count returns TINYINT — the 8-term sum overflows 127 without the cast
+    val interBits = (0 until 4).map(w => s"CAST(bit_count(x.w$w & y.w$w) AS INT)").mkString(" + ")
+    val pops = ((0 until 4).map(w => s"CAST(bit_count(x.w$w) AS INT)") ++
+      (0 until 4).map(w => s"CAST(bit_count(y.w$w) AS INT)")).mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, lower(substr(text,1,40)) AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(t)-7,1)+1),
+       |        i -> substr(t, CAST(i AS INT), 8)))) AS f FROM t),
+       |pos AS (SELECT doc_id, unnest([('0x'||substr(md5(f),1,7))::BIGINT % 256,
+       |                               ('0x'||substr(md5(f),8,7))::BIGINT % 256]) AS p FROM sh),
+       |bloom AS (SELECT doc_id,
+       |      $lanes
+       |    FROM pos GROUP BY doc_id),
+       |keys AS (SELECT * FROM (SELECT doc_id, unnest($keyList) AS k FROM bloom)
+       |         WHERE NOT k LIKE '%:0:0'),
+       |cand AS (SELECT l.doc_id AS a, r.doc_id AS b FROM keys l JOIN keys r
+       |           ON l.k = r.k AND l.doc_id < r.doc_id
+       |         GROUP BY 1, 2 HAVING count(*) >= 6),
+       |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(t)-7,1)+1),
+       |        i -> substr(t, CAST(i AS INT), 8))) AS fs FROM t),
+       |scored AS (SELECT c.a, c.b,
+       |    round(2.0*($interBits) / ($pops), 6) AS dice_enc,
+       |    round(2.0*len(list_intersect(sa.fs, sb.fs)) / (len(sa.fs)+len(sb.fs)), 6) AS dice_txt
+       |  FROM cand c JOIN bloom x ON c.a = x.doc_id JOIN bloom y ON c.b = y.doc_id
+       |  JOIN sets sa ON c.a = sa.doc_id JOIN sets sb ON c.b = sb.doc_id)
+       |SELECT a, b, dice_enc, dice_txt FROM scored WHERE dice_enc >= 0.8 ORDER BY a, b""".stripMargin
+  }
+
   /** PII regexes shared verbatim between the Spark queries (Java regex) and
     * the DuckDB oracles (RE2) — restricted to character classes + bounded
     * quantifiers, which the two engines interpret identically.
@@ -630,6 +670,68 @@ object SparkEntry {
     "q_swoosh" -> ((s, dir) => {
       val (toks, mins) = swooshInputs(docsTable(s, dir))
       Swoosh.resolve(toks, mins, 0.8)(s).orderBy("doc_id")
+    }),
+
+    // privacy-preserving record linkage (Schnell, Bachteler & Reiher 2009):
+    // each record's quasi-identifier (lowercased 40-char prefix) is encoded
+    // as a 256-bit Bloom filter (4 bigint lanes, k=2 md5-derived positions
+    // per 8-char shingle); linkage then sees ONLY the encodings — blocking
+    // keys are within-lane byte pairs of the filter (112 per doc, 0-0
+    // dropped as degenerate) with a ≥6-shared-keys vote, and the match
+    // score is Dice similarity of the filters. dice_txt (plaintext shingle
+    // Dice) rides along as the fidelity audit: the classic PPRL evaluation
+    // is how faithfully encoding similarity tracks plaintext similarity.
+    // Candidacy + threshold are DEFINED identically in the DuckDB oracle
+    // (the LSH-candidacy-contract pattern). Measured census (sf0.01 →
+    // sf0.1): 0.09 → 0.52 candidates/doc, recall 25/25 and 256/256 vs the
+    // all-pairs dice ≥ 0.8 truth; the 8-char shingle feature keeps the
+    // filters sparse where bigrams saturated them (15% pair candidacy).
+    "q_pprl" -> ((s, dir) => {
+      val t = docsTable(s, dir).select(col("doc_id"),
+        lower(substring(col("text"), 1, 40)).as("t"))
+      val shingled = array_distinct(transform(
+        sequence(lit(1), greatest(length(col("t")) - 7, lit(1))),
+        i => col("t").substr(i, lit(8))))
+      val pos = t.select(col("doc_id"), explode(shingled).as("f"))
+        .select(col("doc_id"), explode(array(
+          conv(substring(md5(col("f")), 1, 7), 16, 10).cast("long") % 256,
+          conv(substring(md5(col("f")), 8, 7), 16, 10).cast("long") % 256)).as("p"))
+      val bloomCols = (0 until 4).map(w =>
+        bit_or(when(floor(col("p") / 64) === w,
+          call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")))
+          .otherwise(lit(0L))).as(s"w$w"))
+      val bloom = pos.groupBy("doc_id").agg(bloomCols.head, bloomCols.tail: _*)
+        .localCheckpoint(true) // feeds the key explode and both verify sides
+      val keyExprs = for { li <- 0 until 4; i <- 0 until 8; j <- (i + 1) until 8 } yield
+        concat_ws(":", lit(s"$li-$i-$j"),
+          shiftrightunsigned(col(s"w$li"), 8 * i).bitwiseAND(lit(255L)),
+          shiftrightunsigned(col(s"w$li"), 8 * j).bitwiseAND(lit(255L)))
+      val keys = bloom.select(col("doc_id"), explode(array(keyExprs: _*)).as("k"))
+        .filter(!col("k").endsWith(":0:0"))
+      val cand = keys.select(col("doc_id").as("a"), col("k"))
+        .join(keys.select(col("doc_id").as("b"), col("k")), Seq("k"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nk"))
+        .filter(col("nk") >= 6)
+        .select("a", "b")
+      val bA = bloom.select(col("doc_id").as("a") +:
+        (0 until 4).map(w => col(s"w$w").as(s"x$w")): _*)
+      val bB = bloom.select(col("doc_id").as("b") +:
+        (0 until 4).map(w => col(s"w$w").as(s"y$w")): _*)
+      val sets = t.select(col("doc_id"), shingled.as("fs"))
+      val interBits = (0 until 4).map(w =>
+        bit_count(col(s"x$w").bitwiseAND(col(s"y$w")))).reduce(_ + _)
+      val pops = (0 until 4).map(w => bit_count(col(s"x$w"))).reduce(_ + _) +
+        (0 until 4).map(w => bit_count(col(s"y$w"))).reduce(_ + _)
+      cand.join(bA, "a").join(bB, "b")
+        .join(sets.select(col("doc_id").as("a"), col("fs").as("fsA")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("fs").as("fsB")), "b")
+        .withColumn("dice_enc", round(lit(2.0) * interBits / pops, 6))
+        .withColumn("dice_txt", round(lit(2.0) * size(array_intersect(col("fsA"), col("fsB"))) /
+          (size(col("fsA")) + size(col("fsB"))), 6))
+        .filter(col("dice_enc") >= 0.8)
+        .select("a", "b", "dice_enc", "dice_txt")
+        .orderBy("a", "b")
     }),
 
     // threshold-sensitivity sweep — the ER tuning report: score the banded
@@ -1882,6 +1984,7 @@ object SparkEntry {
     golden("q_retract_clusters"),
     golden("q_simhash"),
     golden("q_swoosh"),
+    "q_pprl" -> pprlOracle,
     golden("q_video_near_dups"),
     "q_exact_dedup" ->
       """SELECT doc_id,
