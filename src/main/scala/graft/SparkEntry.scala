@@ -307,6 +307,77 @@ object SparkEntry {
   private val sBandCond =
     "(l.band0 = r.band0 OR l.band1 = r.band1 OR l.band2 = r.band2 OR l.band3 = r.band3)"
 
+  /** DuckDB mirror of [[fsVectors]] (the `p` CTE body shared by the
+    * q_fellegi_sunter and q_fs_em oracles).
+    */
+  private val fsPairCte: String =
+    s"""SELECT l.doc_id AS a, r.doc_id AS b,
+       |    l.lang = r.lang AS lang_agree,
+       |    (l.n_chars // 100) = (r.n_chars // 100) AS len_agree,
+       |    CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+       |      (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.6 AS jac_agree,
+       |    levenshtein(l.t, r.t) < 15 AS lev_agree
+       |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+       |  WHERE $sBandCond""".stripMargin
+
+  /** DuckDB mirror of q_fs_em: the 20 EM iterations of [[graft.pipeline.FsEm]]
+    * unrolled into a chain of single-row MATERIALIZED CTEs (MATERIALIZED is
+    * load-bearing — DuckDB inlines once-referenced CTEs, and substituting a
+    * 16-term expression chain 20 levels deep blows up the optimizer). Every
+    * sum/product is emitted in the same ascending-pattern left-associated
+    * order FsEm evaluates, so the doubles are bit-identical across engines
+    * (verified in a standalone DuckDB-vs-sequential-fold prototype).
+    */
+  private val fsEmOracle: String = {
+    import graft.pipeline.FsEm
+    def bit(p: Int, k: Int) = FsEm.bit(p, k)
+    val cells = 0 until FsEm.Cells
+    val fields = 0 until FsEm.Fields
+    val flags = Seq("lang_agree", "len_agree", "jac_agree", "lev_agree")
+    val nDefs = cells.map { p =>
+      val cond = flags.zipWithIndex.map { case (f, k) => s"$f = ${bit(p, k)}" }.mkString(" AND ")
+      s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS DOUBLE) AS n$p"
+    }.mkString(",\n    ")
+    val carry = cells.map(p => s"n$p").mkString(", ")
+    def rExpr(p: Int): String = {
+      val fm = fields.map(k => if (bit(p, k)) s"m$k" else s"(1.0 - m$k)").mkString(" * ")
+      val fu = fields.map(k => if (bit(p, k)) s"u$k" else s"(1.0 - u$k)").mkString(" * ")
+      s"((lam * $fm)) / (((lam * $fm)) + (((1.0 - lam) * $fu)))"
+    }
+    val rDefs = cells.map(p => s"${rExpr(p)} AS r$p").mkString(", ")
+    val sTerms = cells.map(p => s"n$p * r$p").mkString(" + ")
+    val dTerms = cells.map(p => s"n$p * (1.0 - r$p)").mkString(" + ")
+    val totTerms = carry.replace(", ", " + ")
+    val init = (Seq(s"CAST(${FsEm.LamInit} AS DOUBLE) AS lam") ++
+      fields.map(k => s"CAST(${FsEm.MInit} AS DOUBLE) AS m$k") ++
+      fields.map(k => s"CAST(${FsEm.UInit} AS DOUBLE) AS u$k")).mkString(", ")
+    val iters = (1 to FsEm.Iters).flatMap { t =>
+      val mDefs = fields.flatMap { k =>
+        val mT = cells.filter(bit(_, k)).map(p => s"n$p * r$p").mkString(" + ")
+        val uT = cells.filter(bit(_, k)).map(p => s"n$p * (1.0 - r$p)").mkString(" + ")
+        Seq(s"(($mT)) / (($sTerms)) AS m$k", s"(($uT)) / (($dTerms)) AS u$k")
+      }.mkString(", ")
+      Seq(
+        s"e$t AS MATERIALIZED (SELECT $carry, $rDefs FROM i${t - 1})",
+        s"i$t AS MATERIALIZED (SELECT $carry, (($sTerms)) / (($totTerms)) AS lam, $mDefs FROM e$t)")
+    }.mkString(",\n")
+    val unions = cells.map { p =>
+      val lits = flags.zipWithIndex.map { case (f, k) => s"${bit(p, k)} AS $f" }.mkString(", ")
+      s"SELECT $lits, CAST(n$p AS BIGINT) AS n, round(r$p, 6) AS p_match FROM f"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $sBandCte,
+       |p AS ($fsPairCte),
+       |c AS (SELECT
+       |    $nDefs
+       |  FROM p),
+       |i0 AS MATERIALIZED (SELECT $carry, $init FROM c),
+       |$iters,
+       |f AS MATERIALIZED (SELECT $carry, $rDefs FROM i${FsEm.Iters})
+       |SELECT lang_agree, len_agree, jac_agree, lev_agree, n, p_match FROM (
+       |  $unions)
+       |WHERE n > 0 ORDER BY lang_agree, len_agree, jac_agree, lev_agree""".stripMargin
+  }
+
   /** DuckDB mirror of q_pprl: Bloom lanes via bit_or (the 1<<63 case needs
     * the min-long literal — DuckDB's << raises on overflow), byte-pair
     * keys, ≥6 vote, Dice scoring. Generated so the 112-key family is
@@ -368,6 +439,33 @@ object SparkEntry {
     val (wLenA, wLenD) = w(0.90, 0.05)
     val (wJacA, wJacD) = w(0.85, 0.01)
     val (wLevA, wLevD) = w(0.90, 0.01)
+  }
+
+  /** Comparison vectors for the Fellegi-Sunter family: banded candidate
+    * pairs × four agreement flags (lang, n_chars div-100 bucket,
+    * token-Jaccard ≥ 0.6, prefix-60 edit distance < 15). One band join
+    * plus two id-keyed payload joins; shared by the scoring query
+    * (q_fellegi_sunter) and the EM estimation query (q_fs_em), and
+    * mirrored verbatim by [[fsPairCte]] in both oracles.
+    */
+  private def fsVectors(s: SparkSession, dir: String): DataFrame = {
+    val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
+      expr("n_chars div 100").as("lb"),
+      substring(col("text"), 1, 60).as("t"),
+      array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
+    sBandCandidates(s, dir)
+      .join(d.select(col("doc_id").as("a"), col("lang").as("langA"), col("lb").as("lbA"),
+        col("t").as("tA"), col("toks").as("toksA")), "a")
+      .join(d.select(col("doc_id").as("b"), col("lang").as("langB"), col("lb").as("lbB"),
+        col("t").as("tB"), col("toks").as("toksB")), "b")
+      .withColumn("inter", size(array_intersect(col("toksA"), col("toksB"))))
+      .withColumn("lang_agree", col("langA") === col("langB"))
+      .withColumn("len_agree", col("lbA") === col("lbB"))
+      .withColumn("jac_agree",
+        col("inter").cast("double") /
+          (size(col("toksA")) + size(col("toksB")) - col("inter")) >= 0.6)
+      .withColumn("lev_agree", levenshtein(col("tA"), col("tB")) < 15)
+      .select("a", "b", "lang_agree", "len_agree", "jac_agree", "lev_agree")
   }
 
   /** Shared near-dup edge relation for the CC/report/survivorship queries:
@@ -995,22 +1093,7 @@ object SparkEntry {
     // every other candidate query, and the decision-theoretic scoring layer
     // a production ER deployment tunes instead of a single hard threshold.
     "q_fellegi_sunter" -> ((s, dir) => {
-      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
-        expr("n_chars div 100").as("lb"),
-        substring(col("text"), 1, 60).as("t"),
-        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
-      sBandCandidates(s, dir)
-        .join(d.select(col("doc_id").as("a"), col("lang").as("langA"), col("lb").as("lbA"),
-          col("t").as("tA"), col("toks").as("toksA")), "a")
-        .join(d.select(col("doc_id").as("b"), col("lang").as("langB"), col("lb").as("lbB"),
-          col("t").as("tB"), col("toks").as("toksB")), "b")
-        .withColumn("inter", size(array_intersect(col("toksA"), col("toksB"))))
-        .withColumn("lang_agree", col("langA") === col("langB"))
-        .withColumn("len_agree", col("lbA") === col("lbB"))
-        .withColumn("jac_agree",
-          col("inter").cast("double") /
-            (size(col("toksA")) + size(col("toksB")) - col("inter")) >= 0.6)
-        .withColumn("lev_agree", levenshtein(col("tA"), col("tB")) < 15)
+      fsVectors(s, dir)
         .select(col("a"), col("b"),
           col("lang_agree"), col("len_agree"), col("jac_agree"), col("lev_agree"),
           round(when(col("lang_agree"), Fs.wLangA).otherwise(Fs.wLangD) +
@@ -1018,6 +1101,43 @@ object SparkEntry {
             when(col("jac_agree"), Fs.wJacA).otherwise(Fs.wJacD) +
             when(col("lev_agree"), Fs.wLevA).otherwise(Fs.wLevD), 4).as("score"))
         .orderBy("a", "b")
+    }),
+
+    // Unsupervised Fellegi-Sunter parameter ESTIMATION (Winkler 1988 EM —
+    // the fit Splink runs per blocking rule): instead of taking Fs's m/u
+    // literals on faith, learn the two-class mixture from the data. The
+    // distributed stage aggregates the banded candidates' comparison
+    // vectors into the 16-cell pattern table (map-side-combined groupBy —
+    // the only corpus-scale work); the EM fixpoint then runs driver-side
+    // over those 16 scalars (the bounded-driver-work shape of the IVF
+    // fit). Output = one row per observed pattern with its pair count and
+    // converged posterior match probability. The oracle unrolls the SAME
+    // 20 EM iterations into generated SQL (fsEmOracle) with identical
+    // left-associated expression order, so the doubles match bit-for-bit
+    // (prototype-verified in DuckDB before wiring).
+    "q_fs_em" -> ((s, dir) => {
+      import graft.pipeline.FsEm
+      // <= 16 rows by construction: a groupBy over four booleans
+      val cells = fsVectors(s, dir)
+        .groupBy("lang_agree", "len_agree", "jac_agree", "lev_agree")
+        .count().collect()
+      val n = new Array[Double](FsEm.Cells)
+      val nL = new Array[Long](FsEm.Cells)
+      cells.foreach { row =>
+        val p = (0 until FsEm.Fields).foldLeft(0) { (acc, k) =>
+          (acc << 1) | (if (row.getBoolean(k)) 1 else 0)
+        }
+        n(p) = row.getLong(FsEm.Fields).toDouble
+        nL(p) = row.getLong(FsEm.Fields)
+      }
+      val (lam, m, u) = FsEm.fit(n)
+      val r = FsEm.posteriors(lam, m, u)
+      import s.implicits._
+      (0 until FsEm.Cells).filter(nL(_) > 0L)
+        .map(p => (FsEm.bit(p, 0), FsEm.bit(p, 1), FsEm.bit(p, 2), FsEm.bit(p, 3), nL(p), r(p)))
+        .toDF("lang_agree", "len_agree", "jac_agree", "lev_agree", "n", "p_match")
+        .withColumn("p_match", round(col("p_match"), 6))
+        .orderBy("lang_agree", "len_agree", "jac_agree", "lev_agree")
     }),
 
     // Meta-blocking (Papadakis et al., TKDE 2013): re-weight the banded
@@ -2090,17 +2210,11 @@ object SparkEntry {
          |            (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) >= 0.6
          |ORDER BY a, b""".stripMargin,
 
+    "q_fs_em" -> fsEmOracle,
+
     "q_fellegi_sunter" ->
       s"""WITH $sBandCte,
-         |p AS (
-         |  SELECT l.doc_id AS a, r.doc_id AS b,
-         |    l.lang = r.lang AS lang_agree,
-         |    (l.n_chars // 100) = (r.n_chars // 100) AS len_agree,
-         |    CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
-         |      (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.6 AS jac_agree,
-         |    levenshtein(l.t, r.t) < 15 AS lev_agree
-         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
-         |  WHERE $sBandCond)
+         |p AS ($fsPairCte)
          |SELECT a, b, lang_agree, len_agree, jac_agree, lev_agree,
          |  round((CASE WHEN lang_agree THEN CAST(${Fs.wLangA} AS DOUBLE) ELSE CAST(${Fs.wLangD} AS DOUBLE) END) +
          |        (CASE WHEN len_agree THEN CAST(${Fs.wLenA} AS DOUBLE) ELSE CAST(${Fs.wLenD} AS DOUBLE) END) +
