@@ -441,6 +441,24 @@ object SparkEntry {
     val (wLevA, wLevD) = w(0.90, 0.01)
   }
 
+  /** Milli-nat integer weights for q_tf_adjust (floor(1000·ln(·))): the
+    * fixed Fs fields become integer literals shared verbatim by both
+    * engines; only the lang-agreement weight is data-dependent
+    * (ln(m/p(v)), the Splink term-frequency adjustment) and is
+    * floor-quantized in-engine with the identical expression.
+    */
+  private[graft] object TfW {
+    private def mn(x: Double): Long = math.floor(1000.0 * x).toLong
+    val langM = 0.95
+    val langD = mn(math.log((1 - 0.95) / (1 - 0.40)))
+    val lenA = mn(math.log(0.90 / 0.05))
+    val lenD = mn(math.log((1 - 0.90) / (1 - 0.05)))
+    val jacA = mn(math.log(0.85 / 0.01))
+    val jacD = mn(math.log((1 - 0.85) / (1 - 0.01)))
+    val levA = mn(math.log(0.90 / 0.01))
+    val levD = mn(math.log((1 - 0.90) / (1 - 0.01)))
+  }
+
   /** Comparison vectors for the Fellegi-Sunter family: banded candidate
     * pairs × four agreement flags (lang, n_chars div-100 bucket,
     * token-Jaccard ≥ 0.6, prefix-60 edit distance < 15). One band join
@@ -631,6 +649,36 @@ object SparkEntry {
           sum(when(col("jw") >= 0.8, 1L).otherwise(0L)).as("n_close"),
           round(sum(round(col("jw"), 6)), 2).as("sum_jw"))
         .orderBy("lang")
+    }),
+
+    // Monge-Elkan token-set similarity (Monge & Elkan, KDD 1996) over the
+    // banded candidates: per direction, the mean over source tokens of the
+    // best Jaro-Winkler match among target tokens — the classic hybrid
+    // scorer for multi-token fields that survives token reordering where
+    // whole-string JW fails. Per-token best-match values are
+    // floor-quantized to integer micro-units so both engines aggregate
+    // EXACT int64 sums (the q_tfidf quantization treatment); the inner max
+    // is a transform+array_max HOF over the ≤~20-token target array, so
+    // per-pair work is |A|·|B| short-token JWs on the already-bounded
+    // candidate relation — never a corpus-scale explode.
+    "q_monge_elkan" -> ((s, dir) => {
+      val d = docsTable(s, dir).select(col("doc_id"),
+        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
+      val base = sBandCandidates(s, dir)
+        .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
+        .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
+        .localCheckpoint(true) // two directional consumers below
+      def dirMean(src: String, dst: String, out: String) =
+        base.select(col("a"), col("b"), explode(col(src)).as("tok"), col(dst))
+          .withColumn("mx", floor(array_max(transform(col(dst),
+            t => graft.functions.GraftFunctions.jw(col("tok"), t))) * 1000000.0))
+          .groupBy("a", "b")
+          .agg(round(sum(col("mx")).cast("double") / count(lit(1)) / 1000000.0, 6).as(out))
+      dirMean("tA", "tB", "me_ab")
+        .join(dirMean("tB", "tA", "me_ba"), Seq("a", "b"))
+        .withColumn("me", round((col("me_ab") + col("me_ba")) / 2.0, 6))
+        .select("a", "b", "me_ab", "me_ba", "me")
+        .orderBy("a", "b")
     }),
 
     // word n-gram Jaccard near-dup (set ops on token arrays) over
@@ -1100,6 +1148,37 @@ object SparkEntry {
             when(col("len_agree"), Fs.wLenA).otherwise(Fs.wLenD) +
             when(col("jac_agree"), Fs.wJacA).otherwise(Fs.wJacD) +
             when(col("lev_agree"), Fs.wLevA).otherwise(Fs.wLevD), 4).as("score"))
+        .orderBy("a", "b")
+    }),
+
+    // Term-frequency-adjusted Fellegi-Sunter weights (Splink's
+    // tf_adjustments): agreeing on a RARE field value is stronger evidence
+    // than agreeing on a common one, so the lang-agreement weight becomes
+    // ln(m_lang / p(v)) with p(v) the corpus share of the agreed value —
+    // u_lang for value v is approximately p(v) — while disagreement and
+    // the other three fields keep their global weights. Everything is
+    // floor-quantized to integer milli-nats (the q_tfidf treatment): the
+    // fixed weights are Scala-computed literals embedded in BOTH engines,
+    // and the data-dependent term is the identical floor(1000·ln(m/p))
+    // expression, so score_milli is an exact int64 in both. The value
+    // frequency table is one map-side-combined groupBy broadcast to the
+    // candidate relation — O(|values|) extra state, never a corpus shuffle.
+    "q_tf_adjust" -> ((s, dir) => {
+      val nDocs = docsTable(s, dir).count().toDouble
+      val freq = docsTable(s, dir).groupBy("lang")
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(col("lang").as("lang_a"), (col("cnt") / nDocs).as("pf"))
+      val langs = docsTable(s, dir).select(col("doc_id").as("a"), col("lang").as("lang_a"))
+      fsVectors(s, dir)
+        .join(langs, "a")
+        .join(broadcast(freq), "lang_a")
+        .withColumn("w_lang", when(col("lang_agree"),
+          floor(lit(1000.0) * log(lit(TfW.langM) / col("pf")))).otherwise(lit(TfW.langD)))
+        .withColumn("score_milli", col("w_lang") +
+          (when(col("len_agree"), lit(TfW.lenA)).otherwise(lit(TfW.lenD)) +
+            when(col("jac_agree"), lit(TfW.jacA)).otherwise(lit(TfW.jacD)) +
+            when(col("lev_agree"), lit(TfW.levA)).otherwise(lit(TfW.levD))))
+        .select("a", "b", "lang_a", "lang_agree", "w_lang", "score_milli")
         .orderBy("a", "b")
     }),
 
@@ -2199,6 +2278,24 @@ object SparkEntry {
          |WHERE $sBandCond
          |GROUP BY 1 ORDER BY lang""".stripMargin,
 
+    "q_monge_elkan" ->
+      s"""WITH $sBandCte,
+         |cand AS (SELECT l.doc_id AS a, r.doc_id AS b, l.toks AS ta, r.toks AS tb
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id WHERE $sBandCond),
+         |ab AS (SELECT a, b, CAST(floor(list_max(list_transform(tb,
+         |    s -> jaro_winkler_similarity(tok, s))) * 1000000.0) AS BIGINT) AS mx
+         |  FROM (SELECT a, b, unnest(ta) AS tok, tb FROM cand)),
+         |abm AS (SELECT a, b, round(CAST(sum(mx) AS DOUBLE) / count(*) / 1000000.0, 6) AS me_ab
+         |  FROM ab GROUP BY 1, 2),
+         |ba AS (SELECT a, b, CAST(floor(list_max(list_transform(ta,
+         |    s -> jaro_winkler_similarity(tok, s))) * 1000000.0) AS BIGINT) AS mx
+         |  FROM (SELECT a, b, unnest(tb) AS tok, ta FROM cand)),
+         |bam AS (SELECT a, b, round(CAST(sum(mx) AS DOUBLE) / count(*) / 1000000.0, 6) AS me_ba
+         |  FROM ba GROUP BY 1, 2)
+         |SELECT x.a, x.b, me_ab, me_ba, round((me_ab + me_ba) / 2.0, 6) AS me
+         |FROM abm x JOIN bam y ON x.a = y.a AND x.b = y.b
+         |ORDER BY x.a, x.b""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""WITH $sBandCte
          |SELECT l.doc_id AS a, r.doc_id AS b,
@@ -2211,6 +2308,24 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin,
 
     "q_fs_em" -> fsEmOracle,
+
+    "q_tf_adjust" ->
+      s"""WITH $sBandCte,
+         |p AS ($fsPairCte),
+         |freq AS (SELECT lang AS lang_a,
+         |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS pf
+         |  FROM documents GROUP BY 1),
+         |la AS (SELECT doc_id AS a, lang AS lang_a FROM documents)
+         |SELECT a, b, lang_a, lang_agree, w_lang, w_lang + rest AS score_milli FROM (
+         |  SELECT p.a, p.b, la.lang_a, p.lang_agree,
+         |    CASE WHEN p.lang_agree
+         |      THEN CAST(floor(1000.0 * ln(${TfW.langM} / pf)) AS BIGINT)
+         |      ELSE ${TfW.langD} END AS w_lang,
+         |    (CASE WHEN p.len_agree THEN ${TfW.lenA} ELSE ${TfW.lenD} END +
+         |     CASE WHEN p.jac_agree THEN ${TfW.jacA} ELSE ${TfW.jacD} END +
+         |     CASE WHEN p.lev_agree THEN ${TfW.levA} ELSE ${TfW.levD} END) AS rest
+         |  FROM p JOIN la ON p.a = la.a JOIN freq USING (lang_a))
+         |ORDER BY a, b""".stripMargin,
 
     "q_fellegi_sunter" ->
       s"""WITH $sBandCte,

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Value-level rederivations for the pairwise scorers added after the FS
+  * family: the driver oracles define candidacy + arithmetic identically in
+  * DuckDB (determinism locks), so these tests supply the independent
+  * check — every emitted value is recomputed sequentially in plain Scala
+  * from the raw documents table and compared exactly.
+  */
+class ScoringSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def jw(a: String, b: String): Double =
+    graft.functions.JaroWinklerExpr.jw(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  /** doc_id -> (lang, n_chars, distinct whitespace tokens of the trimmed
+    * 120-char prefix, 60-char prefix) — the fsVectors feature set.
+    */
+  private lazy val docs: Map[Long, (String, Long, Vector[String], String)] = {
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars", "text").collect()
+      .map { r =>
+        val text = r.getString(3)
+        val toks = text.take(120).trim.split("\\s+").toVector.distinct
+        (r.getLong(0), (r.getString(1), r.getLong(2), toks, text.take(60)))
+      }.toMap
+  }
+
+  test("q_monge_elkan: every row equals the sequential mean-of-max rederivation") {
+    val rows = SparkEntry.queries("q_monge_elkan")(spark, dir).collect()
+    assert(rows.length > 10, "vacuous: no candidate pairs")
+    def meDir(src: Vector[String], dst: Vector[String]): Double = {
+      val sm = src.map(t => math.floor(dst.map(s => jw(t, s)).max * 1000000.0).toLong).sum
+      // BigDecimal.valueOf (canonical string repr), matching Spark's round
+      BigDecimal.valueOf(sm.toDouble / src.size / 1000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val ta = docs(a)._3
+      val tb = docs(b)._3
+      val meAb = meDir(ta, tb)
+      val meBa = meDir(tb, ta)
+      assert(r.getDouble(2) == meAb, s"me_ab($a,$b): ${r.getDouble(2)} vs $meAb")
+      assert(r.getDouble(3) == meBa, s"me_ba($a,$b): ${r.getDouble(3)} vs $meBa")
+      val me = BigDecimal.valueOf((meAb + meBa) / 2.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == me, s"me($a,$b): ${r.getDouble(4)} vs $me")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q_tf_adjust: weights and score rederived from raw value frequencies") {
+    val rows = SparkEntry.queries("q_tf_adjust")(spark, dir).collect()
+    assert(rows.length > 10, "vacuous: no candidate pairs")
+    val n = docs.size.toDouble
+    val freq = docs.values.groupBy(_._1).map { case (l, v) => l -> (v.size / n) }
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    var rare = Long.MinValue
+    var common = Long.MaxValue
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (langA, ncA, toksA, tA) = docs(a)
+      val (langB, ncB, toksB, tB) = docs(b)
+      val agree = langA == langB
+      assert(r.getString(2) == langA)
+      assert(r.getBoolean(3) == agree)
+      val wLang =
+        if (agree) math.floor(1000.0 * math.log(SparkEntry.TfW.langM / freq(langA))).toLong
+        else SparkEntry.TfW.langD
+      assert(r.getLong(4) == wLang, s"w_lang($a,$b)")
+      val inter = toksA.intersect(toksB).size.toDouble
+      val jac = inter / (toksA.size + toksB.size - inter)
+      val expected = wLang +
+        (if (ncA / 100 == ncB / 100) SparkEntry.TfW.lenA else SparkEntry.TfW.lenD) +
+        (if (jac >= 0.6) SparkEntry.TfW.jacA else SparkEntry.TfW.jacD) +
+        (if (lev(tA, tB) < 15) SparkEntry.TfW.levA else SparkEntry.TfW.levD)
+      assert(r.getLong(5) == expected, s"score_milli($a,$b): ${r.getLong(5)} vs $expected")
+      if (agree) {
+        if (freq(langA) == freq.values.min) rare = math.max(rare, r.getLong(4))
+        if (freq(langA) == freq.values.max) common = math.min(common, r.getLong(4))
+      }
+    }
+    // the tf adjustment's point: agreeing on a rarer value weighs more
+    if (rare != Long.MinValue && common != Long.MaxValue)
+      assert(rare > common, s"rare-value weight $rare not above common-value weight $common")
+  }
+}
