@@ -328,7 +328,7 @@ object SparkEntry {
     * order FsEm evaluates, so the doubles are bit-identical across engines
     * (verified in a standalone DuckDB-vs-sequential-fold prototype).
     */
-  private val fsEmOracle: String = {
+  private val (fsEmChain, fsEmUnion): (String, String) = {
     import graft.pipeline.FsEm
     def bit(p: Int, k: Int) = FsEm.bit(p, k)
     val cells = 0 until FsEm.Cells
@@ -365,18 +365,23 @@ object SparkEntry {
       val lits = flags.zipWithIndex.map { case (f, k) => s"${bit(p, k)} AS $f" }.mkString(", ")
       s"SELECT $lits, CAST(n$p AS BIGINT) AS n, round(r$p, 6) AS p_match FROM f"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $sBandCte,
-       |p AS ($fsPairCte),
-       |c AS (SELECT
-       |    $nDefs
-       |  FROM p),
-       |i0 AS MATERIALIZED (SELECT $carry, $init FROM c),
-       |$iters,
-       |f AS MATERIALIZED (SELECT $carry, $rDefs FROM i${FsEm.Iters})
-       |SELECT lang_agree, len_agree, jac_agree, lev_agree, n, p_match FROM (
-       |  $unions)
-       |WHERE n > 0 ORDER BY lang_agree, len_agree, jac_agree, lev_agree""".stripMargin
+    val chain =
+      s"""$sBandCte,
+         |p AS ($fsPairCte),
+         |c AS (SELECT
+         |    $nDefs
+         |  FROM p),
+         |i0 AS MATERIALIZED (SELECT $carry, $init FROM c),
+         |$iters,
+         |f AS MATERIALIZED (SELECT $carry, $rDefs FROM i${FsEm.Iters})""".stripMargin
+    (chain, unions)
   }
+
+  private val fsEmOracle: String =
+    s"""WITH $fsEmChain
+       |SELECT lang_agree, len_agree, jac_agree, lev_agree, n, p_match FROM (
+       |  $fsEmUnion)
+       |WHERE n > 0 ORDER BY lang_agree, len_agree, jac_agree, lev_agree""".stripMargin
 
   /** DuckDB mirror of q_pprl: Bloom lanes via bit_or (the 1<<63 case needs
     * the min-long literal — DuckDB's << raises on overflow), byte-pair
@@ -439,6 +444,63 @@ object SparkEntry {
     val (wLenA, wLenD) = w(0.90, 0.05)
     val (wJacA, wJacD) = w(0.85, 0.01)
     val (wLevA, wLevD) = w(0.90, 0.01)
+  }
+
+  /** EM-fitted per-pattern posteriors (the q_fs_em core, shared with
+    * q_fs_decisions): distributed comparison-vector pattern counting
+    * (map-side-combined groupBy — the only corpus-scale work), then the
+    * driver-side 20-iteration [[graft.pipeline.FsEm]] fit over the ≤16
+    * aggregated cells. Returns one row per OBSERVED pattern:
+    * (lang_agree, len_agree, jac_agree, lev_agree, n, p_match·rounded-6).
+    */
+  private def fsEmPosteriors(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.FsEm
+    val cells = fsVectors(s, dir)
+      .groupBy("lang_agree", "len_agree", "jac_agree", "lev_agree")
+      .count().collect()
+    val n = new Array[Double](FsEm.Cells)
+    val nL = new Array[Long](FsEm.Cells)
+    cells.foreach { row =>
+      val p = (0 until FsEm.Fields).foldLeft(0) { (acc, k) =>
+        (acc << 1) | (if (row.getBoolean(k)) 1 else 0)
+      }
+      n(p) = row.getLong(FsEm.Fields).toDouble
+      nL(p) = row.getLong(FsEm.Fields)
+    }
+    val (lam, m, u) = FsEm.fit(n)
+    val r = FsEm.posteriors(lam, m, u)
+    import s.implicits._
+    (0 until FsEm.Cells).filter(nL(_) > 0L)
+      .map(p => (FsEm.bit(p, 0), FsEm.bit(p, 1), FsEm.bit(p, 2), FsEm.bit(p, 3), nL(p), r(p)))
+      .toDF("lang_agree", "len_agree", "jac_agree", "lev_agree", "n", "p_match")
+      .withColumn("p_match", round(col("p_match"), 6))
+  }
+
+  /** Scale-safe global rank without a single-partition sort: range
+    * partition on the order keys, per-partition row_number, plus a
+    * collected per-partition count → offset map (bounded: one row per
+    * shuffle partition). localCheckpoint pins the range partitioning so
+    * every consumer reads the same sampled range bounds, making the
+    * pid → offset mapping definitionally stable. Adds column `rn`
+    * (1-based, total order by `order` columns).
+    */
+  private def globalRank(s: SparkSession, df: DataFrame, order: Seq[String]): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val part = df.repartitionByRange(nPart, order.map(col): _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = part.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPart).map { p =>
+      (p, (0 until p).map(counts.getOrElse(_, 0L)).sum)
+    }
+    val offDf = broadcast(s.createDataFrame(offsets).toDF("pid", "off"))
+    part
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("pid").orderBy(order.map(col): _*)))
+      .join(offDf, "pid")
+      .withColumn("rn", col("lrn") + col("off"))
+      .drop("pid", "lrn", "off")
   }
 
   /** Milli-nat integer weights for q_tf_adjust (floor(1000·ln(·))): the
@@ -1079,26 +1141,7 @@ object SparkEntry {
       val t = docsTable(s, dir).select(col("doc_id"),
         substring(col("text"), 1, 60).as("t"),
         substring(col("text"), 1, 24).as("k"))
-      val nPart = s.sessionState.conf.numShufflePartitions
-      // localCheckpoint pins the range partitioning: the census job and the
-      // main query would otherwise EACH execute the scan + range shuffle,
-      // and rank correctness would ride on both executions resampling
-      // identical range bounds. Materializing once removes the double pass
-      // and makes the pid → offset mapping definitionally stable.
-      val part = t.repartitionByRange(nPart, col("k"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true)
-      val counts = part.groupBy("pid").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val offsets = (0 until nPart).map { p =>
-        (p, (0 until p).map(counts.getOrElse(_, 0L)).sum)
-      }
-      val offDf = broadcast(s.createDataFrame(offsets).toDF("pid", "off"))
-      val ranked = part
-        .withColumn("lrn", row_number().over(
-          Window.partitionBy("pid").orderBy("k", "doc_id")))
-        .join(offDf, "pid")
-        .select(col("doc_id"), col("t"), (col("lrn") + col("off")).as("rn"))
+      val ranked = globalRank(s, t, Seq("k", "doc_id")).select("doc_id", "t", "rn")
       ranked.select(col("doc_id").as("ida"), col("t").as("ta"),
           explode(sequence(col("rn") + 1, col("rn") + w)).as("rn"))
         .join(ranked.select(col("doc_id").as("idb"), col("t").as("tb"), col("rn")), "rn")
@@ -1182,6 +1225,42 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // Splink's u-estimation protocol, completing the FS estimation story:
+    // the non-match field-agreement rates u_k are estimated from
+    // DETERMINISTIC pseudo-random pairs — adjacent docs in md5(doc_id)
+    // order, overwhelmingly true non-matches — the complement of
+    // q_fs_em's blocked-pair fit (which is biased toward matches). The
+    // global md5 order uses the scale-safe globalRank (range shuffle +
+    // bounded offset map, no single-partition sort) and the rates are
+    // EXACT integer micro-units ((10⁶·agree) div n) — no FP anywhere.
+    // O(N) pairs, one narrow shuffle.
+    "q_u_sample" -> ((s, dir) => {
+      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
+        expr("n_chars div 100").as("lb"),
+        substring(col("text"), 1, 60).as("t"),
+        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"),
+        md5(col("doc_id").cast("string")).as("h"))
+      val ranked = globalRank(s, d, Seq("h", "doc_id"))
+      val lefts = ranked.filter(col("rn") % 2 === 1)
+        .select((col("rn") + 1).as("rn"), col("lang").as("langA"), col("lb").as("lbA"),
+          col("t").as("tA"), col("toks").as("toksA"))
+      lefts.join(ranked.select(col("rn"), col("lang").as("langB"), col("lb").as("lbB"),
+          col("t").as("tB"), col("toks").as("toksB")), "rn")
+        .withColumn("inter", size(array_intersect(col("toksA"), col("toksB"))))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("langA") === col("langB"), 1L).otherwise(0L)).as("lang_ag"),
+          sum(when(col("lbA") === col("lbB"), 1L).otherwise(0L)).as("len_ag"),
+          sum(when(col("inter").cast("double") /
+            (size(col("toksA")) + size(col("toksB")) - col("inter")) >= 0.6, 1L)
+            .otherwise(0L)).as("jac_ag"),
+          sum(when(levenshtein(col("tA"), col("tB")) < 15, 1L).otherwise(0L)).as("lev_ag"))
+        .select(col("n_pairs"),
+          expr("(1000000 * lang_ag) div n_pairs").as("u_lang_micro"),
+          expr("(1000000 * len_ag) div n_pairs").as("u_len_micro"),
+          expr("(1000000 * jac_ag) div n_pairs").as("u_jac_micro"),
+          expr("(1000000 * lev_ag) div n_pairs").as("u_lev_micro"))
+    }),
+
     // Unsupervised Fellegi-Sunter parameter ESTIMATION (Winkler 1988 EM —
     // the fit Splink runs per blocking rule): instead of taking Fs's m/u
     // literals on faith, learn the two-class mixture from the data. The
@@ -1194,29 +1273,28 @@ object SparkEntry {
     // 20 EM iterations into generated SQL (fsEmOracle) with identical
     // left-associated expression order, so the doubles match bit-for-bit
     // (prototype-verified in DuckDB before wiring).
-    "q_fs_em" -> ((s, dir) => {
-      import graft.pipeline.FsEm
-      // <= 16 rows by construction: a groupBy over four booleans
-      val cells = fsVectors(s, dir)
-        .groupBy("lang_agree", "len_agree", "jac_agree", "lev_agree")
-        .count().collect()
-      val n = new Array[Double](FsEm.Cells)
-      val nL = new Array[Long](FsEm.Cells)
-      cells.foreach { row =>
-        val p = (0 until FsEm.Fields).foldLeft(0) { (acc, k) =>
-          (acc << 1) | (if (row.getBoolean(k)) 1 else 0)
-        }
-        n(p) = row.getLong(FsEm.Fields).toDouble
-        nL(p) = row.getLong(FsEm.Fields)
-      }
-      val (lam, m, u) = FsEm.fit(n)
-      val r = FsEm.posteriors(lam, m, u)
-      import s.implicits._
-      (0 until FsEm.Cells).filter(nL(_) > 0L)
-        .map(p => (FsEm.bit(p, 0), FsEm.bit(p, 1), FsEm.bit(p, 2), FsEm.bit(p, 3), nL(p), r(p)))
-        .toDF("lang_agree", "len_agree", "jac_agree", "lev_agree", "n", "p_match")
-        .withColumn("p_match", round(col("p_match"), 6))
-        .orderBy("lang_agree", "len_agree", "jac_agree", "lev_agree")
+    "q_fs_em" -> ((s, dir) =>
+      fsEmPosteriors(s, dir)
+        .orderBy("lang_agree", "len_agree", "jac_agree", "lev_agree")),
+
+    // Fellegi-Sunter DECISION rule on the EM-fitted posteriors: the 1969
+    // paper's three-way triage — match (posterior ≥ 0.95), non-match
+    // (≤ 0.05), clerical review between — applied per candidate pair by
+    // broadcast-joining the ≤16-row fitted pattern table back onto the
+    // comparison vectors. Thresholds compare the ROUNDED posterior so the
+    // cut is identical in both engines. The per-pair cost is one broadcast
+    // hash join on four booleans — nothing beyond the candidate relation
+    // itself at any scale.
+    "q_fs_decisions" -> ((s, dir) => {
+      val pat = fsEmPosteriors(s, dir)
+        .withColumn("decision", when(col("p_match") >= 0.95, "match")
+          .when(col("p_match") <= 0.05, "non_match")
+          .otherwise("clerical"))
+        .drop("n")
+      fsVectors(s, dir)
+        .join(broadcast(pat), Seq("lang_agree", "len_agree", "jac_agree", "lev_agree"))
+        .select("a", "b", "p_match", "decision")
+        .orderBy("a", "b")
     }),
 
     // Meta-blocking (Papadakis et al., TKDE 2013): re-weight the banded
@@ -2308,6 +2386,37 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin,
 
     "q_fs_em" -> fsEmOracle,
+
+    "q_fs_decisions" ->
+      s"""WITH $fsEmChain,
+         |pt AS (SELECT * FROM (
+         |  $fsEmUnion)
+         |  WHERE n > 0)
+         |SELECT p.a, p.b, pt.p_match,
+         |  CASE WHEN pt.p_match >= 0.95 THEN 'match'
+         |       WHEN pt.p_match <= 0.05 THEN 'non_match'
+         |       ELSE 'clerical' END AS decision
+         |FROM p JOIN pt USING (lang_agree, len_agree, jac_agree, lev_agree)
+         |ORDER BY p.a, p.b""".stripMargin,
+
+    "q_u_sample" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb, substr(text,1,60) AS t,
+        |    list_distinct(string_split_regex(trim(substr(text,1,120)), '\s+')) AS toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY h, doc_id) AS rn FROM s0),
+        |pr AS (SELECT l.lang = r.lang AS lang_agree, l.lb = r.lb AS len_agree,
+        |    CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+        |      (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.6 AS jac_agree,
+        |    levenshtein(l.t, r.t) < 15 AS lev_agree
+        |  FROM rk l JOIN rk r ON r.rn = l.rn + 1 AND l.rn % 2 = 1)
+        |SELECT count(*) AS n_pairs,
+        |  CAST((1000000 * sum(CASE WHEN lang_agree THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS u_lang_micro,
+        |  CAST((1000000 * sum(CASE WHEN len_agree THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS u_len_micro,
+        |  CAST((1000000 * sum(CASE WHEN jac_agree THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS u_jac_micro,
+        |  CAST((1000000 * sum(CASE WHEN lev_agree THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS u_lev_micro
+        |FROM pr""".stripMargin,
 
     "q_tf_adjust" ->
       s"""WITH $sBandCte,

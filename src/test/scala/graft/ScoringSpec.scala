@@ -94,4 +94,56 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     if (rare != Long.MinValue && common != Long.MaxValue)
       assert(rare > common, s"rare-value weight $rare not above common-value weight $common")
   }
+
+  test("q_u_sample: rates equal the sequential md5-adjacent-pair rederivation") {
+    val row = SparkEntry.queries("q_u_sample")(spark, dir).collect().head
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ordered = docs.toVector.sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val pairs = ordered.grouped(2).collect { case Vector(x, y) => (x._2, y._2) }.toVector
+    assert(row.getLong(0) == pairs.size, "n_pairs")
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    def micro(agree: ((String, Long, Vector[String], String), (String, Long, Vector[String], String)) => Boolean): Long =
+      1000000L * pairs.count(p => agree(p._1, p._2)) / pairs.size
+    assert(row.getLong(1) == micro((a, b) => a._1 == b._1), "u_lang_micro")
+    assert(row.getLong(2) == micro((a, b) => a._2 / 100 == b._2 / 100), "u_len_micro")
+    assert(row.getLong(3) == micro { (a, b) =>
+      val inter = a._3.intersect(b._3).size.toDouble
+      inter / (a._3.size + b._3.size - inter) >= 0.6
+    }, "u_jac_micro")
+    assert(row.getLong(4) == micro((a, b) => lev(a._4, b._4) < 15), "u_lev_micro")
+    // random pairs are overwhelmingly non-matches: content-field agreement
+    // rates must sit far below the blocked candidates' (biased to matches)
+    assert(row.getLong(3) < 100000L, s"u_jac ${row.getLong(3)} suspiciously high for random pairs")
+    assert(row.getLong(4) < 100000L, s"u_lev ${row.getLong(4)} suspiciously high for random pairs")
+  }
+
+  test("q_fs_decisions: triage consistent with the fitted posteriors") {
+    val dec = SparkEntry.queries("q_fs_decisions")(spark, dir).collect()
+    val pats = SparkEntry.queries("q_fs_em")(spark, dir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)) -> r.getDouble(5))
+      .toMap
+    assert(dec.length > 10, "vacuous: no candidate pairs")
+    // every pair's posterior is one of the fitted pattern posteriors and
+    // the decision matches the thresholds applied to it
+    dec.foreach { r =>
+      val p = r.getDouble(2)
+      assert(pats.values.exists(_ == p), s"posterior $p not among fitted patterns")
+      val want = if (p >= 0.95) "match" else if (p <= 0.05) "non_match" else "clerical"
+      assert(r.getString(3) == want, s"decision for posterior $p")
+    }
+    // pattern counts must reconcile: pairs per posterior value == the sum
+    // of fs_em's n over patterns sharing that (rounded) posterior
+    val byP = dec.groupBy(_.getDouble(2)).view.mapValues(_.length.toLong).toMap
+    val expected = SparkEntry.queries("q_fs_em")(spark, dir).collect()
+      .groupBy(_.getDouble(5)).view.mapValues(_.map(_.getLong(4)).sum).toMap
+    assert(byP == expected, s"pair counts per posterior: $byP vs $expected")
+  }
 }
