@@ -453,21 +453,19 @@ object SparkEntry {
     * aggregated cells. Returns one row per OBSERVED pattern:
     * (lang_agree, len_agree, jac_agree, lev_agree, n, p_match·rounded-6).
     */
-  private def fsEmPosteriors(s: SparkSession, dir: String): DataFrame = {
+  private def fsEmPosteriors(s: SparkSession, vecs: DataFrame): DataFrame = {
     import graft.pipeline.FsEm
-    val cells = fsVectors(s, dir)
+    val cells = vecs
       .groupBy("lang_agree", "len_agree", "jac_agree", "lev_agree")
       .count().collect()
-    val n = new Array[Double](FsEm.Cells)
     val nL = new Array[Long](FsEm.Cells)
     cells.foreach { row =>
       val p = (0 until FsEm.Fields).foldLeft(0) { (acc, k) =>
         (acc << 1) | (if (row.getBoolean(k)) 1 else 0)
       }
-      n(p) = row.getLong(FsEm.Fields).toDouble
       nL(p) = row.getLong(FsEm.Fields)
     }
-    val (lam, m, u) = FsEm.fit(n)
+    val (lam, m, u) = FsEm.fit(nL.map(_.toDouble))
     val r = FsEm.posteriors(lam, m, u)
     import s.implicits._
     (0 until FsEm.Cells).filter(nL(_) > 0L)
@@ -529,10 +527,7 @@ object SparkEntry {
     * mirrored verbatim by [[fsPairCte]] in both oracles.
     */
   private def fsVectors(s: SparkSession, dir: String): DataFrame = {
-    val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
-      expr("n_chars div 100").as("lb"),
-      substring(col("text"), 1, 60).as("t"),
-      array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
+    val d = fsDocFeatures(s, dir)
     sBandCandidates(s, dir)
       .join(d.select(col("doc_id").as("a"), col("lang").as("langA"), col("lb").as("lbA"),
         col("t").as("tA"), col("toks").as("toksA")), "a")
@@ -545,8 +540,20 @@ object SparkEntry {
         col("inter").cast("double") /
           (size(col("toksA")) + size(col("toksB")) - col("inter")) >= 0.6)
       .withColumn("lev_agree", levenshtein(col("tA"), col("tB")) < 15)
-      .select("a", "b", "lang_agree", "len_agree", "jac_agree", "lev_agree")
+      .select("a", "b", "langA", "lang_agree", "len_agree", "jac_agree", "lev_agree")
   }
+
+  /** The per-document FS comparison-field projection (lang, 100-char
+    * length bucket, 60-char prefix, distinct 120-prefix tokens) shared by
+    * every consumer of the FS comparison space — [[fsVectors]] for blocked
+    * pairs and q_u_sample for random pairs — so the fields can never
+    * silently diverge between the m-side and u-side estimators.
+    */
+  private def fsDocFeatures(s: SparkSession, dir: String): DataFrame =
+    docsTable(s, dir).select(col("doc_id"), col("lang"),
+      expr("n_chars div 100").as("lb"),
+      substring(col("text"), 1, 60).as("t"),
+      array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"))
 
   /** Shared near-dup edge relation for the CC/report/survivorship queries:
     * band candidates → levenshtein < 15 on 60-char prefixes. Mirrored
@@ -1207,13 +1214,16 @@ object SparkEntry {
     // frequency table is one map-side-combined groupBy broadcast to the
     // candidate relation — O(|values|) extra state, never a corpus shuffle.
     "q_tf_adjust" -> ((s, dir) => {
-      val nDocs = docsTable(s, dir).count().toDouble
-      val freq = docsTable(s, dir).groupBy("lang")
+      // one docs scan: per-value counts, with the corpus total folded back
+      // in from the counts themselves (sum over ≤|values| rows) instead of
+      // a separate count() action over the table
+      val cnts = docsTable(s, dir).groupBy("lang")
         .agg(count(lit(1)).cast("double").as("cnt"))
-        .select(col("lang").as("lang_a"), (col("cnt") / nDocs).as("pf"))
-      val langs = docsTable(s, dir).select(col("doc_id").as("a"), col("lang").as("lang_a"))
+        .localCheckpoint(true)
+      val freq = cnts.crossJoin(broadcast(cnts.agg(sum(col("cnt")).as("n_docs"))))
+        .select(col("lang").as("lang_a"), (col("cnt") / col("n_docs")).as("pf"))
       fsVectors(s, dir)
-        .join(langs, "a")
+        .withColumnRenamed("langA", "lang_a")
         .join(broadcast(freq), "lang_a")
         .withColumn("w_lang", when(col("lang_agree"),
           floor(lit(1000.0) * log(lit(TfW.langM) / col("pf")))).otherwise(lit(TfW.langD)))
@@ -1235,11 +1245,8 @@ object SparkEntry {
     // EXACT integer micro-units ((10⁶·agree) div n) — no FP anywhere.
     // O(N) pairs, one narrow shuffle.
     "q_u_sample" -> ((s, dir) => {
-      val d = docsTable(s, dir).select(col("doc_id"), col("lang"),
-        expr("n_chars div 100").as("lb"),
-        substring(col("text"), 1, 60).as("t"),
-        array_distinct(split(trim(substring(col("text"), 1, 120)), "\\s+")).as("toks"),
-        md5(col("doc_id").cast("string")).as("h"))
+      val d = fsDocFeatures(s, dir)
+        .withColumn("h", md5(col("doc_id").cast("string")))
       val ranked = globalRank(s, d, Seq("h", "doc_id"))
       val lefts = ranked.filter(col("rn") % 2 === 1)
         .select((col("rn") + 1).as("rn"), col("lang").as("langA"), col("lb").as("lbA"),
@@ -1274,7 +1281,7 @@ object SparkEntry {
     // left-associated expression order, so the doubles match bit-for-bit
     // (prototype-verified in DuckDB before wiring).
     "q_fs_em" -> ((s, dir) =>
-      fsEmPosteriors(s, dir)
+      fsEmPosteriors(s, fsVectors(s, dir))
         .orderBy("lang_agree", "len_agree", "jac_agree", "lev_agree")),
 
     // Fellegi-Sunter DECISION rule on the EM-fitted posteriors: the 1969
@@ -1286,12 +1293,16 @@ object SparkEntry {
     // hash join on four booleans — nothing beyond the candidate relation
     // itself at any scale.
     "q_fs_decisions" -> ((s, dir) => {
-      val pat = fsEmPosteriors(s, dir)
+      // the comparison vectors feed BOTH the EM fit (a collect) and the
+      // per-pair decision join — pin them so the corpus-scale candidate
+      // scoring executes once, not once per consumer
+      val vecs = fsVectors(s, dir).localCheckpoint(true)
+      val pat = fsEmPosteriors(s, vecs)
         .withColumn("decision", when(col("p_match") >= 0.95, "match")
           .when(col("p_match") <= 0.05, "non_match")
           .otherwise("clerical"))
         .drop("n")
-      fsVectors(s, dir)
+      vecs
         .join(broadcast(pat), Seq("lang_agree", "len_agree", "jac_agree", "lev_agree"))
         .select("a", "b", "p_match", "decision")
         .orderBy("a", "b")

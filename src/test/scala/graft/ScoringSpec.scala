@@ -53,18 +53,19 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def lev(x: String, y: String): Int = {
+    val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+    d(x.length)(y.length)
+  }
+
   test("q_tf_adjust: weights and score rederived from raw value frequencies") {
     val rows = SparkEntry.queries("q_tf_adjust")(spark, dir).collect()
     assert(rows.length > 10, "vacuous: no candidate pairs")
     val n = docs.size.toDouble
     val freq = docs.values.groupBy(_._1).map { case (l, v) => l -> (v.size / n) }
-    def lev(x: String, y: String): Int = {
-      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
-      for (i <- 1 to x.length; j <- 1 to y.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
-      d(x.length)(y.length)
-    }
     var rare = Long.MinValue
     var common = Long.MaxValue
     rows.foreach { r =>
@@ -103,13 +104,6 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     val ordered = docs.toVector.sortBy { case (id, _) => (md5hex(id.toString), id) }
     val pairs = ordered.grouped(2).collect { case Vector(x, y) => (x._2, y._2) }.toVector
     assert(row.getLong(0) == pairs.size, "n_pairs")
-    def lev(x: String, y: String): Int = {
-      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
-      for (i <- 1 to x.length; j <- 1 to y.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
-      d(x.length)(y.length)
-    }
     def micro(agree: ((String, Long, Vector[String], String), (String, Long, Vector[String], String)) => Boolean): Long =
       1000000L * pairs.count(p => agree(p._1, p._2)) / pairs.size
     assert(row.getLong(1) == micro((a, b) => a._1 == b._1), "u_lang_micro")
@@ -127,7 +121,8 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
 
   test("q_fs_decisions: triage consistent with the fitted posteriors") {
     val dec = SparkEntry.queries("q_fs_decisions")(spark, dir).collect()
-    val pats = SparkEntry.queries("q_fs_em")(spark, dir).collect()
+    val emRows = SparkEntry.queries("q_fs_em")(spark, dir).collect()
+    val pats = emRows
       .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)) -> r.getDouble(5))
       .toMap
     assert(dec.length > 10, "vacuous: no candidate pairs")
@@ -142,7 +137,7 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     // pattern counts must reconcile: pairs per posterior value == the sum
     // of fs_em's n over patterns sharing that (rounded) posterior
     val byP = dec.groupBy(_.getDouble(2)).view.mapValues(_.length.toLong).toMap
-    val expected = SparkEntry.queries("q_fs_em")(spark, dir).collect()
+    val expected = emRows
       .groupBy(_.getDouble(5)).view.mapValues(_.map(_.getLong(4)).sum).toMap
     assert(byP == expected, s"pair counts per posterior: $byP vs $expected")
   }
