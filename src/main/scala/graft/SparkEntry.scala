@@ -543,6 +543,38 @@ object SparkEntry {
       .select("a", "b", "langA", "lang_agree", "len_agree", "jac_agree", "lev_agree")
   }
 
+  /** ARI over a (doc_id, c, tt) assignment: contingency cells + marginals
+    * as exact int64 pair counts (three map-side-combined groupBys, no pair
+    * expansion), then the Hubert-Arabie index as one double expression over
+    * the four counts — num = 2·(T₂·Σᵢⱼ − ΣA·ΣB), den = T₂·(ΣA+ΣB) −
+    * 2·ΣA·ΣB — evaluated in the identical operation order as the oracle
+    * tail and rounded once. Extracted from q_ari so the chance-correction
+    * branch is unit-testable on constructed disagreeing partitions (on the
+    * corpus the flagship clustering equals truth → ari is pinned at 1.0).
+    */
+  private[graft] def ariOf(assign: DataFrame): DataFrame = {
+    val cij = assign.groupBy("c", "tt").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("sum_cells_c2"))
+    val ca = assign.groupBy("c").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("sum_pred_c2"))
+    val cb = assign.groupBy("tt").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("sum_truth_c2"))
+    assign.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(cij).crossJoin(ca).crossJoin(cb)
+      .withColumn("t2",
+        col("n_docs").cast("double") * (col("n_docs") - 1).cast("double") / lit(2.0))
+      .withColumn("sij", col("sum_cells_c2").cast("double"))
+      .withColumn("sa", col("sum_pred_c2").cast("double"))
+      .withColumn("sb", col("sum_truth_c2").cast("double"))
+      .withColumn("num", lit(2.0) * (col("t2") * col("sij") - col("sa") * col("sb")))
+      .withColumn("den",
+        col("t2") * (col("sa") + col("sb")) - lit(2.0) * col("sa") * col("sb"))
+      .select(col("n_docs"), col("sum_cells_c2"), col("sum_pred_c2"),
+        col("sum_truth_c2"),
+        round(when(col("den") === 0.0, lit(1.0))
+          .otherwise(col("num") / col("den")), 6).as("ari"))
+  }
+
   /** The per-document FS comparison-field projection (lang, 100-char
     * length bucket, 60-char prefix, distinct 120-prefix tokens) shared by
     * every consumer of the FS comparison space — [[fsVectors]] for blocked
@@ -1546,6 +1578,31 @@ object SparkEntry {
           round(when(col("p") + col("r") > 0,
             lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
             .otherwise(lit(0.0)), 6).as("b3_f1"))
+    }),
+
+    // Adjusted Rand Index (Hubert & Arabie 1985) — the chance-corrected
+    // member of the cluster-evaluation trio (pairwise F1 = q_er_f1, per-doc
+    // B³ = q_bcubed, pair-counting-vs-chance = this): a clustering that
+    // merely mimics the truth's cluster-size DISTRIBUTION scores ~0 here
+    // even when random agreement inflates the other two. Same contingency
+    // cells as q_bcubed (three linear groupBys over the pinned assignment,
+    // no pair expansion); the pair counts Σ C(n,2) over cells and both
+    // marginals are exact int64 sums, and the final index is one double
+    // expression over those four exact counts, evaluated in identical
+    // operation order by both engines and rounded once. den = 0 only when
+    // both partitions are trivially identical (all-singletons or
+    // one-cluster on both sides) → ARI := 1.
+    "q_ari" -> ((s, dir) => {
+      val tcc = Components.connectedComponents(
+        exactShinglePairs(s, dir, 0.9).select(col("a").as("src"), col("b").as("dst")))(s)
+      val pcc = Components.connectedComponents(levEdges(s, dir))(s)
+      val assign = docsTable(s, dir).select(col("doc_id"))
+        .join(pcc.withColumnRenamed("cluster_id", "c"), Seq("doc_id"), "left")
+        .join(tcc.withColumnRenamed("cluster_id", "tt"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("c"),
+          coalesce(col("tt"), col("doc_id")).as("tt"))
+        .localCheckpoint(true)
+      ariOf(assign)
     }),
 
     // PII scrub accounting (training-data hygiene): plant deterministic
@@ -2660,6 +2717,60 @@ object SparkEntry {
          |SELECT n_docs, round(p, 6) AS b3_prec, round(r, 6) AS b3_rec,
          |       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS b3_f1
          |FROM pr""".stripMargin,
+
+    // Same truth (brute-force exact-Jaccard transitive closure) and
+    // predicted (band+lev contract) clusterings as q_bcubed; the ARI tail
+    // is one double expression over four exact int64 pair counts, written
+    // in the identical operation order as the Spark side.
+    "q_ari" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |tp AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM m l JOIN m r ON l.doc_id < r.doc_id
+         |  WHERE round(CAST(len(list_intersect(l.shs, r.shs)) AS DOUBLE) /
+         |        (len(l.shs) + len(r.shs) - len(list_intersect(l.shs, r.shs))), 6) >= 0.9),
+         |tsym AS (SELECT src AS u, dst AS v FROM tp UNION SELECT dst, src FROM tp),
+         |treach(u, v) AS (
+         |  SELECT u, v FROM tsym
+         |  UNION
+         |  SELECT r.u, s.v FROM treach r JOIN tsym s ON r.v = s.u),
+         |tcc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM treach GROUP BY u),
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |assign AS (
+         |  SELECT d0.doc_id,
+         |         coalesce(p.cluster_id, d0.doc_id) AS c,
+         |         coalesce(t.cluster_id, d0.doc_id) AS tt
+         |  FROM documents d0
+         |  LEFT JOIN cc p ON p.doc_id = d0.doc_id
+         |  LEFT JOIN tcc t ON t.doc_id = d0.doc_id),
+         |agg AS (SELECT
+         |  (SELECT count(*) FROM assign) AS n_docs,
+         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+         |     FROM (SELECT count(*) AS n FROM assign GROUP BY c, tt)) AS sum_cells_c2,
+         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+         |     FROM (SELECT count(*) AS n FROM assign GROUP BY c)) AS sum_pred_c2,
+         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+         |     FROM (SELECT count(*) AS n FROM assign GROUP BY tt)) AS sum_truth_c2),
+         |f AS (SELECT n_docs, sum_cells_c2, sum_pred_c2, sum_truth_c2,
+         |        CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0 AS t2,
+         |        CAST(sum_cells_c2 AS DOUBLE) AS sij,
+         |        CAST(sum_pred_c2 AS DOUBLE) AS sa,
+         |        CAST(sum_truth_c2 AS DOUBLE) AS sb
+         |      FROM agg)
+         |SELECT n_docs, sum_cells_c2, sum_pred_c2, sum_truth_c2,
+         |       round(CASE WHEN t2 * (sa + sb) - 2.0 * sa * sb = 0.0 THEN 1.0
+         |             ELSE (2.0 * (t2 * sij - sa * sb)) /
+         |                  (t2 * (sa + sb) - 2.0 * sa * sb) END, 6) AS ari
+         |FROM f""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH c AS (

@@ -108,6 +108,35 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(f3 >= 0.99, s"B3 F1 $f3 below the bar")
   }
 
+  test("q_ari: counts reconcile with q_er_f1 and the truth-perfect corpus pins ari at 1") {
+    val r = SparkEntry.queries("q_ari")(spark, sfDir).collect().head
+    val (n, sij, sa, sb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n == 500L)
+    assert(sij <= math.min(sa, sb), "same-cell pairs exceed a marginal")
+    // sum_pred_c2 IS the number of predicted same-cluster pairs — q_er_f1's n_pred
+    val f1Row = SparkEntry.queries("q_er_f1")(spark, sfDir).collect().head
+    assert(sa == f1Row.getLong(1), s"sum_pred_c2 $sa != q_er_f1 n_pred ${f1Row.getLong(1)}")
+    assert(r.getDouble(4) == 1.0, "clustering equals truth on this corpus, ARI must be 1")
+  }
+
+  test("ariOf: chance-corrected arithmetic on constructed disagreeing partitions") {
+    import spark.implicits._
+    // Hubert-Arabie textbook shape: truth {a,b,c|d,e,f}, pred {a,b|c,d|e,f}
+    // T2=15, Sij=2, SA=3, SB=6 -> ARI = 2*(15*2-18)/(15*9-36) = 24/99
+    val assign = Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 1L),
+      (4L, 2L, 2L), (5L, 3L, 2L), (6L, 3L, 2L)).toDF("doc_id", "c", "tt")
+    val row = SparkEntry.ariOf(assign).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) == ((6L, 2L, 3L, 6L)))
+    assert(row.getDouble(4) == BigDecimal(24.0 / 99.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"ari ${row.getDouble(4)}")
+    // identical all-singleton partitions: den = 0 -> defined as 1
+    val trivial = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L)).toDF("doc_id", "c", "tt")
+    assert(SparkEntry.ariOf(trivial).collect().head.getDouble(4) == 1.0)
+    // perfect disagreement floor: one pred cluster vs all-singleton truth -> ari 0
+    val anti = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L)).toDF("doc_id", "c", "tt")
+    assert(SparkEntry.ariOf(anti).collect().head.getDouble(4) == 0.0)
+  }
+
   test("exactShinglePairs: randomized corpora match brute force at every threshold (property fuzz)") {
     // Docs are MUTATIONS of a few shared base strings (substitutions +
     // truncations), so shingle overlap actually spans every threshold
