@@ -267,6 +267,22 @@ object SparkEntry {
         .select(col("doc_id"), explode(sBandKeys(col("text"))).as("bk"))
         .localCheckpoint(true)) }
 
+  /** ONE pinned flagship clustering per (session, table dir): CC over the
+    * shared band+lev edge contract ([[levEdges]]), localCheckpoint-pinned.
+    * Ten query-surface consumers (cluster reports, survivorship, the whole
+    * evaluation family) previously each re-ran the candidate join, the
+    * levenshtein scoring, AND the iterative CC; the assignment relation is
+    * O(docs)-narrow, so pinning one copy per dir is the same treatment as
+    * [[sBandRelation]]. Same cache contract: dirs immutable within an
+    * application, first derivation serialized.
+    */
+  private val flagshipCcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[graft] def sFlagshipCC(s: SparkSession, dir: String): DataFrame =
+    flagshipCcCache.synchronized { flagshipCcCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir),
+      Components.connectedComponents(levEdges(s, dir))(s).localCheckpoint(true)) }
+
   /** Candidate (a, b) pairs sharing ≥ 1 band: explode → equi-join →
     * distinct. Payload columns are rejoined by id AFTER the distinct —
     * the band shuffle only ever carries (doc_id, band_key) from the
@@ -865,7 +881,7 @@ object SparkEntry {
 
     // transitive clustering over the lev-edges (A1 → large-star/small-star CC)
     "q_cc_clusters" -> ((s, dir) =>
-      Components.connectedComponents(levEdges(s, dir))(s).orderBy("doc_id")),
+      sFlagshipCC(s, dir).orderBy("doc_id")),
 
     // center clustering over the same lev-edges — the radius-1 clustering
     // strategy (greedy lex-first-MIS centers + min-adjacent-center
@@ -1019,7 +1035,7 @@ object SparkEntry {
     // one row per multi-member cluster, members sorted keeper-first,
     // comma-joined for bit-exact compare with DuckDB string_agg
     "q_cluster_groups" -> ((s, dir) => {
-      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      val cc = sFlagshipCC(s, dir)
       graft.sinks.Report.groups(cc)
         .select(col("cluster_id"), col("n_members"),
           array_join(transform(col("members"), _.cast("string")), ",").as("members"))
@@ -1029,7 +1045,7 @@ object SparkEntry {
     // S8-S10 survivorship plan: keep-first policy as an anti-join rewrite —
     // keepers (min doc_id per cluster) never enter the delete set
     "q_survivorship" -> ((s, dir) => {
-      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      val cc = sFlagshipCC(s, dir)
       val keepers = cc.groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
       val deletes = cc.join(keepers, Seq("cluster_id", "doc_id"), "left_anti")
       deletes.join(keepers.withColumnRenamed("doc_id", "keeper"), "cluster_id")
@@ -1045,7 +1061,7 @@ object SparkEntry {
     // costs ONE map-side-combined shuffle regardless of cluster sizes; no
     // window over the full relation, no second pass to break ties.
     "q_golden_record" -> ((s, dir) => {
-      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      val cc = sFlagshipCC(s, dir)
       val m = cc.join(docsTable(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
       m.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"),
@@ -1104,7 +1120,7 @@ object SparkEntry {
     // id-keyed and the aggregate is map-side combined — a corpus-hygiene
     // dashboard number that costs one narrow join + one agg at any scale.
     "q_dup_rate" -> ((s, dir) => {
-      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      val cc = sFlagshipCC(s, dir)
       docsTable(s, dir).select(col("doc_id"), col("source"))
         .join(cc, Seq("doc_id"), "left")
         .groupBy("source")
@@ -1117,7 +1133,7 @@ object SparkEntry {
     // cluster-cohesion audit (ER precision proxy) — see [[clusterCohesion]]
     "q_cluster_cohesion" -> ((s, dir) =>
       clusterCohesion(
-        Components.connectedComponents(levEdges(s, dir))(s),
+        sFlagshipCC(s, dir),
         docsTable(s, dir).select(col("doc_id"), substring(col("text"), 1, 60).as("t")))),
 
     // candidate-score calibration histogram: the distribution of edit
@@ -1413,7 +1429,7 @@ object SparkEntry {
     // Costs the CC relation (already bucket-bounded) + one id-keyed left
     // join + one map-side-combined aggregate at any corpus size.
     "q_cluster_split" -> ((s, dir) => {
-      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      val cc = sFlagshipCC(s, dir)
       val full = docsTable(s, dir).select(col("doc_id"))
         .join(cc, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -1483,7 +1499,7 @@ object SparkEntry {
     // engines.
     "q_er_f1" -> ((s, dir) => {
       val truth = exactShinglePairs(s, dir, 0.9).select("a", "b").localCheckpoint(true)
-      val cc = Components.connectedComponents(levEdges(s, dir))(s)
+      val cc = sFlagshipCC(s, dir)
       val pred = cc.select(col("doc_id").as("a"), col("cluster_id"))
         .join(cc.select(col("doc_id").as("b"), col("cluster_id")), "cluster_id")
         .filter(col("a") < col("b"))
@@ -1555,7 +1571,7 @@ object SparkEntry {
     "q_bcubed" -> ((s, dir) => {
       val tcc = Components.connectedComponents(
         exactShinglePairs(s, dir, 0.9).select(col("a").as("src"), col("b").as("dst")))(s)
-      val pcc = Components.connectedComponents(levEdges(s, dir))(s)
+      val pcc = sFlagshipCC(s, dir)
       val assign = docsTable(s, dir).select(col("doc_id"))
         .join(pcc.withColumnRenamed("cluster_id", "c"), Seq("doc_id"), "left")
         .join(tcc.withColumnRenamed("cluster_id", "tt"), Seq("doc_id"), "left")
@@ -1595,7 +1611,7 @@ object SparkEntry {
     "q_ari" -> ((s, dir) => {
       val tcc = Components.connectedComponents(
         exactShinglePairs(s, dir, 0.9).select(col("a").as("src"), col("b").as("dst")))(s)
-      val pcc = Components.connectedComponents(levEdges(s, dir))(s)
+      val pcc = sFlagshipCC(s, dir)
       val assign = docsTable(s, dir).select(col("doc_id"))
         .join(pcc.withColumnRenamed("cluster_id", "c"), Seq("doc_id"), "left")
         .join(tcc.withColumnRenamed("cluster_id", "tt"), Seq("doc_id"), "left")
