@@ -137,6 +137,29 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.ariOf(anti).collect().head.getDouble(4) == 0.0)
   }
 
+  test("ariOf: randomized partitions match a sequential pair-counting rederivation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    (1 to 20).foreach { trial =>
+      val n = 5 + rnd.nextInt(40)
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(6).toLong))
+      val got = SparkEntry.ariOf(rows.toDF("doc_id", "c", "tt")).collect().head
+      def c2(x: Long) = x * (x - 1) / 2
+      val sij = rows.groupBy(r => (r._2, r._3)).values.map(g => c2(g.size.toLong)).sum
+      val sa = rows.groupBy(_._2).values.map(g => c2(g.size.toLong)).sum
+      val sb = rows.groupBy(_._3).values.map(g => c2(g.size.toLong)).sum
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+        ((n.toLong, sij, sa, sb)), s"trial $trial counts")
+      val t2 = n.toDouble * (n - 1).toDouble / 2.0
+      val den = t2 * (sa.toDouble + sb.toDouble) - 2.0 * sa.toDouble * sb.toDouble
+      val want =
+        if (den == 0.0) 1.0
+        else BigDecimal(2.0 * (t2 * sij.toDouble - sa.toDouble * sb.toDouble) / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.getDouble(4) == want, s"trial $trial ari: ${got.getDouble(4)} vs $want")
+    }
+  }
+
   test("exactShinglePairs: randomized corpora match brute force at every threshold (property fuzz)") {
     // Docs are MUTATIONS of a few shared base strings (substitutions +
     // truncations), so shingle overlap actually spans every threshold
