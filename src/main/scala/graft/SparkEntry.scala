@@ -2045,6 +2045,33 @@ object SparkEntry {
         .orderBy(col("df").desc, col("token")).limit(20)
     }),
 
+    // Unigram-LM perplexity filter (the CCNet/Gopher quality gate): fit a
+    // unigram language model on the corpus itself (one map-side-combined
+    // token count), score every document by its mean per-token surprisal
+    // −ln p(tok), and report the 100 most-surprising documents — the rows
+    // a perplexity filter would drop. Surprisal is floor-quantized to
+    // milli-nats PER OCCURRENCE (the q_tfidf treatment), so the per-doc
+    // sum and the `div` mean are exact int64 in both engines. The token
+    // relation is a narrow explode re-derived by each consumer (cheaper at
+    // scale than materializing the corpus token stream); the LM join is a
+    // plain equi-join on token — broadcast-eligible at small vocab, shuffle
+    // at web-scale vocab — and the doc aggregate is map-side combined.
+    "q_unigram_ppl" -> ((s, dir) => {
+      def toks = docsTable(s, dir).select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      val lm = toks.groupBy("token").agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+      val total = lm.agg(sum(col("cnt")).as("n_total"))
+      toks.join(lm, "token")
+        .crossJoin(broadcast(total))
+        .withColumn("sup", floor(lit(1000.0) *
+          log(col("n_total").cast("double") / col("cnt").cast("double"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("sup")).as("sup_milli"))
+        .select(col("doc_id"), col("n_toks"), col("sup_milli"),
+          expr("sup_milli div n_toks").as("ppl_milli"))
+        .orderBy(col("ppl_milli").desc, col("doc_id")).limit(100)
+    }),
+
     // cross-source near-duplicate overlap matrix (dataset-contamination
     // report): which sources copy from which. Rides the SAME banded-MinHash
     // candidacy + lev<15 edge relation as the CC family — source labels are
@@ -3156,6 +3183,21 @@ object SparkEntry {
         |per AS (SELECT token, doc_id, count(*) AS c FROM toks GROUP BY 1, 2)
         |SELECT token, count(*) AS df, CAST(sum(c) AS BIGINT) AS tf
         |FROM per GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    // Same whitespace tokenizer as q_vocab_df; surprisal floor-quantized to
+    // milli-nats per occurrence so every aggregate is exact int64.
+    "q_unigram_ppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |lm AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM lm),
+        |sc AS (SELECT doc_id,
+        |         CAST(floor(1000.0 * ln(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT) AS sup
+        |       FROM toks JOIN lm USING (token) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, count(*) AS n_toks, CAST(sum(sup) AS BIGINT) AS sup_milli
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_toks, sup_milli, sup_milli // n_toks AS ppl_milli
+        |FROM agg ORDER BY ppl_milli DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_cross_source_dups" ->
       s"""WITH $sBandCte,

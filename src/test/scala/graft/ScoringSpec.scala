@@ -119,6 +119,27 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getLong(4) < 100000L, s"u_lev ${row.getLong(4)} suspiciously high for random pairs")
   }
 
+  test("q_unigram_ppl: top-100 equals the sequential unigram-LM rederivation") {
+    val rows = SparkEntry.queries("q_unigram_ppl")(spark, dir).collect()
+    assert(rows.length == 100)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toVector)
+    val cnt = texts.flatMap(_._2).groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val total = cnt.values.sum.toDouble
+    val want = texts.map { case (id, ts) =>
+      val sup = ts.map(t => math.floor(1000.0 * math.log(total / cnt(t))).toLong).sum
+      (id, ts.size.toLong, sup, sup / ts.size)
+    }.sortBy { case (id, _, _, p) => (-p, id) }.take(100)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toVector == want.toVector)
+    // non-vacuous: the filter candidates genuinely rank above the median doc
+    val all = texts.map { case (_, ts) =>
+      ts.map(t => math.floor(1000.0 * math.log(total / cnt(t))).toLong).sum / ts.size
+    }.sorted
+    assert(want.head._4 > all(all.length / 2), "top surprisal not above median")
+  }
+
   test("q_fs_decisions: triage consistent with the fitted posteriors") {
     val dec = SparkEntry.queries("q_fs_decisions")(spark, dir).collect()
     val emRows = SparkEntry.queries("q_fs_em")(spark, dir).collect()
