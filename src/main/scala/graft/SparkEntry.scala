@@ -2072,6 +2072,36 @@ object SparkEntry {
         .orderBy(col("ppl_milli").desc, col("doc_id")).limit(100)
     }),
 
+    // Per-source KL divergence from the corpus unigram distribution — the
+    // domain-mix diagnostic a data-mixture pipeline reads before reweighting
+    // sources: KL(p_source ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)),
+    // reported as the exact int64 occurrence-weighted sum of per-token
+    // milli-nat floor-quantized log-ratios (Σ c_st·⌊1000·ln((c_st·N)/(n_s·c_t))⌋,
+    // the q_unigram_ppl treatment) and its per-occurrence mean. True KL is
+    // ≥ 0; the downward floor quantization can push the sum a hair negative,
+    // so the MEAN clamps at 0 (both operands nonnegative → trunc and floor
+    // division agree across engines) while kl_sum_milli stays signed-exact.
+    // Cost: one (source, token) count, two map-side-combined rollups, one
+    // token equi-join — nothing wider than the vocabulary at any scale.
+    "q_source_kl" -> ((s, dir) => {
+      val st = docsTable(s, dir)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+        .localCheckpoint(true)
+      val t = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+      val sTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+      val tot = st.agg(sum(col("c_st")).as("n"))
+      st.join(t, "token").join(sTot, "source").crossJoin(broadcast(tot))
+        .withColumn("term", col("c_st") * floor(lit(1000.0) *
+          log((col("c_st").cast("double") * col("n").cast("double")) /
+            (col("n_s").cast("double") * col("c_t").cast("double")))))
+        .groupBy("source")
+        .agg(max(col("n_s")).as("n_toks"), sum(col("term")).as("kl_sum_milli"))
+        .select(col("source"), col("n_toks"), col("kl_sum_milli"),
+          expr("greatest(kl_sum_milli, 0L) div n_toks").as("kl_milli"))
+        .orderBy("source")
+    }),
+
     // cross-source near-duplicate overlap matrix (dataset-contamination
     // report): which sources copy from which. Rides the SAME banded-MinHash
     // candidacy + lev<15 edge relation as the CC family — source labels are
@@ -3198,6 +3228,26 @@ object SparkEntry {
         |        FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_toks, sup_milli, sup_milli // n_toks AS ppl_milli
         |FROM agg ORDER BY ppl_milli DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Same tokenizer + milli-nat floor quantization as q_unigram_ppl; the
+    // clamped mean uses only nonnegative operands so // and div agree.
+    "q_source_kl" ->
+      """WITH st AS (
+        |  SELECT source, token, count(*) AS c_st FROM (
+        |    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents) GROUP BY source, token),
+        |t AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY token),
+        |stot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+        |tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st),
+        |terms AS (
+        |  SELECT source, n_s,
+        |    c_st * CAST(floor(1000.0 * ln((CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |      (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE)))) AS BIGINT) AS term
+        |  FROM st JOIN t USING (token) JOIN stot USING (source) CROSS JOIN tot),
+        |agg AS (SELECT source, max(n_s) AS n_toks, CAST(sum(term) AS BIGINT) AS kl_sum_milli
+        |        FROM terms GROUP BY source)
+        |SELECT source, n_toks, kl_sum_milli, greatest(kl_sum_milli, 0) // n_toks AS kl_milli
+        |FROM agg ORDER BY source""".stripMargin,
 
     "q_cross_source_dups" ->
       s"""WITH $sBandCte,

@@ -140,6 +140,29 @@ class ScoringSpec extends AnyFunSuite with SparkTestBase {
     assert(want.head._4 > all(all.length / 2), "top surprisal not above median")
   }
 
+  test("q_source_kl: per-source divergence equals the sequential rederivation") {
+    val rows = SparkEntry.queries("q_source_kl")(spark, dir).collect()
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.split("\\s+").toVector)
+    val corpus = texts.flatMap(_._2).groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val n = corpus.values.sum.toDouble
+    val bySrc = texts.groupBy(_._1)
+    assert(rows.length == bySrc.size && rows.length > 1)
+    rows.foreach { r =>
+      val toks = bySrc(r.getString(0)).flatMap(_._2)
+      val ns = toks.size.toLong
+      val cst = toks.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      val klSum = cst.iterator.map { case (t, c) =>
+        c * math.floor(1000.0 * math.log(c * n / (ns * corpus(t).toDouble))).toLong
+      }.sum
+      assert(r.getLong(1) == ns && r.getLong(2) == klSum, s"${r.getString(0)}")
+      assert(r.getLong(3) == math.max(klSum, 0L) / ns)
+    }
+    // non-vacuous: divergences differ across sources
+    assert(rows.map(_.getLong(3)).distinct.length > 1, "all sources identical KL")
+  }
+
   test("q_fs_decisions: triage consistent with the fitted posteriors") {
     val dec = SparkEntry.queries("q_fs_decisions")(spark, dir).collect()
     val emRows = SparkEntry.queries("q_fs_em")(spark, dir).collect()
