@@ -659,6 +659,36 @@ object SparkEntry {
           .otherwise(col("num") / col("den")), 6).as("ari"))
   }
 
+  /** NMI over a (doc_id, c, tt) assignment: the three entropies as exact
+    * int64 occurrence-weighted milli-nat sums (Σ m·⌊1000·ln(N/m)⌋ over the
+    * pred / truth / joint cells — the q_source_kl quantization, so both
+    * engines add identical integer addends in any order), then
+    * NMI = 2·(H_C + H_T − H_CT)/(H_C + H_T) as one double expression over
+    * the exact sums, identically ordered and rounded once. H_C + H_T = 0
+    * only when both partitions are single-cluster (identical) → NMI := 1.
+    * Extracted from q_nmi for unit tests on constructed disagreeing
+    * partitions (the corpus pins nmi at 1.0, like ariOf).
+    */
+  private[graft] def nmiOf(assign: DataFrame): DataFrame = {
+    val n = assign.agg(count(lit(1)).as("n_docs"))
+    def ent(groupCols: Seq[String], name: String): DataFrame =
+      assign.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("m"))
+        .crossJoin(broadcast(n))
+        .agg(sum(col("m") * floor(lit(1000.0) *
+          log(col("n_docs").cast("double") / col("m").cast("double")))).as(name))
+    n.crossJoin(ent(Seq("c"), "h_pred_milli"))
+      .crossJoin(ent(Seq("tt"), "h_truth_milli"))
+      .crossJoin(ent(Seq("c", "tt"), "h_joint_milli"))
+      .select(col("n_docs"), col("h_pred_milli"), col("h_truth_milli"),
+        col("h_joint_milli"),
+        round(when(col("h_pred_milli") + col("h_truth_milli") === 0L, lit(1.0))
+          .otherwise(lit(2.0) *
+            (col("h_pred_milli") + col("h_truth_milli") - col("h_joint_milli"))
+              .cast("double") /
+            (col("h_pred_milli") + col("h_truth_milli")).cast("double")), 6)
+          .as("nmi"))
+  }
+
   /** The per-document FS comparison-field projection (lang, 100-char
     * length bucket, 60-char prefix, distinct 120-prefix tokens) shared by
     * every consumer of the FS comparison space — [[fsVectors]] for blocked
@@ -1668,6 +1698,12 @@ object SparkEntry {
     // both partitions are trivially identical (all-singletons or
     // one-cluster on both sides) → ARI := 1.
     "q_ari" -> ((s, dir) => ariOf(sEvalAssignment(s, dir))),
+
+    // Normalized Mutual Information (Strehl & Ghosh 2002) — the
+    // information-theoretic member of the evaluation family, on the same
+    // pinned (pred, truth) assignment and the same linear contingency
+    // rollups; see [[nmiOf]] for the exact-integer entropy quantization.
+    "q_nmi" -> ((s, dir) => nmiOf(sEvalAssignment(s, dir))),
 
     // PII scrub accounting (training-data hygiene): plant deterministic
     // contact PII (an email + an 8-digit account id derived from doc_id)
@@ -2838,6 +2874,24 @@ object SparkEntry {
          |             ELSE (2.0 * (t2 * sij - sa * sb)) /
          |                  (t2 * (sa + sb) - 2.0 * sa * sb) END, 6) AS ari
          |FROM f""".stripMargin,
+
+    // Same shared assign CTE as q_ari/q_bcubed; entropies as exact int64
+    // milli-nat occurrence sums, the NMI ratio identically ordered.
+    "q_nmi" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |$evalAssignCte,
+         |n AS (SELECT count(*) AS n_docs FROM assign),
+         |hp AS (SELECT CAST(sum(m * CAST(floor(1000.0 * ln(CAST(n_docs AS DOUBLE) / CAST(m AS DOUBLE))) AS BIGINT)) AS BIGINT) AS h_pred_milli
+         |       FROM (SELECT count(*) AS m FROM assign GROUP BY c) CROSS JOIN n),
+         |ht AS (SELECT CAST(sum(m * CAST(floor(1000.0 * ln(CAST(n_docs AS DOUBLE) / CAST(m AS DOUBLE))) AS BIGINT)) AS BIGINT) AS h_truth_milli
+         |       FROM (SELECT count(*) AS m FROM assign GROUP BY tt) CROSS JOIN n),
+         |hj AS (SELECT CAST(sum(m * CAST(floor(1000.0 * ln(CAST(n_docs AS DOUBLE) / CAST(m AS DOUBLE))) AS BIGINT)) AS BIGINT) AS h_joint_milli
+         |       FROM (SELECT count(*) AS m FROM assign GROUP BY c, tt) CROSS JOIN n)
+         |SELECT n_docs, h_pred_milli, h_truth_milli, h_joint_milli,
+         |       round(CASE WHEN h_pred_milli + h_truth_milli = 0 THEN 1.0
+         |             ELSE 2.0 * CAST(h_pred_milli + h_truth_milli - h_joint_milli AS DOUBLE) /
+         |                  CAST(h_pred_milli + h_truth_milli AS DOUBLE) END, 6) AS nmi
+         |FROM n CROSS JOIN hp CROSS JOIN ht CROSS JOIN hj""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH c AS (

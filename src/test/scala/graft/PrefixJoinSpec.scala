@@ -137,6 +137,39 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.ariOf(anti).collect().head.getDouble(4) == 0.0)
   }
 
+  test("q_nmi: corpus pins nmi at 1; nmiOf matches sequential entropy rederivation") {
+    val r = SparkEntry.queries("q_nmi")(spark, sfDir).collect().head
+    assert(r.getLong(0) == 500L && r.getDouble(4) == 1.0)
+    import spark.implicits._
+    def seqNmi(rows: Seq[(Long, Long, Long)]): (Long, Long, Long, Double) = {
+      val n = rows.size.toDouble
+      def h(key: ((Long, Long, Long)) => Any): Long =
+        rows.groupBy(key).values.map { g =>
+          g.size * math.floor(1000.0 * math.log(n / g.size)).toLong
+        }.sum
+      val (hp, ht, hj) = (h(_._2), h(_._3), h(t => (t._2, t._3)))
+      val nmi = if (hp + ht == 0L) 1.0
+        else BigDecimal(2.0 * (hp + ht - hj).toDouble / (hp + ht).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (hp, ht, hj, nmi)
+    }
+    // textbook disagreeing partitions + degenerate shapes + random fuzz
+    val cases = Seq(
+      Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 1L), (4L, 2L, 2L), (5L, 3L, 2L), (6L, 3L, 2L)),
+      Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L)),   // identical singletons -> 1
+      Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L)),   // one cluster vs singletons -> 0
+      Seq((1L, 9L, 9L), (2L, 9L, 9L), (3L, 9L, 9L)))      // both single-cluster: h=0 -> 1
+    val rnd = new scala.util.Random(42L)
+    val fuzz = (1 to 10).map(_ => (1 to (5 + rnd.nextInt(30))).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(5).toLong)))
+    (cases ++ fuzz).zipWithIndex.foreach { case (rows, i) =>
+      val got = SparkEntry.nmiOf(rows.toDF("doc_id", "c", "tt")).collect().head
+      val (hp, ht, hj, nmi) = seqNmi(rows)
+      assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((hp, ht, hj)), s"case $i entropies")
+      assert(got.getDouble(4) == nmi, s"case $i nmi: ${got.getDouble(4)} vs $nmi")
+    }
+  }
+
   test("ariOf: randomized partitions match a sequential pair-counting rederivation") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260818L)
