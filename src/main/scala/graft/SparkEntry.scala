@@ -285,7 +285,7 @@ object SparkEntry {
 
   /** ONE pinned (doc_id, pred-cluster `c`, truth-cluster `tt`) evaluation
     * assignment per (session, table dir), shared by the contingency-cell
-    * evaluators (q_bcubed, q_ari): truth = CC over the exact
+    * evaluators (q_bcubed, q_ari, q_nmi): truth = CC over the exact
     * shingle-Jaccard ≥ 0.9 pairs, predicted = [[sFlagshipCC]], unmatched
     * docs singletons on both sides. Mirrored by [[evalAssignCte]] in both
     * oracles so the two evaluators can never desynchronize. Cache contract
@@ -703,17 +703,26 @@ object SparkEntry {
 
   /** Shared near-dup edge relation for the CC/report/survivorship queries:
     * band candidates → levenshtein < 15 on 60-char prefixes. Mirrored
-    * exactly by the recursive-CTE oracles.
+    * exactly by the recursive-CTE oracles. Four direct consumers (the
+    * [[sFlagshipCC]] builder, center clustering, q_strategy_f1's center
+    * leg, q_cross_source_dups) — so the corpus-scale candidate join +
+    * levenshtein scan is localCheckpoint-pinned once per (session, table
+    * dir) under the [[sBandRelation]] cache contract.
     */
-  private def levEdges(s: SparkSession, dir: String): DataFrame = {
-    val t = docsTable(s, dir)
-      .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
-    sBandCandidates(s, dir)
-      .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
-      .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
-      .filter(levenshtein(col("ta"), col("tb")) < 15)
-      .select(col("a").as("src"), col("b").as("dst"))
-  }
+  private val levEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def levEdges(s: SparkSession, dir: String): DataFrame =
+    levEdgeCache.synchronized { levEdgeCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val t = docsTable(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+        sBandCandidates(s, dir)
+          .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+          .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+          .filter(levenshtein(col("ta"), col("tb")) < 15)
+          .select(col("a").as("src"), col("b").as("dst"))
+          .localCheckpoint(true)
+      }) }
 
   /** Cluster-cohesion audit (ER precision proxy): per cluster, the pairwise
     * edit-distance profile of its members — n_pairs, sum/avg distance, and
@@ -1620,13 +1629,15 @@ object SparkEntry {
     // strategy: the report that decides which semantics fits a corpus
     // (CC over-merges drifting chains, centers over-split long true
     // clusters — here the truth is exact shingle-Jaccard ≥ 0.9 from the
-    // lossless PPJoin). The edge relation is pinned once and shared by
-    // both clusterings; the oracle derives the CC side from the shared
-    // band+lev contract and the center side from the committed golden,
-    // so a center-clustering drift trips this query too.
+    // lossless PPJoin). The cc leg reads the session-pinned sFlagshipCC
+    // assignment; the center leg clusters over the session-pinned levEdges
+    // relation — the same edge contract, one pinned copy each. The oracle
+    // derives the CC side from the shared band+lev contract and the center
+    // side from the committed golden, so a center-clustering drift trips
+    // this query too.
     "q_strategy_f1" -> ((s, dir) => {
       val truth = exactShinglePairs(s, dir, 0.9).select("a", "b").localCheckpoint(true)
-      val edges = levEdges(s, dir).localCheckpoint(true)
+      val edges = levEdges(s, dir)
       def pairsOf(assign: DataFrame): DataFrame = assign
         .select(col("doc_id").as("a"), col("cluster_id"))
         .join(assign.select(col("doc_id").as("b"), col("cluster_id")), "cluster_id")
@@ -1699,7 +1710,9 @@ object SparkEntry {
     // one-cluster on both sides) → ARI := 1.
     "q_ari" -> ((s, dir) => ariOf(sEvalAssignment(s, dir))),
 
-    // Normalized Mutual Information (Strehl & Ghosh 2002) — the
+    // Normalized Mutual Information with the arithmetic-mean normalization
+    // 2·I/(H_C + H_T) (Kvalseth 1987 — the scikit-learn default; Strehl &
+    // Ghosh 2002's variant divides by the geometric mean instead) — the
     // information-theoretic member of the evaluation family, on the same
     // pinned (pred, truth) assignment and the same linear contingency
     // rollups; see [[nmiOf]] for the exact-integer entropy quantization.
