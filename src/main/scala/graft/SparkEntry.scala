@@ -689,6 +689,35 @@ object SparkEntry {
           .as("nmi"))
   }
 
+  /** Purity / inverse purity over a (doc_id, c, tt) assignment — the only
+    * evaluator in the family with NO floating point at all until the final
+    * harmonic mean: purity = (1/N)·Σ_c max_t n_ct (each predicted
+    * cluster's share of its dominant truth class), inverse purity the
+    * transpose; both reported as exact micro-unit integers
+    * ((10⁶·Σmax) div N). The harmonic mean is one double expression over
+    * the two exact micro ints, guarded against the degenerate 0+0 case
+    * (reachable only when N > 10⁶·Σmax) and rounded once. Cells are
+    * pinned once for the two rollups.
+    */
+  private[graft] def purityOf(assign: DataFrame): DataFrame = {
+    val cells = assign.groupBy("c", "tt").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val pm = cells.groupBy("c").agg(max(col("m")).as("mx"))
+      .agg(sum(col("mx")).as("sum_max_pred"))
+    val tm = cells.groupBy("tt").agg(max(col("m")).as("mx"))
+      .agg(sum(col("mx")).as("sum_max_truth"))
+    assign.agg(count(lit(1)).as("n_docs")).crossJoin(pm).crossJoin(tm)
+      .withColumn("purity_micro", expr("(1000000 * sum_max_pred) div n_docs"))
+      .withColumn("inv_purity_micro", expr("(1000000 * sum_max_truth) div n_docs"))
+      .select(col("n_docs"), col("sum_max_pred"), col("sum_max_truth"),
+        col("purity_micro"), col("inv_purity_micro"),
+        round(when(col("purity_micro") + col("inv_purity_micro") === 0L, lit(0.0))
+          .otherwise(lit(2.0) * col("purity_micro").cast("double") *
+            col("inv_purity_micro").cast("double") /
+            (col("purity_micro") + col("inv_purity_micro")).cast("double")), 6)
+          .as("purity_f_micro"))
+  }
+
   /** The per-document FS comparison-field projection (lang, 100-char
     * length bucket, 60-char prefix, distinct 120-prefix tokens) shared by
     * every consumer of the FS comparison space — [[fsVectors]] for blocked
@@ -1717,6 +1746,11 @@ object SparkEntry {
     // pinned (pred, truth) assignment and the same linear contingency
     // rollups; see [[nmiOf]] for the exact-integer entropy quantization.
     "q_nmi" -> ((s, dir) => nmiOf(sEvalAssignment(s, dir))),
+
+    // Purity / inverse purity (Amigó et al. 2009's survey baseline pair) —
+    // the integer-exact member of the evaluation family, on the same
+    // pinned assignment; see [[purityOf]].
+    "q_purity" -> ((s, dir) => purityOf(sEvalAssignment(s, dir))),
 
     // PII scrub accounting (training-data hygiene): plant deterministic
     // contact PII (an email + an 8-digit account id derived from doc_id)
@@ -2905,6 +2939,27 @@ object SparkEntry {
          |             ELSE 2.0 * CAST(h_pred_milli + h_truth_milli - h_joint_milli AS DOUBLE) /
          |                  CAST(h_pred_milli + h_truth_milli AS DOUBLE) END, 6) AS nmi
          |FROM n CROSS JOIN hp CROSS JOIN ht CROSS JOIN hj""".stripMargin,
+
+    // Same shared assign CTE; everything exact integers until the final
+    // guarded harmonic mean (identical operand order both engines).
+    "q_purity" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |$evalAssignCte,
+         |cells AS (SELECT c, tt, count(*) AS m FROM assign GROUP BY c, tt),
+         |pm AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_max_pred
+         |       FROM (SELECT max(m) AS mx FROM cells GROUP BY c)),
+         |tm AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_max_truth
+         |       FROM (SELECT max(m) AS mx FROM cells GROUP BY tt)),
+         |n AS (SELECT count(*) AS n_docs FROM assign),
+         |mic AS (SELECT n_docs, sum_max_pred, sum_max_truth,
+         |          (1000000 * sum_max_pred) // n_docs AS purity_micro,
+         |          (1000000 * sum_max_truth) // n_docs AS inv_purity_micro
+         |        FROM n CROSS JOIN pm CROSS JOIN tm)
+         |SELECT n_docs, sum_max_pred, sum_max_truth, purity_micro, inv_purity_micro,
+         |       round(CASE WHEN purity_micro + inv_purity_micro = 0 THEN 0.0
+         |             ELSE 2.0 * CAST(purity_micro AS DOUBLE) * CAST(inv_purity_micro AS DOUBLE) /
+         |                  CAST(purity_micro + inv_purity_micro AS DOUBLE) END, 6) AS purity_f_micro
+         |FROM mic""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH c AS (

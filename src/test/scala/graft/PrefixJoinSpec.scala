@@ -170,6 +170,38 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q_purity: corpus pins both purities at 10^6; purityOf matches sequential rederivation") {
+    val r = SparkEntry.queries("q_purity")(spark, sfDir).collect().head
+    assert(r.getLong(0) == 500L && r.getLong(3) == 1000000L && r.getLong(4) == 1000000L)
+    assert(r.getDouble(5) == 1000000.0)
+    import spark.implicits._
+    def seqPurity(rows: Seq[(Long, Long, Long)]): (Long, Long, Long, Long, Double) = {
+      val n = rows.size.toLong
+      val cells = rows.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.size.toLong }
+      def sumMax(key: ((Long, Long)) => Long): Long =
+        cells.groupBy { case (k, _) => key(k) }.values.map(_.values.max).sum
+      val (sp, st) = (sumMax(_._1), sumMax(_._2))
+      val (pm, im) = (1000000L * sp / n, 1000000L * st / n)
+      val f = if (pm + im == 0L) 0.0
+        else BigDecimal(2.0 * pm.toDouble * im.toDouble / (pm + im).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (sp, st, pm, im, f)
+    }
+    val rnd = new scala.util.Random(7L)
+    val cases = Seq(
+      Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 1L), (4L, 2L, 2L), (5L, 3L, 2L), (6L, 3L, 2L)),
+      Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L))) ++
+      (1 to 10).map(_ => (1 to (5 + rnd.nextInt(30))).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(5).toLong)))
+    cases.zipWithIndex.foreach { case (rows, i) =>
+      val got = SparkEntry.purityOf(rows.toDF("doc_id", "c", "tt")).collect().head
+      val (sp, st, pm, im, f) = seqPurity(rows)
+      assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4)) ==
+        ((sp, st, pm, im)), s"case $i counts")
+      assert(got.getDouble(5) == f, s"case $i f: ${got.getDouble(5)} vs $f")
+    }
+  }
+
   test("ariOf: randomized partitions match a sequential pair-counting rederivation") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260818L)
