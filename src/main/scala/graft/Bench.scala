@@ -25,7 +25,14 @@ import org.apache.spark.sql.SparkSession
   *                        below the warm rate). The JSON also reports the
   *                        best trial (wall_sec_min / docs_per_sec_best) so
   *                        load-noise is visible instead of silently folded
-  *                        into the headline.
+  *                        into the headline. The run is additionally
+  *                        load-robust: per-trial 1-min loadavg is recorded
+  *                        into the JSON, and when the warm-trial spread
+  *                        exceeds 1.5x the fastest warm trial the bench
+  *                        auto-extends (up to 9 trials) and emits
+  *                        "load_suspect":true — a loaded-box artifact
+  *                        self-identifies instead of reading as a
+  *                        regression (BENCH_r01-r03 lineage).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -64,14 +71,43 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_COLLAPSE").contains("0"))
         Corpus.RecommendedConfig.copy(exactPrecollapse = false)
       else Corpus.RecommendedConfig
-    val trialSecs = (1 to math.max(1, trials)).map { _ =>
+    // Load-robust trials (BENCH_r01-r03 each read 2-3.5x below quiet-box
+    // re-runs of IDENTICAL code because the box was loaded during the
+    // driver's window): record the 1-min system load at each trial start,
+    // and when the warm-trial spread exceeds 1.5x the fastest warm trial,
+    // run extra trials (9 total cap) and mark the artifact load-suspect so
+    // a noisy measurement self-identifies instead of reading as a
+    // regression.
+    def loadAvg1m: Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble finally src.close()
+      } catch {
+        case _: Throwable =>
+          java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean.getSystemLoadAverage
+      }
+    val trialSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val trialLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runTrial(): Unit = {
+      trialLoads += loadAvg1m
       val t0 = System.nanoTime()
       val result = Pipeline.run(spark, docs, benchCfg)
       val outRows = result.clusters.count()
       require(outRows == nDocs)
       result.release()
-      (System.nanoTime() - t0) / 1e9
+      trialSecs += (System.nanoTime() - t0) / 1e9
     }
+    (1 to math.max(1, trials)).foreach(_ => runTrial())
+    // trial 1 carries JIT/page-cache warmup by protocol; spread is judged
+    // on the warm tail only
+    def spreadSuspect: Boolean = {
+      val warm = if (trialSecs.length > 1) trialSecs.drop(1) else trialSecs.toSeq
+      warm.max > 1.5 * warm.min
+    }
+    while (spreadSuspect && trialSecs.length < 9) runTrial()
+    val loadSuspect = spreadSuspect
+    val loadEnd = loadAvg1m
     val pipelineSec = trialSecs.sorted.apply(trialSecs.length / 2) // median
     docs.unpersist()
 
@@ -95,11 +131,12 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val trialsJson = trialSecs.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val loadsJson = (trialLoads :+ loadEnd).map(l => f"$l%.2f").mkString("[", ",", "]")
     val total = results.map(_._2).sum + trialSecs.sum
     val dps = nDocs / pipelineSec
     val minSec = trialSecs.min
     val dpsBest = nDocs / minSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline":{"docs":$nDocs,"wall_sec":$pipelineSec%.3f,"docs_per_sec":$dps%.1f,"wall_sec_min":$minSec%.3f,"docs_per_sec_best":$dpsBest%.1f,"trials":$trialsJson},"cpus":$cpus}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline":{"docs":$nDocs,"wall_sec":$pipelineSec%.3f,"docs_per_sec":$dps%.1f,"wall_sec_min":$minSec%.3f,"docs_per_sec_best":$dpsBest%.1f,"trials":$trialsJson,"loadavg":$loadsJson,"load_suspect":$loadSuspect},"cpus":$cpus}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

@@ -39,8 +39,10 @@ import org.apache.spark.sql.functions._
   * candidate pairs (O(N·bucket) in round 1, O(changed·bucket) after);
   * merging is [[Components.connectedComponents]] over the match edges
   * (≪ corpus). Entity count strictly decreases every non-final round,
-  * and real corpora converge in 1-3 rounds; a non-converged `maxRounds`
-  * fails loudly rather than returning a silent partial fixpoint.
+  * and real corpora converge in 1-3 rounds; a corpus still producing
+  * merges past `maxRounds` MERGE rounds fails loudly rather than
+  * returning a silent partial fixpoint (the final empty confirmation
+  * round is always allowed and does not count against the bound).
   */
 object Swoosh {
 
@@ -91,8 +93,6 @@ object Swoosh {
     var rounds = 0
     var done = false
     while (!done) {
-      require(rounds < maxRounds,
-        s"Swoosh.resolve: no fixpoint after $maxRounds rounds")
       // pinned: feeds the candidate-entity scope, the verify join, and
       // the optional census
       val cand = changedBands.select(col("entity_id").as("x"), col("bk"))
@@ -133,6 +133,12 @@ object Swoosh {
           s"${matches.count()} matches")
       if (matches.isEmpty) done = true
       else {
+        // maxRounds bounds MERGE rounds only: the final fixpoint-confirming
+        // (empty) round is always allowed, so a corpus that legitimately
+        // merges in round maxRounds-1 still converges instead of failing
+        // on its own confirmation pass
+        require(rounds < maxRounds,
+          s"Swoosh.resolve: no fixpoint after $maxRounds merge rounds")
         // old entity id → merged entity id, for matched components only
         val mapping = Components.connectedComponents(matches)
           .select(col("doc_id").as("entity_id"), col("cluster_id"))

@@ -17,14 +17,21 @@ import org.apache.spark.sql.types._
   * — plans as a cartesian nested loop (O(N²) at any cluster size). Both
   * predicates IMPLY at least one shared element (overlap ≥ k ≥ 1
   * directly; a ratio whose numerator is the intersection size can only
-  * clear a positive threshold when the intersection is non-empty — the
-  * denominator's sign is irrelevant since a non-positive quotient fails
-  * the test and 0-denominator division is NULL). So the EXACT rewrite:
-  * explode each side's (deduplicated) element set, equi-join on the
-  * element — null-safe, because `array_intersect` counts a null present
-  * on both sides — and keep the ORIGINAL predicate as the residual.
-  * Candidacy is lossless for any such conjunct; joins without one are
-  * left untouched.
+  * clear a positive threshold when the intersection is non-empty). So the
+  * EXACT rewrite: explode each side's (deduplicated) element set,
+  * equi-join on the element — null-safe, because `array_intersect` counts
+  * a null present on both sides — and keep the ORIGINAL predicate as the
+  * residual. Candidacy is lossless for any such conjunct; joins without
+  * one are left untouched.
+  *
+  * NULL/empty arrays: the COUNT form is exact on every input in both null
+  * modes and fires unconditionally; the RATIO form fires only when the
+  * query's own conjuncts carry `size(arr) > 0`-style guards proving both
+  * arrays non-null and non-empty — unguarded, a both-NULL pair passes the
+  * original ratio under legacy sizeOfNull ((-1)/(-1) = 1.0) and a
+  * both-empty pair throws DIVIDE_BY_ZERO under ANSI, neither of which the
+  * exploded join can reproduce (see [[matchOverlap]] for the proof
+  * obligations per form).
   *
   * Multiplicity: a pair can share several elements, so each side is
   * tagged with `monotonically_increasing_id()` below the explode and the
@@ -56,9 +63,14 @@ object SetOverlapJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         case EqualNullSafe(l, r) => separable(l, r, left, right).isDefined
         case _ => false
       }
+      // guard discovery must also consult the children's constraint sets:
+      // PushDownPredicates moves one-sided `size(arr) > 0` conjuncts below
+      // the join before this rule sees it, and a pushed guard re-surfaces
+      // as a child constraint
+      lazy val known = conjuncts ++ left.constraints.toSeq ++ right.constraints.toSeq
       val overlap =
         if (hasEqui) None
-        else conjuncts.view.flatMap(matchOverlap(_, left, right)).headOption
+        else conjuncts.view.flatMap(matchOverlap(_, left, right, known)).headOption
       overlap match {
         case Some((ta, tb)) => rewrite(j, ta, tb)
         case None => j
@@ -97,10 +109,11 @@ object SetOverlapJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The intersection-size expression at the root of `e` (casts stripped;
     * for a ratio, the numerator), as the separable (left, right) arrays
-    * with an atomic element type.
+    * with an atomic element type, plus whether a Divide wraps it (the
+    * Jaccard-ratio form, which needs the non-empty guards below).
     */
   private def intersectArrays(e: Expression, left: LogicalPlan,
-                              right: LogicalPlan): Option[(Expression, Expression)] =
+                              right: LogicalPlan): Option[(Expression, Expression, Boolean)] =
     stripCast(e) match {
       case s: Size => s.child match {
         case ai: ArrayIntersect =>
@@ -114,23 +127,74 @@ object SetOverlapJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                    _: DecimalType => true
               case _ => false
             }
-          }
+          }.map { case (a, b) => (a, b, false) }
         case _ => None
       }
-      case d: Divide => intersectArrays(d.left, left, right)
+      case d: Divide =>
+        intersectArrays(d.left, left, right).map { case (a, b, _) => (a, b, true) }
       case _ => None
     }
+
+  /** True when `lo` bounds an integer-valued expression away from 0 and
+    * from the legacy size(NULL) = -1 sentinel: `x > lo` with lo ≥ 0 or
+    * `x ≥ lo` with lo > 0 both force x ≥ 1.
+    */
+  private def forcesPositive(lo: Double, strict: Boolean): Boolean =
+    (strict && lo >= 0) || (!strict && lo > 0)
+
+  /** True when some conjunct proves `arr` non-null AND non-empty in BOTH
+    * null modes: a `size(arr) > lo` (lo ≥ 0) or `size(arr) ≥ lo` (lo > 0)
+    * guard. size is an integer, and size(NULL) is -1 under legacy
+    * sizeOfNull / NULL under ANSI — either fails the guard — so a row that
+    * passes provably has a real element on that side.
+    */
+  private def provesNonEmpty(arr: Expression, conjuncts: Seq[Expression]): Boolean = {
+    def sizeOfArr(x: Expression): Boolean = stripCast(x) match {
+      case s: Size => s.child.semanticEquals(arr)
+      case _ => false
+    }
+    conjuncts.exists {
+      case GreaterThan(x, NumLit(lo)) => forcesPositive(lo, strict = true) && sizeOfArr(x)
+      case GreaterThanOrEqual(x, NumLit(lo)) => forcesPositive(lo, strict = false) && sizeOfArr(x)
+      case LessThan(NumLit(lo), x) => forcesPositive(lo, strict = true) && sizeOfArr(x)
+      case LessThanOrEqual(NumLit(lo), x) => forcesPositive(lo, strict = false) && sizeOfArr(x)
+      case _ => false
+    }
+  }
 
   /** Matches a conjunct whose truth implies size(array_intersect) ≥ 1:
     * `expr >= lo` with lo > 0, or `expr > lo` with lo ≥ 0, either operand
     * order, where expr is the (possibly cast/ratio-wrapped) intersection
     * size. The intersection size is a non-negative integer and a ratio of
     * it clears a positive bound only when it is non-zero.
+    *
+    * NULL/empty-array soundness (per-form):
+    *  - COUNT form (`size(array_intersect) cmp k`): exact on every input
+    *    in both null modes. A null array makes the intersection NULL, so
+    *    size is -1 (legacy) or NULL (ANSI) — both fail the positive bound;
+    *    an empty array gives 0 — also fails; and explode(outer=false)
+    *    drops the same rows from the rewrite. No division exists, so ANSI
+    *    cannot error. Fires unconditionally.
+    *  - RATIO form (`size(array_intersect) / denom cmp t`): NOT exact
+    *    unguarded — under legacy sizeOfNull a both-NULL pair evaluates
+    *    (-1)/(-1) = 1.0 and PASSES the original predicate, and under ANSI
+    *    a both-empty pair makes the original throw DIVIDE_BY_ZERO, while
+    *    the rewrite would silently drop/succeed. So the ratio form fires
+    *    ONLY when the query's own conjuncts prove BOTH arrays non-null and
+    *    non-empty ([[provesNonEmpty]]); on that domain the rewrite is
+    *    exact, and rows violating a guard are dropped identically by both
+    *    plans.
     */
-  private def matchOverlap(e: Expression, left: LogicalPlan,
-                           right: LogicalPlan): Option[(Expression, Expression)] = {
+  private def matchOverlap(e: Expression, left: LogicalPlan, right: LogicalPlan,
+                           known: Seq[Expression]): Option[(Expression, Expression)] = {
     def pos(x: Expression, lo: Double, strict: Boolean): Option[(Expression, Expression)] =
-      if ((strict && lo >= 0) || (!strict && lo > 0)) intersectArrays(x, left, right)
+      if (forcesPositive(lo, strict))
+        intersectArrays(x, left, right).collect {
+          case (ta, tb, ratio)
+              if !ratio ||
+                (provesNonEmpty(ta, known) && provesNonEmpty(tb, known)) =>
+            (ta, tb)
+        }
       else None
     e match {
       case GreaterThanOrEqual(x, NumLit(lo)) => pos(x, lo, strict = false)

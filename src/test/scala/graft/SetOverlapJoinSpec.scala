@@ -47,17 +47,88 @@ class SetOverlapJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("jaccard-ratio form rewrites and matches the no-rule run") {
+  /** Non-null/non-empty guards the ratio form requires to fire (the rule
+    * cannot reproduce legacy both-NULL passes or ANSI both-empty
+    * DIVIDE_BY_ZERO, so unguarded ratio queries are left untouched).
+    */
+  private def nonEmptyGuards =
+    size(col("ta")) > 0 && size(col("tb")) > 0
+
+  private def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach { case (k, ov) =>
+      ov.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  /** The ratio form discovers its non-empty guards via the children's
+    * constraint sets (PushDownPredicates moves one-sided guards below the
+    * join). With LocalRelation test inputs, ConvertToLocalRelation eagerly
+    * evaluates those pushed Filters away — constraints and all — which
+    * parquet/file sources never do; exclude it so the ratio tests exercise
+    * the production plan shape (Filter above the relation).
+    */
+  private val keepFilters =
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+
+  test("jaccard-ratio form with non-empty guards rewrites and matches the no-rule run") {
     val a = df("ida", "ta", Seq(1L -> Seq("x", "y", "z", "w"), 2L -> Seq("a", "b"),
       3L -> Seq("x", "y")))
     val b = df("idb", "tb", Seq(10L -> Seq("x", "y", "z"), 11L -> Seq("a", "c"),
       12L -> Seq("k")))
-    val build = () => a.crossJoin(b).filter(jacCond >= 0.5)
-    val want = build().collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
-    withRule {
-      val q = build()
-      assert(q.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted === want)
-      assert(q.queryExecution.executedPlan.toString.contains("__graft_oj_key"))
+    withConf(keepFilters) {
+      val build = () => a.crossJoin(b).filter(nonEmptyGuards && jacCond >= 0.5)
+      val want = build().collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+      withRule {
+        val q = build()
+        assert(q.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted === want)
+        assert(q.queryExecution.executedPlan.toString.contains("__graft_oj_key"))
+      }
+    }
+  }
+
+  test("unguarded ratio form does not fire — legacy both-NULL pass is preserved") {
+    // ADVICE r3 (medium): with ANSI off and legacy sizeOfNull, a both-NULL
+    // pair evaluates (-1)/(-1) = 1.0 and PASSES the naive Jaccard predicate;
+    // explode(outer=false) would silently drop it. The rule must therefore
+    // not fire without guards, keeping Spark's own semantics.
+    val a = df("ida", "ta", Seq(1L -> null, 2L -> Seq("x", "y")))
+    val b = df("idb", "tb", Seq(10L -> null, 11L -> Seq("x", "y")))
+    withConf("spark.sql.ansi.enabled" -> "false",
+             "spark.sql.legacy.sizeOfNull" -> "true") {
+      val build = () => a.crossJoin(b).filter(jacCond >= 0.5)
+      val want = build().collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(want.contains((1L, 10L)), "legacy semantics: both-NULL pair passes")
+      withRule {
+        val q = build()
+        assert(!q.queryExecution.executedPlan.toString.contains("__graft_oj_key"),
+          "unguarded ratio form must not rewrite")
+        assert(q.collect().map(r => (r.getLong(0), r.getLong(2))).toSet === want)
+      }
+    }
+  }
+
+  test("ANSI both-empty: unguarded ratio preserves the DIVIDE_BY_ZERO; guarded rewrites cleanly") {
+    val a = df("ida", "ta", Seq(1L -> Seq.empty[String], 2L -> Seq("x", "y")))
+    val b = df("idb", "tb", Seq(10L -> Seq.empty[String], 11L -> Seq("x", "y")))
+    def hasDivZero(t: Throwable): Boolean =
+      t != null && (t.toString.contains("DIVIDE_BY_ZERO") || hasDivZero(t.getCause))
+    withConf("spark.sql.ansi.enabled" -> "true", keepFilters) {
+      withRule {
+        // unguarded: rule must not fire, so Spark's own ANSI error on the
+        // both-empty pair (0/0) is preserved bit-for-bit
+        val unguarded = a.crossJoin(b).filter(jacCond >= 0.5)
+        assert(!unguarded.queryExecution.executedPlan.toString.contains("__graft_oj_key"))
+        val err = intercept[Exception](unguarded.collect())
+        assert(hasDivZero(err), s"expected ANSI divide-by-zero, got: $err")
+        // guarded: fires, and the And short-circuit keeps the original
+        // error-free too — both plans agree
+        val guarded = a.crossJoin(b).filter(nonEmptyGuards && jacCond >= 0.5)
+        assert(guarded.queryExecution.executedPlan.toString.contains("__graft_oj_key"))
+        assert(guarded.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ===
+          Set((2L, 11L)))
+      }
     }
   }
 
@@ -91,30 +162,48 @@ class SetOverlapJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("fuzz incl. null elements and duplicates: with-rule equals without-rule") {
+  test("fuzz incl. null/empty ARRAYS, null elements, duplicates: with-rule equals without-rule") {
     val rnd = new scala.util.Random(7)
     val alphabet = Vector("a", "b", "c", "d", "e", null)
+    // ~1 in 8 rows gets a NULL array, ~1 in 8 an empty array — the inputs
+    // the r3 fuzz never generated (ADVICE r3)
     def randRows(n: Int): Seq[(Long, Seq[String])] =
       (0 until n).map { i =>
-        (i.toLong, Seq.fill(1 + rnd.nextInt(5))(alphabet(rnd.nextInt(alphabet.size))))
+        val roll = rnd.nextInt(8)
+        val toks =
+          if (roll == 0) null
+          else if (roll == 1) Seq.empty[String]
+          else Seq.fill(1 + rnd.nextInt(5))(alphabet(rnd.nextInt(alphabet.size)))
+        (i.toLong, toks)
       }
-    for (trial <- 1 to 5) {
+    // count forms fire unguarded (exact in both null modes); ratio forms
+    // need the non-empty guards to fire
+    def builds(a: DataFrame, b: DataFrame): Seq[() => DataFrame] = Seq(
+      () => a.crossJoin(b).filter(size(array_intersect(col("ta"), col("tb"))) >= 1),
+      () => a.crossJoin(b).filter(size(array_intersect(col("ta"), col("tb"))) > 1),
+      () => a.crossJoin(b).filter(nonEmptyGuards && jacCond >= 0.4),
+      () => a.crossJoin(b).filter(nonEmptyGuards && lit(0.3) < jacCond))
+    // both null modes: Spark 4 ANSI default, and legacy sizeOfNull (where
+    // size(NULL) = -1 and a both-NULL ratio would pass — guards drop it
+    // identically in both plans)
+    val modes = Seq(
+      Seq("spark.sql.ansi.enabled" -> "true", keepFilters),
+      Seq("spark.sql.ansi.enabled" -> "false", "spark.sql.legacy.sizeOfNull" -> "true",
+        keepFilters))
+    for (mode <- modes; trial <- 1 to 3) {
       val a = df("ida", "ta", randRows(12))
       val b = df("idb", "tb", randRows(12))
-      val builds: Seq[() => DataFrame] = Seq(
-        () => a.crossJoin(b).filter(size(array_intersect(col("ta"), col("tb"))) >= 1),
-        () => a.crossJoin(b).filter(size(array_intersect(col("ta"), col("tb"))) > 1),
-        () => a.crossJoin(b).filter(jacCond >= 0.4),
-        () => a.crossJoin(b).filter(lit(0.3) < jacCond))
-      builds.zipWithIndex.foreach { case (build, bi) =>
-        val want = build().collect()
-          .map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
-        withRule {
-          val q = build()
-          val got = q.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
-          assert(got === want, s"trial $trial build $bi")
-          assert(q.queryExecution.executedPlan.toString.contains("__graft_oj_key"),
-            s"trial $trial build $bi: rule did not fire")
+      withConf(mode: _*) {
+        builds(a, b).zipWithIndex.foreach { case (build, bi) =>
+          val want = build().collect()
+            .map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+          withRule {
+            val q = build()
+            val got = q.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+            assert(got === want, s"mode $mode trial $trial build $bi")
+            assert(q.queryExecution.executedPlan.toString.contains("__graft_oj_key"),
+              s"mode $mode trial $trial build $bi: rule did not fire")
+          }
         }
       }
     }
