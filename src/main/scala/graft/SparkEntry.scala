@@ -262,10 +262,56 @@ object SparkEntry {
     }
   }
 
-  private val exactPairsCache = new SessionMemo[(String, Double)]
-  private[graft] def exactShinglePairs(s: SparkSession, dir: String, thr: Double): DataFrame =
-    exactPairsCache(s, (dir, thr)) {
-      val d = docsTable(s, dir).select(col("doc_id"), shingleSet(col("text")).as("toks"))
+  /** Deterministic hash stratum for the bounded evaluator mode: the first
+    * 15 md5 hex digits of "esample:" + doc_id as int64 (the bucket recipe
+    * q_cluster_split already proved across engines); a doc is IN the
+    * 1/k stratum iff bucket % k == 0. Mirrored verbatim by
+    * [[sampleSqlPred]] in the oracles.
+    */
+  private[graft] def sampleBucket(id: Column): Column =
+    conv(substring(md5(concat(lit("esample:"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+  private[graft] def sampleSqlPred(k: Int, idCol: String = "doc_id"): String =
+    s"CAST(('0x' || substr(md5('esample:' || CAST($idCol AS VARCHAR)),1,15)) AS BIGINT) % $k = 0"
+
+  /** n_true / n_pred / n_hit plus rounded precision/recall/F1 from two
+    * pinned (a, b) pair relations — the pairwise-metric block shared by
+    * q_er_f1 and q_er_f1_sampled. Ratios are UNROUNDED doubles of exact
+    * integer counts, rounded once — identical bits in both engines.
+    */
+  private def pairwisePrf(truth: DataFrame, pred: DataFrame): DataFrame = {
+    val hit = truth.join(pred, Seq("a", "b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .withColumn("p", when(col("n_pred") > 0, col("n_hit") / col("n_pred")).otherwise(lit(0.0)))
+      .withColumn("r", when(col("n_true") > 0, col("n_hit") / col("n_true")).otherwise(lit(0.0)))
+      .select(col("n_true"), col("n_pred"), col("n_hit"),
+        round(col("p"), 6).as("prec"), round(col("r"), 6).as("rec"),
+        round(when(col("p") + col("r") > 0,
+          lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+          .otherwise(lit(0.0)), 6).as("f1"))
+  }
+
+  private val exactPairsCache = new SessionMemo[(String, Double, Int)]
+  /** @param sampleK 1 = full corpus (default). k > 1 = the deterministic
+    *                1/k hash stratum ([[sampleBucket]]) — the bounded
+    *                evaluator mode for real scale: prefix-candidate volume
+    *                is quadratic in doc count on saturated vocabularies
+    *                (BASELINE census: 131× candidates for 10× docs), so at
+    *                100 TB the evaluator family measures a stratum while
+    *                production candidacy stays banded. The PPJoin stays
+    *                lossless WITHIN the stratum (df order is re-derived on
+    *                the stratum, and prefix/positional losslessness holds
+    *                for any consistent global token order).
+    */
+  private[graft] def exactShinglePairs(s: SparkSession, dir: String, thr: Double,
+      sampleK: Int = 1): DataFrame =
+    exactPairsCache(s, (dir, thr, sampleK)) {
+      val all = docsTable(s, dir)
+      val base = if (sampleK <= 1) all
+        else all.filter(sampleBucket(col("doc_id")) % sampleK === 0)
+      val d = base.select(col("doc_id"), shingleSet(col("text")).as("toks"))
       positionalCandidates(shinglePrefix(d, thr), thr)
         .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
         .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
@@ -1684,17 +1730,32 @@ object SparkEntry {
         .join(cc.select(col("doc_id").as("b"), col("cluster_id")), "cluster_id")
         .filter(col("a") < col("b"))
         .select("a", "b").localCheckpoint(true)
-      val hit = truth.join(pred, Seq("a", "b"), "left_semi")
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .withColumn("p", when(col("n_pred") > 0, col("n_hit") / col("n_pred")).otherwise(lit(0.0)))
-        .withColumn("r", when(col("n_true") > 0, col("n_hit") / col("n_true")).otherwise(lit(0.0)))
-        .select(col("n_true"), col("n_pred"), col("n_hit"),
-          round(col("p"), 6).as("prec"), round(col("r"), 6).as("rec"),
-          round(when(col("p") + col("r") > 0,
-            lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
-            .otherwise(lit(0.0)), 6).as("f1"))
+      pairwisePrf(truth, pred)
+    }),
+
+    // q_er_f1 on the deterministic 1/2 hash stratum ([[sampleBucket]] % 2
+    // == 0) — the BOUNDED evaluator mode the 100-TB path actually runs:
+    // the exact PPJoin truth is quadratic in prefix candidates on
+    // saturated vocabularies (BASELINE census: 131× candidates for 10×
+    // docs), so at scale the truth relation is measured on a stratum
+    // while the PREDICTION stays the full-corpus flagship clustering,
+    // restricted to sampled endpoints. The stratum is a pure id function
+    // (md5 bucket), so the oracle reproduces it verbatim and the sampled
+    // metric is exact — a measurement of the full clustering on a
+    // deterministic subpopulation, not an approximation of q_er_f1.
+    "q_er_f1_sampled" -> ((s, dir) => {
+      val truth = exactShinglePairs(s, dir, 0.9, sampleK = 2)
+        .select("a", "b").localCheckpoint(true)
+      val inS = docsTable(s, dir)
+        .filter(sampleBucket(col("doc_id")) % 2 === 0).select("doc_id")
+      val cc = sFlagshipCC(s, dir)
+      val pred = cc.select(col("doc_id").as("a"), col("cluster_id"))
+        .join(cc.select(col("doc_id").as("b"), col("cluster_id")), "cluster_id")
+        .filter(col("a") < col("b"))
+        .join(inS.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+        .join(inS.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+        .select("a", "b").localCheckpoint(true)
+      pairwisePrf(truth, pred)
     }),
 
     // Clustering-STRATEGY comparison — q_er_f1's pairwise metric computed
@@ -2871,6 +2932,42 @@ object SparkEntry {
          |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
          |pred AS (SELECT l.doc_id AS a, r.doc_id AS b
          |         FROM cc l JOIN cc r ON l.cluster_id = r.cluster_id AND l.doc_id < r.doc_id),
+         |hit AS (SELECT a, b FROM truth SEMI JOIN pred USING (a, b)),
+         |c AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+         |             (SELECT count(*) FROM pred) AS n_pred,
+         |             (SELECT count(*) FROM hit) AS n_hit),
+         |pr AS (SELECT n_true, n_pred, n_hit,
+         |         CASE WHEN n_pred > 0 THEN CAST(n_hit AS DOUBLE) / n_pred ELSE 0.0 END AS p,
+         |         CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true ELSE 0.0 END AS r
+         |       FROM c)
+         |SELECT n_true, n_pred, n_hit, round(p, 6) AS prec, round(r, 6) AS rec,
+         |       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+         |FROM pr""".stripMargin,
+
+    // q_er_f1 on the deterministic md5 1/2 stratum: truth over sampled
+    // docs only; prediction = the FULL-corpus clustering restricted to
+    // sampled endpoints (the bounded evaluator protocol).
+    "q_er_f1_sampled" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |sm AS (SELECT * FROM m WHERE ${sampleSqlPred(2)}),
+         |truth AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM sm l JOIN sm r ON l.doc_id < r.doc_id
+         |  WHERE round(CAST(len(list_intersect(l.shs, r.shs)) AS DOUBLE) /
+         |        (len(l.shs) + len(r.shs) - len(list_intersect(l.shs, r.shs))), 6) >= 0.9),
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |pred AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |         FROM cc l JOIN cc r ON l.cluster_id = r.cluster_id AND l.doc_id < r.doc_id
+         |         WHERE ${sampleSqlPred(2, "l.doc_id")} AND ${sampleSqlPred(2, "r.doc_id")}),
          |hit AS (SELECT a, b FROM truth SEMI JOIN pred USING (a, b)),
          |c AS (SELECT (SELECT count(*) FROM truth) AS n_true,
          |             (SELECT count(*) FROM pred) AS n_pred,

@@ -19,10 +19,16 @@ object DiagPPJoin {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val thr = 0.8
-    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+    // sampleK = 1: the full-corpus join; sampleK = 2: the deterministic
+    // 1/2 md5 stratum of the bounded evaluator mode (verdict r4 item 6) —
+    // the census that shows how much prefix-candidate volume the stratum
+    // sheds on this saturated synthetic vocabulary
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); sampleK <- Seq(1, 2)) {
       val dir = s"/root/testdata/$sf"
-      val d = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), SparkEntry.shingleSet(col("text")).as("toks"))
+      val all = spark.read.parquet(s"$dir/documents.parquet")
+      val base = if (sampleK <= 1) all
+        else all.filter(SparkEntry.sampleBucket(col("doc_id")) % sampleK === 0)
+      val d = base.select(col("doc_id"), SparkEntry.shingleSet(col("text")).as("toks"))
       val tok = d.select(col("doc_id"), explode(col("toks")).as("token"))
       val pref = SparkEntry.shinglePrefix(d, thr).localCheckpoint(true)
       val blocks = pref.groupBy("ptok").agg(count(lit(1)).as("bn"))
@@ -32,8 +38,8 @@ object DiagPPJoin {
       val docs = d.count()
       val vocab = tok.select("token").distinct().count()
       val prefRows = pref.count()
-      val pairs = SparkEntry.queries("q_prefix_join")(spark, dir).count()
-      println(s"[ppjoin] $sf docs=$docs vocab=$vocab prefRows=$prefRows " +
+      val pairs = SparkEntry.exactShinglePairs(spark, dir, thr, sampleK).count()
+      println(s"[ppjoin] $sf sampleK=$sampleK docs=$docs vocab=$vocab prefRows=$prefRows " +
         s"blocks=${bstats.getLong(0)} maxBlock=${bstats.getLong(1)} " +
         s"prefixCand=${bstats.getDouble(2).toLong} posSurvivors=$surv verified=$pairs")
     }
