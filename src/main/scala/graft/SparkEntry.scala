@@ -398,6 +398,27 @@ object SparkEntry {
       assign
     }
 
+  /** k-word-gram 60-bit md5 keys for one tokenized doc, ONE udf call per
+    * doc (the interpreted transform+md5 column form costs ~4× more — the
+    * sBandKeys lesson); "first 15 md5 hex chars" == top 60 bits of the
+    * digest, identical to the oracles'
+    * CAST('0x'||substr(md5(...),1,15) AS BIGINT). Shared by q_decontam /
+    * q_decontam_bloom (k = 13) and q_dup_spans (k = 8).
+    */
+  private def gramHashUdf(k: Int) = udf { (w: Seq[String]) =>
+    if (w == null || w.length < k) Array.empty[Long]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(w.length - (k - 1)) { i =>
+        md.reset()
+        val d = md.digest(w.slice(i, i + k).mkString(" ").getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+          ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+          ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+      }
+    }
+  }
+
   /** Candidate (a, b) pairs sharing ≥ 1 band: explode → equi-join →
     * distinct. Payload columns are rejoined by id AFTER the distinct —
     * the band shuffle only ever carries (doc_id, band_key) from the
@@ -2154,29 +2175,45 @@ object SparkEntry {
     // table is small by construction, so the probe side broadcasts instead
     // of shuffling the full corpus gram relation.
     "q_decontam" -> ((s, dir) => {
-      val gram13 = udf { (w: Seq[String]) =>
-        if (w == null || w.length < 13) Array.empty[Long]
-        else {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          Array.tabulate(w.length - 12) { i =>
-            md.reset()
-            val d = md.digest(w.slice(i, i + 13).mkString(" ").getBytes("UTF-8"))
-            ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
-              ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
-              ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
-          }
-        }
-      }
       // the sf parquet is a single file = one input partition, which would
       // serialize the hash kernel on one core; spread docs first (at real
       // scale the scan has many partitions and this repartition is moot)
       val grams = docsTable(s, dir)
         .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"),
-          explode(gram13(split(trim(col("text")), "\\s+"))).as("g"))
+          explode(gramHashUdf(13)(split(trim(col("text")), "\\s+"))).as("g"))
       val bench = grams.filter(col("doc_id") % 20 === 0).select("g").distinct()
       grams.filter(col("doc_id") % 20 =!= 0)
         .join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination — the SAME contract as q_decontam
+    // (the oracle SQL is shared verbatim), on the plan shape the 100-TB
+    // corpus needs: at real scale the eval-gram set is 10⁸-10⁹ longs
+    // (gigabytes raw — too big to broadcast exactly), but its Bloom filter
+    // at 1% FPP is ~1.2 bytes/gram, so the corpus gram stream is pruned
+    // MAP-SIDE (no shuffle, no join) to ~FPP of its volume, and only the
+    // survivors reach the exact broadcast join, which restores exactness —
+    // Bloom false positives are verified away, so the output is
+    // bit-identical to q_decontam (DecontamBloomSpec pins the equality).
+    // The filter itself is built distributedly (treeAggregate under
+    // stat.bloomFilter), costs O(eval grams), and is deterministic.
+    "q_decontam_bloom" -> ((s, dir) => {
+      val grams = docsTable(s, dir)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"),
+          explode(gramHashUdf(13)(split(trim(col("text")), "\\s+"))).as("g"))
+      // pinned: the eval side feeds three consumers (count, bloom build,
+      // exact verify join) — unpinned, each re-runs the corpus gram pass
+      val bench = grams.filter(col("doc_id") % 20 === 0).select("g").distinct()
+        .localCheckpoint(true)
+      val bf = bench.stat.bloomFilter("g", math.max(bench.count(), 1L), 0.01)
+      val mightContain = udf((g: Long) => bf.mightContain(g))
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .filter(mightContain(col("g"))) // map-side prune, ~99% of misses drop here
+        .join(broadcast(bench), Seq("g")) // exact verify: FPs die, output exact
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
     }),
@@ -2212,24 +2249,11 @@ object SparkEntry {
     // quadratic. Output per affected doc: span count, covered words, and
     // the duplicated fraction a span-removal pass would excise.
     "q_dup_spans" -> ((s, dir) => {
-      val gram8 = udf { (w: Seq[String]) =>
-        if (w == null || w.length < 8) Array.empty[Long]
-        else {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          Array.tabulate(w.length - 7) { i =>
-            md.reset()
-            val d = md.digest(w.slice(i, i + 8).mkString(" ").getBytes("UTF-8"))
-            ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
-              ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
-              ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
-          }
-        }
-      }
       val grams = docsTable(s, dir)
         .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
         .select(col("doc_id"), size(col("w")).as("n_words"),
-          posexplode(gram8(col("w"))))
+          posexplode(gramHashUdf(8)(col("w"))))
         .select(col("doc_id"), col("n_words"), (col("pos") + 1).as("p"), col("col").as("g"))
       val shared = grams.groupBy("g")
         .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).select("g")
@@ -3436,6 +3460,20 @@ object SparkEntry {
         |FROM h GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
 
     "q_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-12, 0)+1),
+        |    i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+12], ' ')),1,15)) AS BIGINT))) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id % 20 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the Bloom prefilter is exact-verified, so the oracle is q_decontam's
+    // verbatim — same rows, same bits, different (scale-shaped) plan
+    "q_decontam_bloom" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |grams AS (
         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-12, 0)+1),
