@@ -354,7 +354,8 @@ object SparkEntry {
   private val flagshipCcCache = new SessionMemo[String]
   private[graft] def sFlagshipCC(s: SparkSession, dir: String): DataFrame =
     flagshipCcCache(s, dir) {
-      Components.connectedComponents(levEdges(s, dir))(s).localCheckpoint(true)
+      Components.connectedComponents(levEdges(s, dir).select("src", "dst"))(s)
+        .localCheckpoint(true)
     }
 
   /** ONE pinned (doc_id, pred-cluster `c`, truth-cluster `tt`) evaluation
@@ -849,6 +850,11 @@ object SparkEntry {
     * dir) under the [[sBandRelation]] cache contract.
     */
   private val levEdgeCache = new SessionMemo[String]
+  /** (src, dst, d) — the distance rides along (it is computed by the
+    * filter anyway, one int per edge) so threshold-sensitivity consumers
+    * (q_threshold_sweep's strict cut) reuse the pinned scan instead of
+    * re-running the candidate join + levenshtein pass.
+    */
   private def levEdges(s: SparkSession, dir: String): DataFrame =
     levEdgeCache(s, dir) {
       val t = docsTable(s, dir)
@@ -856,8 +862,9 @@ object SparkEntry {
       sBandCandidates(s, dir)
         .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
         .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
-        .filter(levenshtein(col("ta"), col("tb")) < 15)
-        .select(col("a").as("src"), col("b").as("dst"))
+        .withColumn("d", levenshtein(col("ta"), col("tb")))
+        .filter(col("d") < 15)
+        .select(col("a").as("src"), col("b").as("dst"), col("d"))
         .localCheckpoint(true)
     }
 
@@ -1136,7 +1143,8 @@ object SparkEntry {
     // ComponentsSpec proves the distributed rounds ≡ the sequential
     // greedy, and CrossCheckSpec re-derives this output independently.
     "q_center_clusters" -> ((s, dir) =>
-      Components.centerClusters(levEdges(s, dir))(s).orderBy("doc_id")),
+      Components.centerClusters(levEdges(s, dir).select("src", "dst"))(s)
+        .orderBy("doc_id")),
 
     // canopy blocking (McCallum et al., KDD 2000) over the shared-band-count
     // cheap metric: tight = shares ≥ 2 of 4 MinHash bands, loose = shares
@@ -1254,29 +1262,23 @@ object SparkEntry {
     // edge relations only (≪ corpus), so the sweep costs one extra
     // CC-on-edges over the single-threshold pipeline at any scale.
     "q_threshold_sweep" -> ((s, dir) => {
-      val t = docsTable(s, dir)
-        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
-      val scored = sBandCandidates(s, dir)
-        .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
-        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
-        .withColumn("d", levenshtein(col("ta"), col("tb")))
-        .filter(col("d") < 15)
-        .select(col("a").as("src"), col("b").as("dst"), col("d"))
-        .persist()
-      try {
-        val ccL = Components.connectedComponents(
-          scored.select("src", "dst"))(s)
-        val ccS = Components.connectedComponents(
-          scored.filter(col("d") < 8).select("src", "dst"))(s)
-          .withColumnRenamed("cluster_id", "strict_id")
-        ccL.join(ccS, Seq("doc_id"), "left")
-          .withColumn("strict_id", coalesce(col("strict_id"), col("doc_id")))
-          .groupBy("cluster_id")
-          .agg(count(lit(1)).as("n_members"),
-            countDistinct("strict_id").as("n_parts"))
-          .filter(col("n_members") > 1)
-          .orderBy("cluster_id")
-      } finally scored.unpersist()
+      // the loose edge set + distances IS the pinned levEdges relation
+      // (which carries d), and the loose CC IS sFlagshipCC — the sweep
+      // adds only the strict filter and one CC-on-edges (at 850k this
+      // query previously re-ran its own candidate join + lev pass:
+      // 35.7 s → the strict CC alone)
+      val scored = levEdges(s, dir)
+      val ccL = sFlagshipCC(s, dir)
+      val ccS = Components.connectedComponents(
+        scored.filter(col("d") < 8).select("src", "dst"))(s)
+        .withColumnRenamed("cluster_id", "strict_id")
+      ccL.join(ccS, Seq("doc_id"), "left")
+        .withColumn("strict_id", coalesce(col("strict_id"), col("doc_id")))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct("strict_id").as("n_parts"))
+        .filter(col("n_members") > 1)
+        .orderBy("cluster_id")
     }),
 
     // A3 group materialization + the reference's flagship report shape:
@@ -1793,7 +1795,7 @@ object SparkEntry {
     // this query too.
     "q_strategy_f1" -> ((s, dir) => {
       val truth = exactShinglePairs(s, dir, 0.9).select("a", "b").localCheckpoint(true)
-      val edges = levEdges(s, dir)
+      val edges = levEdges(s, dir).select("src", "dst")
       def pairsOf(assign: DataFrame): DataFrame = assign
         .select(col("doc_id").as("a"), col("cluster_id"))
         .join(assign.select(col("doc_id").as("b"), col("cluster_id")), "cluster_id")
