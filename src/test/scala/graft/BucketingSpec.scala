@@ -1,0 +1,54 @@
+package graft
+
+import graft.pipeline.Bucketing
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The co-location contract of [[Bucketing]]: two tables bucketed
+  * identically on the join key must sort-merge-join with ZERO shuffle
+  * Exchange on either side (the whole point — the O(corpus) state side of
+  * an incremental fold never moves again once written), and the rows must
+  * equal the plain-parquet join. Also pins the negative: reading the same
+  * files as plain parquet LOSES the bucket metadata and re-shuffles.
+  */
+class BucketingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach { case (k, ov) =>
+      ov.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("identically bucketed tables join with zero Exchange; plain parquet re-shuffles") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val sigs = (0L until 5000L).map(i => (i, s"sig-$i", i % 7)).toDF("doc_id", "sig", "gen")
+    val assign = (0L until 5000L).map(i => (i, i / 3)).toDF("doc_id", "cluster_id")
+    Bucketing.writeBucketed(sigs, "bspec_sigs", 8, Seq("doc_id"), s"$root/sigs")
+    Bucketing.writeBucketed(assign, "bspec_assign", 8, Seq("doc_id"), s"$root/assign")
+    try {
+      // broadcast off: a broadcast join would hide the shuffle question
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val j = Bucketing.readBucketed(spark, "bspec_sigs")
+          .join(Bucketing.readBucketed(spark, "bspec_assign"), "doc_id")
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n${plan.take(2000)}")
+        assert(j.count() === 5000)
+        // equality vs the plain join
+        val plainJ = spark.read.parquet(s"$root/sigs")
+          .join(spark.read.parquet(s"$root/assign"), "doc_id")
+        assert(j.select("doc_id", "sig", "gen", "cluster_id").collect().toSet ===
+          plainJ.select("doc_id", "sig", "gen", "cluster_id").collect().toSet)
+        // the negative: plain parquet reads of the SAME files lose the
+        // bucket metadata and the join plans an Exchange again
+        assert(plainJ.queryExecution.executedPlan.toString.contains("Exchange"),
+          "plain-parquet read unexpectedly co-located — bucket spec leaked?")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bspec_sigs")
+      spark.sql("DROP TABLE IF EXISTS bspec_assign")
+    }
+  }
+}
