@@ -2193,15 +2193,19 @@ object SparkEntry {
 
     // Bloom-prefiltered decontamination — the SAME contract as q_decontam
     // (the oracle SQL is shared verbatim), on the plan shape the 100-TB
-    // corpus needs: at real scale the eval-gram set is 10⁸-10⁹ longs
-    // (gigabytes raw — too big to broadcast exactly), but its Bloom filter
-    // at 1% FPP is ~1.2 bytes/gram, so the corpus gram stream is pruned
-    // MAP-SIDE (no shuffle, no join) to ~FPP of its volume, and only the
-    // survivors reach the exact broadcast join, which restores exactness —
-    // Bloom false positives are verified away, so the output is
-    // bit-identical to q_decontam (DecontamBloomSpec pins the equality).
-    // The filter itself is built distributedly (treeAggregate under
-    // stat.bloomFilter), costs O(eval grams), and is deterministic.
+    // corpus needs: at real scale the eval-gram set is 10⁸-10⁹ longs —
+    // gigabytes raw, too big to broadcast, which is exactly what
+    // q_decontam's broadcast-join plan would try. Here NOTHING forces a
+    // broadcast: the Bloom filter (~1.2 bytes/gram at 1% FPP — MBs at
+    // 10⁸ grams; at the 10⁹ top end it would be sharded) prunes the
+    // corpus gram stream MAP-SIDE to ~FPP of its volume, and the exact
+    // verify is a plain shuffle equi-join between the (tiny) survivor
+    // stream and the eval grams — O(survivors + eval grams) network,
+    // never a full-relation broadcast. Bloom false positives die in the
+    // verify, so the output is bit-identical to q_decontam
+    // (DecontamBloomSpec pins the equality). The filter itself is built
+    // distributedly (treeAggregate under stat.bloomFilter), costs O(eval
+    // grams), and is deterministic.
     "q_decontam_bloom" -> ((s, dir) => {
       val grams = docsTable(s, dir)
         .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
@@ -2215,7 +2219,7 @@ object SparkEntry {
       val mightContain = udf((g: Long) => bf.mightContain(g))
       grams.filter(col("doc_id") % 20 =!= 0)
         .filter(mightContain(col("g"))) // map-side prune, ~99% of misses drop here
-        .join(broadcast(bench), Seq("g")) // exact verify: FPs die, output exact
+        .join(bench, Seq("g")) // exact verify via shuffle join: FPs die, output exact
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
     }),

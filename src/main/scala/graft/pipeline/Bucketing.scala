@@ -51,4 +51,69 @@ object Bucketing {
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Re-register an existing bucketed parquet directory as an external
+    * catalog table (fresh sessions lose the in-memory catalog entry; the
+    * files + this DDL restore the co-location metadata).
+    */
+  def registerExisting(spark: SparkSession, table: String, path: String,
+                       buckets: Int, keys: Seq[String]): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"CREATE TABLE $table ($schema) USING PARQUET " +
+        s"CLUSTERED BY (${keys.mkString(", ")}) " +
+        s"SORTED BY (${keys.mkString(", ")}) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+    }
+    spark.table(table)
+  }
+}
+
+/** [[TableIO]] with hash-bucketed stage tables: stages named in
+  * `bucketKeys` are written `CLUSTERED BY` their join key, so every
+  * id-keyed consumer join of that stage — this run's or a LATER
+  * generation's fold — plans without an Exchange on the state side. The
+  * path contract is [[ParquetTableIO]]'s (same dirs, same manifests, and
+  * the files remain readable as plain parquet by older readers — they
+  * just lose the co-location), so this drops into [[Pipeline.run]]'s
+  * `checkpointIo` without touching the resume machinery. Catalog entries
+  * are per-session metadata only; [[read]] re-registers from the files
+  * when a fresh session reads an existing generation.
+  */
+final class BucketedParquetTableIO(root: String, buckets: Int,
+    bucketKeys: Map[String, Seq[String]] = BucketedParquetTableIO.DefaultKeys)
+    extends ParquetTableIO(root) {
+
+  /** Catalog-safe unique name per (root, stage). */
+  private def tableName(name: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$root/$name".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_bkt_$h"
+  }
+
+  override protected def writeData(name: String, df: DataFrame): Unit =
+    bucketKeys.get(name) match {
+      case Some(keys) => Bucketing.writeBucketed(df, tableName(name), buckets, keys, dir(name))
+      case None => super.writeData(name, df)
+    }
+
+  override def read(spark: SparkSession, name: String): DataFrame =
+    bucketKeys.get(name) match {
+      case Some(keys) =>
+        Bucketing.registerExisting(spark, tableName(name), dir(name), buckets, keys)
+      case None => super.read(spark, name)
+    }
+}
+
+object BucketedParquetTableIO {
+  /** The stages whose top-level key column is a join key downstream:
+    * per-doc assignment/cluster tables co-locate the fold's id joins; the
+    * band relation co-locates its block-key self-join and the linkage
+    * equi-join. (The signatures stage nests its columns under a struct —
+    * bucketBy needs top-level columns — so it stays plain parquet.)
+    */
+  val DefaultKeys: Map[String, Seq[String]] = Map(
+    "assignments" -> Seq("doc_id"),
+    "clusters" -> Seq("doc_id"),
+    "bands" -> Seq("block_key"))
 }

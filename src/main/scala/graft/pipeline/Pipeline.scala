@@ -47,11 +47,14 @@ object Pipeline {
   def run(spark: SparkSession, docs: Dataset[Doc],
           cfg: GraftConfig = GraftConfig(),
           resolver: MediaResolver = DefaultMedia,
-          checkpointDir: Option[String] = None): Result = {
+          checkpointDir: Option[String] = None,
+          checkpointIo: Option[TableIO] = None): Result = {
     implicit val s: SparkSession = spark
     import spark.implicits._
 
-    val io = checkpointDir.map(new ParquetTableIO(_))
+    // a caller-supplied TableIO (e.g. [[BucketedParquetTableIO]] for
+    // co-located state joins) wins over the plain-parquet default
+    val io = checkpointIo.orElse(checkpointDir.map(new ParquetTableIO(_)))
     val baseKey = if (io.isDefined) resumeBaseKey(docs, cfg) else cfg.configHash
 
     // Without a TableIO every stage is persisted + materialized instead:

@@ -23,13 +23,20 @@ trait TableIO extends Serializable {
   def completedKey(name: String): Option[Long]
 }
 
-final class ParquetTableIO(root: String) extends TableIO {
-  private def dir(name: String) = s"$root/$name"
+class ParquetTableIO(root: String) extends TableIO {
+  protected def dir(name: String) = s"$root/$name"
   private def manifestPath(name: String) = Paths.get(dir(name), "_graft_manifest.json")
+
+  /** The data write alone (manifest handled by [[write]]) — the override
+    * point for layouts that keep the same path contract but a different
+    * writer (e.g. [[BucketedParquetTableIO]]).
+    */
+  protected def writeData(name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(dir(name))
 
   def write(name: String, df: DataFrame, resumeKey: Long): Unit = {
     val t0 = System.nanoTime()
-    df.write.mode("overwrite").parquet(dir(name))
+    writeData(name, df)
     // per-partition (file) row counts from the written footers = the
     // per-partition lineage/metrics record
     val spark = df.sparkSession

@@ -131,9 +131,53 @@ object SetOverlapJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }
       case d: Divide =>
-        intersectArrays(d.left, left, right).map { case (a, b, _) => (a, b, true) }
+        // the denominator must be provably ≥ 1 on the guarded domain —
+        // an arbitrary denominator (e.g. size(ta) - size(tb)) can be 0 on
+        // a guard-passing DISJOINT pair, where the original plan throws
+        // DIVIDE_BY_ZERO under ANSI but the exploded join would silently
+        // drop the pair before the residual runs
+        intersectArrays(d.left, left, right)
+          .filter { case (a, b, _) => safeDenominator(d.right, a, b) }
+          .map { case (a, b, _) => (a, b, true) }
       case _ => None
     }
+
+  /** True when, GIVEN both arrays non-null and non-empty, `e` is provably
+    * ≥ 1 — so a ratio over it can never divide by zero on any row of the
+    * guarded domain: a positive literal, size of either array, the sum of
+    * both sizes (Dice), least/greatest of the sizes (overlap
+    * coefficient), or the union size |a|+|b|−|a∩b| (Jaccard; the
+    * intersection counts distinct shared elements, so the union size is ≥
+    * max(|a|,|b|) ≥ 1 even with duplicate elements). Casts stripped
+    * throughout.
+    */
+  private def safeDenominator(e: Expression, ta: Expression, tb: Expression): Boolean = {
+    def isSize(x: Expression): Boolean = stripCast(x) match {
+      case s: Size => s.child.semanticEquals(ta) || s.child.semanticEquals(tb)
+      case _ => false
+    }
+    def isInter(x: Expression): Boolean = stripCast(x) match {
+      case s: Size => s.child match {
+        case ai: ArrayIntersect =>
+          (ai.left.semanticEquals(ta) && ai.right.semanticEquals(tb)) ||
+            (ai.left.semanticEquals(tb) && ai.right.semanticEquals(ta))
+        case _ => false
+      }
+      case _ => false
+    }
+    stripCast(e) match {
+      case NumLit(v) => v > 0
+      case s if isSize(s) => true
+      case Add(x, y, _) => isSize(x) && isSize(y)
+      case Subtract(add, z, _) => (stripCast(add) match {
+        case Add(x, y, _) => isSize(x) && isSize(y)
+        case _ => false
+      }) && isInter(z)
+      case l: Least => l.children.forall(isSize)
+      case g: Greatest => g.children.forall(isSize)
+      case _ => false
+    }
+  }
 
   /** True when `lo` bounds an integer-valued expression away from 0 and
     * from the legacy size(NULL) = -1 sentinel: `x > lo` with lo ≥ 0 or
@@ -181,9 +225,12 @@ object SetOverlapJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     *    a both-empty pair makes the original throw DIVIDE_BY_ZERO, while
     *    the rewrite would silently drop/succeed. So the ratio form fires
     *    ONLY when the query's own conjuncts prove BOTH arrays non-null and
-    *    non-empty ([[provesNonEmpty]]); on that domain the rewrite is
-    *    exact, and rows violating a guard are dropped identically by both
-    *    plans.
+    *    non-empty ([[provesNonEmpty]]) AND the denominator is one of the
+    *    recognized shapes provably ≥ 1 on that domain
+    *    ([[safeDenominator]] — Jaccard/Dice/overlap-coefficient forms); on
+    *    that domain the rewrite is exact, rows violating a guard are
+    *    dropped identically by both plans, and no division in the
+    *    predicate can error.
     */
   private def matchOverlap(e: Expression, left: LogicalPlan, right: LogicalPlan,
                            known: Seq[Expression]): Option[(Expression, Expression)] = {

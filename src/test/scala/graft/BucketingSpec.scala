@@ -51,4 +51,40 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bspec_assign")
     }
   }
+
+  test("Pipeline.run with BucketedParquetTableIO: stages resume, state reads back co-located") {
+    import graft.pipeline.{BucketedParquetTableIO, GraftConfig, Pipeline}
+    import graft.synth.Corpus
+    val root = java.nio.file.Files.createTempDirectory("graft_bktio").toString
+    val docs = Corpus.generateDistributed(spark,
+        Corpus.Params(entities = 200, minWords = 20, maxWords = 40, seed = 7), partitions = 4)
+      .map(_.doc)(org.apache.spark.sql.Encoders.product[graft.model.Doc])
+    val cfg = Corpus.RecommendedConfig
+    val io = new BucketedParquetTableIO(root, buckets = 4)
+    val r1 = Pipeline.run(spark, docs, cfg, checkpointIo = Some(io))
+    val out1 = r1.clusters.select("doc_id", "cluster_id").collect().toSet
+    r1.release()
+    assert(io.completedKey("assignments").isDefined, "assignments manifest missing")
+    assert(io.completedKey("bands").isDefined, "bands manifest missing")
+    // the bucketed state self-joins by doc_id without an Exchange — the
+    // co-location a later fold's id-keyed joins ride
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val a = io.read(spark, "assignments").select("doc_id", "cluster_id")
+      val j = a.join(io.read(spark, "assignments").select(col("doc_id"),
+        col("cluster_id").as("c2")), "doc_id")
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed assignments join must not shuffle")
+      assert(j.count() === docs.count())
+    }
+    // back-compat: the SAME files read as plain parquet (the path-based
+    // readers: Pipeline.readState, older generations) see identical rows
+    val plain = spark.read.parquet(s"$root/assignments")
+      .select("doc_id", "cluster_id").collect().toSet
+    assert(plain === out1)
+    // resume: a second run with the same inputs + io reuses the stages and
+    // reproduces the assignment byte-for-byte
+    val r2 = Pipeline.run(spark, docs, cfg, checkpointIo = Some(io))
+    assert(r2.clusters.select("doc_id", "cluster_id").collect().toSet === out1)
+    r2.release()
+  }
 }

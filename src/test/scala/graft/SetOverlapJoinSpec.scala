@@ -132,6 +132,30 @@ class SetOverlapJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("guarded ratio with an UNSAFE denominator does not fire — ANSI 0/0 on a disjoint pair preserved") {
+    // guards prove the arrays non-empty, but size(ta) - size(tb) is 0 for
+    // a guard-passing DISJOINT equal-size pair: the original plan throws
+    // DIVIDE_BY_ZERO under ANSI while the exploded join would silently
+    // drop the pair — so only recognized ≥1-on-domain denominators
+    // (Jaccard/Dice/overlap forms) may fire
+    val a = df("ida", "ta", Seq(1L -> Seq("x")))
+    val b = df("idb", "tb", Seq(10L -> Seq("y")))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    val badRatio = inter.cast("double") /
+      (size(col("ta")) - size(col("tb"))).cast("double")
+    withConf("spark.sql.ansi.enabled" -> "true", keepFilters) {
+      withRule {
+        val q = a.crossJoin(b).filter(nonEmptyGuards && badRatio >= 0.5)
+        assert(!q.queryExecution.executedPlan.toString.contains("__graft_oj_key"),
+          "unsafe-denominator ratio must not rewrite")
+        val err = intercept[Exception](q.collect())
+        assert(err.toString.contains("DIVIDE_BY_ZERO") ||
+          Option(err.getCause).exists(_.toString.contains("DIVIDE_BY_ZERO")),
+          s"expected the original ANSI divide-by-zero to survive, got: $err")
+      }
+    }
+  }
+
   test("guards: threshold 0, existing equi-key, and disjunctions do not rewrite") {
     val a = df("ida", "ta", Seq(1L -> Seq("x")))
     val b = df("idb", "tb", Seq(10L -> Seq("y")))
