@@ -47,11 +47,17 @@ object Main {
       copyTo: String = "",
       delete: Boolean = false,
       deleteAll: Boolean = false,
-      quiet: Boolean = false)
+      quiet: Boolean = false,
+      // graft extensions beyond the reference CLI: resumable stage
+      // checkpointing (TableIO), optionally with bucketed state tables so
+      // a later incremental fold's id joins read co-located
+      checkpointDir: String = "",
+      bucketed: Boolean = false)
 
   val usage: String =
     """usage: graft.Main [--recursive] [--search] [--hash dct|dhash] [--threshold N]
       |                  [--csv DIR|-] [--move DIR|--copy DIR|--delete|--delete-all]
+      |                  [--checkpoint DIR [--bucketed]]
       |                  [--quiet] <image|dir|-> [<image|dir> ...]""".stripMargin
 
   /** Pure argument parser (no I/O except the lazily-read stdin for `-`). */
@@ -72,6 +78,8 @@ object Main {
           case Some(n) => loop(t, acc.copy(threshold = n))
           case None => Left(s"invalid --threshold '$v' (expected a non-negative int)\n$usage")
         }
+      case "--checkpoint" :: p :: t => loop(t, acc.copy(checkpointDir = p))
+      case "--bucketed" :: t => loop(t, acc.copy(bucketed = true))
       case ("--csv" | "-o") :: p :: t => loop(t, acc.copy(csvOut = p))
       case ("--move" | "-m") :: p :: t => loop(t, acc.copy(moveTo = p))
       case ("--copy" | "-c") :: p :: t => loop(t, acc.copy(copyTo = p))
@@ -92,7 +100,22 @@ object Main {
         else acc
       }
       .filterOrElse(_.targets.nonEmpty, s"no targets provided\n$usage")
+      .filterOrElse(c => !(c.bucketed && c.checkpointDir.isEmpty),
+        s"--bucketed requires --checkpoint DIR\n$usage")
   }
+
+  /** Stage-checkpoint wiring from the CLI flags: plain-parquet TableIO for
+    * --checkpoint, bucketed state tables (assignments/clusters by doc_id,
+    * bands by block_key — the co-location later incremental folds ride)
+    * when --bucketed is also given.
+    */
+  private def checkpointIoOf(spark: SparkSession, cli: CliConfig)
+      : (Option[String], Option[graft.pipeline.TableIO]) =
+    if (cli.checkpointDir.isEmpty) (None, None)
+    else if (cli.bucketed)
+      (None, Some(new graft.pipeline.BucketedParquetTableIO(cli.checkpointDir,
+        buckets = spark.sessionState.conf.numShufflePartitions)))
+    else (Some(cli.checkpointDir), None)
 
   private val imageExts = Seq(".png", ".jpg", ".jpeg")
 
@@ -155,7 +178,9 @@ object Main {
     * uncapped cluster relation, never this.
     */
   def duplicateGroups(spark: SparkSession, cli: CliConfig): DataFrame = {
-    val result = Pipeline.run(spark, collectDocs(spark, cli), graftConfig(cli))
+    val (cpDir, cpIo) = checkpointIoOf(spark, cli)
+    val result = Pipeline.run(spark, collectDocs(spark, cli), graftConfig(cli),
+      checkpointDir = cpDir, checkpointIo = cpIo)
     val groups = Report.groups(result.clusters).localCheckpoint(true)
     result.release()
     groups
@@ -253,7 +278,9 @@ object Main {
       }.getOrElse(0)
       if (failures > 0) 3 else 0
     } else {
-      val result = Pipeline.run(spark, collectDocs(spark, cli), graftConfig(cli))
+      val (cpDir, cpIo) = checkpointIoOf(spark, cli)
+      val result = Pipeline.run(spark, collectDocs(spark, cli), graftConfig(cli),
+        checkpointDir = cpDir, checkpointIo = cpIo)
       try {
         val clusters = result.clusters
           .select(col("doc_id").cast("string").as("doc_id"),

@@ -38,6 +38,11 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     // stdin list source splits on ANY whitespace (tabs from cut/join tools)
     val tabbed = Main.parse(Seq("-"), Iterator("a.jpg\tb.jpg", " c.jpg ")).toOption.get
     assert(tabbed.targets == Seq("a.jpg", "b.jpg", "c.jpg"))
+    // graft checkpoint extensions: --bucketed needs --checkpoint
+    val cp = Main.parse(Seq("--checkpoint", "/tmp/cp", "--bucketed", "d"),
+      Iterator.empty).toOption.get
+    assert(cp.checkpointDir == "/tmp/cp" && cp.bucketed)
+    assert(Main.parse(Seq("--bucketed", "d"), Iterator.empty).isLeft)
   }
 
   test("E1: cats corpus groups — cat transforms in ONE csv row, keeper first") {
@@ -113,6 +118,37 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
       import scala.jdk.CollectionConverters._
       Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists(_))
       Files.deleteIfExists(tmp)
+    }
+  }
+
+  test("--checkpoint: stage state lands on disk, resumes, and --bucketed agrees") {
+    assume(available)
+    import scala.jdk.CollectionConverters._
+    def runTo(cli: Main.CliConfig): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(Main.run(spark, cli, new java.io.PrintStream(buf, true, "UTF-8")) == 0)
+      buf.toString("UTF-8")
+    }
+    val base = Main.CliConfig(targets = Seq(s"$root/cats"))
+    val plain = runTo(base)
+    val cpDir = Files.createTempDirectory("graft-cli-cp")
+    try {
+      val cp = base.copy(checkpointDir = cpDir.toString)
+      assert(runTo(cp) == plain, "checkpointed run diverged from plain run")
+      val manifests = Files.walk(cpDir).iterator().asScala
+        .filter(_.getFileName.toString == "_graft_manifest.json").toList
+      assert(manifests.nonEmpty, "no stage manifests written under --checkpoint")
+      // resume: second run must reuse the completed stages (manifests
+      // untouched — stage() only rewrites on a resume-key mismatch)
+      val mtimes = manifests.map(p => p -> Files.getLastModifiedTime(p)).toMap
+      assert(runTo(cp) == plain)
+      manifests.foreach(p => assert(Files.getLastModifiedTime(p) == mtimes(p),
+        s"stage rewritten on resume: $p"))
+      // bucketed state layout produces the same groups
+      val bk = base.copy(checkpointDir = cpDir.resolve("bucketed").toString, bucketed = true)
+      assert(runTo(bk) == plain, "bucketed checkpointed run diverged")
+    } finally {
+      Files.walk(cpDir).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 
