@@ -79,27 +79,37 @@ object Pairs {
 
     val hasText = length(col("t_a")) > 0 && length(col("t_b")) > 0
     val maxLen = greatest(length(col("t_a")), length(col("t_b")))
+    // A pair the media channel already decided (media_dist < threshold ⇒
+    // is_dup regardless of text) never CONSULTS the text scorers, so they
+    // are gated off entirely: at web scale a hot media family (N pages
+    // sharing one logo/chart) otherwise pays C(N,2) cap²-cell levenshteins
+    // for columns nothing downstream reads. Media-decided pairs carry NULL
+    // text features and score = media_sim; CaseWhen codegen evaluates the
+    // O(len²) branch only where the guard holds.
+    val mediaDecided = col("media_dist") < cfg.mediaThreshold
+    val scoreText = !mediaDecided && hasText
     val scored = withTb
-      .withColumn("jw", jwScore(col("t_a"), col("t_b")))
+      .withColumn("jw", when(scoreText, jwScore(col("t_a"), col("t_b"))))
       .withColumn("lev_norm",
-        when(hasText, levenshtein(col("t_a"), col("t_b")) / maxLen.cast("double"))
-          .otherwise(lit(1.0)))
+        when(scoreText, levenshtein(col("t_a"), col("t_b")) / maxLen.cast("double"))
+          .otherwise(when(!mediaDecided, lit(1.0))))
       .withColumn("text_score",
-        when(hasText,
+        when(scoreText,
           lit(cfg.wJw) * col("jw") +
             lit(cfg.wLev) * (lit(1.0) - col("lev_norm")) +
             lit(cfg.wMinhash) * col("minhash_est"))
-          .otherwise(lit(0.0)))
+          .otherwise(when(!mediaDecided, lit(0.0))))
       .withColumn("media_sim",
         when(col("media_dist") < 9999,
           lit(1.0) - col("media_dist").cast("double") / lit(64.0 * cfg.slots))
           .otherwise(lit(0.0)))
       .withColumn("is_dup",
-        (col("media_dist") < cfg.mediaThreshold) ||
-          (hasText && col("text_score") >= cfg.tau))
-      .withColumn("score", greatest(
-        when(col("media_dist") < 9999, col("media_sim")).otherwise(lit(0.0)),
-        col("text_score")))
+        mediaDecided || (hasText && col("text_score") >= cfg.tau))
+      .withColumn("score",
+        when(mediaDecided, col("media_sim"))
+          .otherwise(greatest(
+            when(col("media_dist") < 9999, col("media_sim")).otherwise(lit(0.0)),
+            col("text_score"))))
     scored.select("a", "b", "media_dist", "minhash_est", "jw", "lev_norm",
       "text_score", "score", "is_dup")
   }
