@@ -26,6 +26,24 @@ object SparkEntry {
   private def embTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** American Soundex (census rule) of an UPPER-CASE word, as the same
+    * translate/regexp chain the DuckDB oracle runs — see q_soundex_blocks.
+    * Run collapse is one replace per digit: the oracle's RE2 has no
+    * backreferences, and runs are single-digit so the per-digit passes
+    * compose exactly. Position 1 keeps its code char (even the h/w marker
+    * 9) so a leading H/W does not shift the second letter's code into the
+    * first-position drop.
+    */
+  private def soundexCol(w: Column): Column = {
+    val m = translate(w, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230129022455012623019202")
+    val m1 = concat(substring(m, 1, 1),
+      regexp_replace(m.substr(lit(2), length(m)), "9", ""))
+    val collapsed = (1 to 6).foldLeft(m1)((c, d) =>
+      regexp_replace(c, s"$d$d+", d.toString))
+    val digits = regexp_replace(collapsed.substr(lit(2), length(collapsed)), "0", "")
+    substring(concat(substring(w, 1, 1), digits, lit("000")), 1, 4)
+  }
+
   /** 64-d float embedding → 63-bit sign hash (bit i set iff v(i) > 0);
     * random-hyperplane-LSH style signature, SQL-expressible in both engines.
     */
@@ -2638,6 +2656,72 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Phonetic blocking (American Soundex) — the classic structured-record
+    // ER blocker (Odell/Russell; standard census rule incl. the h/w
+    // separator collapse). The code is computed by an IDENTICAL
+    // translate/regexp chain in both engines (DuckDB is RE2 — no
+    // backreferences — so runs collapse via one replace per digit):
+    //   keep first letter; map letters to digits (vowels→0, h/w→9);
+    //   drop 9s AFTER position 1 (letters separated by h/w merge, and a
+    //   leading H/W still shields the second letter's code from the
+    //   first-position drop); collapse runs; drop the first position's
+    //   code; drop 0s; pad to 4. Key census = blocking-quality profile.
+    "q_soundex_blocks" -> ((s, dir) => {
+      docsTable(s, dir)
+        .select(upper(split(col("text"), " ").getItem(0)).as("w"))
+        .withColumn("sdx", soundexCol(col("w")))
+        .groupBy("sdx").agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("w")).as("n_names"))
+        .orderBy(col("n_docs").desc, col("sdx"))
+        .limit(40)
+        .select(col("sdx").as("soundex"), col("n_docs"), col("n_names"))
+    }),
+
+    // phonetic candidate pairs: distinct vocabulary tokens sharing a
+    // Soundex CONSONANT SKELETON (digit positions 2-4, first letter
+    // ignored — the code-only blocking variant that survives first-letter
+    // typos), verified by edit distance ≤ 3. Blocking + verification on
+    // O(block²) pairs instead of O(vocab²); full-soundex blocking is
+    // vacuous on this corpus (every 4-char code holds one word), so the
+    // coarser key is the one that exercises the verify step.
+    "q_phonetic_pairs" -> ((s, dir) => {
+      val names = docsTable(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(upper(col("tok")).as("w")).distinct()
+        .withColumn("skel", soundexCol(col("w")).substr(2, 3))
+      val l = names.select(col("skel"), col("w").as("name_a"))
+      val r = names.select(col("skel"), col("w").as("name_b"))
+      l.join(r, Seq("skel")).filter(col("name_a") < col("name_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("lev") <= 3)
+        .select(col("skel"), col("name_a"), col("name_b"), col("lev"))
+        .orderBy("skel", "name_a", "name_b")
+    }),
+
+    // LSH band-design S-curve: P(candidate | Jaccard s) for the two band
+    // configs this library ships (flagship text 32 bands × 4 rows; string
+    // family 4 × 3) on a 1%-step grid. Analytic, but the powers are
+    // explicit multiplication chains (square-and-multiply) so both engines
+    // run the SAME IEEE op sequence — bit-identical doubles, no libm pow.
+    "q_lsh_curve" -> ((s, dir) => {
+      val g = s.range(0, 101).select((col("id") / lit(100.0)).as("s"))
+      val a = g.withColumn("s2", col("s") * col("s"))
+      val b = a.withColumn("s4", col("s2") * col("s2"))
+        .withColumn("s3", col("s2") * col("s"))
+      val c = b.withColumn("q", lit(1.0) - col("s4"))
+        .withColumn("r", lit(1.0) - col("s3"))
+      val d = c.withColumn("q2", col("q") * col("q"))
+        .withColumn("r2", col("r") * col("r"))
+      val e = d.withColumn("q4", col("q2") * col("q2"))
+        .withColumn("r4", col("r2") * col("r2"))
+      val f = e.withColumn("q8", col("q4") * col("q4"))
+      val h = f.withColumn("q16", col("q8") * col("q8"))
+      h.select(col("s"),
+          (lit(1.0) - col("q16") * col("q16")).as("p_text_32x4"),
+          (lit(1.0) - col("r4")).as("p_string_4x3"))
+        .orderBy("s")
+    }),
+
     "q_set_ops" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_nationkey").as("k"))
       val sup = s.read.parquet(s"$dir/supplier.parquet").select(col("s_nationkey").as("k"))
@@ -2661,7 +2745,47 @@ object SparkEntry {
   private def golden(name: String): (String, String) =
     name -> s"SELECT * FROM read_parquet('/root/repo/golden/$name/*.parquet') ORDER BY ALL"
 
+  /** DuckDB mirror of [[soundexCol]] — identical op chain (DuckDB regex is
+    * RE2, no backreferences, so runs collapse via one replace per digit;
+    * the 'g' flag is required because DuckDB's regexp_replace is
+    * first-match-only by default while Spark's replaces all). `src` must
+    * bind a column `w` of upper-case tokens; exposes CTE `s4(w, sdx)`.
+    */
+  private def soundexCteSql(src: String): String =
+    s"""s1 AS (SELECT w, translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230129022455012623019202') AS m FROM $src),
+       |s2 AS (SELECT w, substr(m,1,1) || regexp_replace(substr(m,2), '9', '', 'g') AS m1 FROM s1),
+       |s3 AS (SELECT w, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |         m1, '11+','1','g'), '22+','2','g'), '33+','3','g'), '44+','4','g'), '55+','5','g'), '66+','6','g') AS c FROM s2),
+       |s4 AS (SELECT w, substr(substr(w,1,1) || regexp_replace(substr(c,2), '0', '', 'g') || '000', 1, 4) AS sdx FROM s3)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_soundex_blocks" ->
+      s"""WITH n AS (SELECT upper(string_split(text, ' ')[1]) AS w FROM documents),
+         |${soundexCteSql("n")}
+         |SELECT sdx AS soundex, count(*) AS n_docs, count(DISTINCT w) AS n_names
+         |FROM s4 GROUP BY 1 ORDER BY n_docs DESC, soundex LIMIT 40""".stripMargin,
+
+    "q_phonetic_pairs" ->
+      s"""WITH n AS (SELECT DISTINCT upper(unnest(string_split_regex(trim(text), '\\s+'))) AS w FROM documents),
+         |${soundexCteSql("n")},
+         |k AS (SELECT w, substr(sdx, 2, 3) AS skel FROM s4)
+         |SELECT a.skel, a.w AS name_a, b.w AS name_b, levenshtein(a.w, b.w) AS lev
+         |FROM k a JOIN k b ON a.skel = b.skel AND a.w < b.w
+         |WHERE levenshtein(a.w, b.w) <= 3
+         |ORDER BY a.skel, name_a, name_b""".stripMargin,
+
+    "q_lsh_curve" ->
+      """WITH g AS (SELECT CAST(i AS DOUBLE)/CAST(100 AS DOUBLE) AS s FROM range(0,101) t(i)),
+        |a AS (SELECT s, s*s AS s2 FROM g),
+        |b AS (SELECT s, s2, s2*s2 AS s4, s2*s AS s3 FROM a),
+        |c AS (SELECT s, CAST(1 AS DOUBLE)-s4 AS q, CAST(1 AS DOUBLE)-s3 AS r FROM b),
+        |d AS (SELECT s, q*q AS q2, r*r AS r2 FROM c),
+        |e AS (SELECT s, q2*q2 AS q4, r2*r2 AS r4 FROM d),
+        |f AS (SELECT s, q4*q4 AS q8, r4 FROM e),
+        |h AS (SELECT s, q8*q8 AS q16, r4 FROM f)
+        |SELECT s, CAST(1 AS DOUBLE)-q16*q16 AS p_text_32x4, CAST(1 AS DOUBLE)-r4 AS p_string_4x3
+        |FROM h ORDER BY s""".stripMargin,
+
     golden("q_ann_ivf"),
     golden("q_ann_lsh"),
     golden("q_audio_near_dups"),
