@@ -1299,6 +1299,45 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // Threshold-stability index: the chance-corrected agreement (ARI)
+    // between the production clustering (lev < 15) and the strict cut
+    // (lev < 8) over the FULL doc universe (unclustered docs are
+    // singletons on both sides) — the scalar an ER reviewer reads before
+    // committing a threshold change ("how much of the answer is
+    // threshold-sensitive?"), complementing q_threshold_sweep's
+    // per-cluster shatter report. Zero new corpus work: both partitions
+    // ride the pinned levEdges scan (which carries d) and the memoized
+    // loose CC; the index itself is the ariOf contingency kernel — three
+    // linear map-side-combined aggregates, no pair expansion.
+    "q_cluster_stability" -> ((s, dir) => {
+      val ccL = sFlagshipCC(s, dir)
+      val ccS = Components.connectedComponents(
+        levEdges(s, dir).filter(col("d") < 8).select("src", "dst"))(s)
+        .withColumnRenamed("cluster_id", "strict_id")
+      val assign = docsTable(s, dir).select(col("doc_id"))
+        .join(ccL, Seq("doc_id"), "left")
+        .join(ccS, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("c"),
+          coalesce(col("strict_id"), col("doc_id")).as("tt"))
+      ariOf(assign)
+    }),
+
+    // Average-linkage HAC within each flagship component (the dedupe.io
+    // methodology's post-step; see [[graft.pipeline.Hac]]): CC merges
+    // a–b–c on chained edges even when a and c are unrelated; the
+    // dendrogram cut (average pairwise lev ≤ 9, tighter than the 15 edge
+    // cut) splits such chains. Embarrassingly parallel across components
+    // (one flatMapGroups; members capped at 32 BEFORE the group shuffle);
+    // exact integer linkage arithmetic → deterministic golden oracle,
+    // with a from-scratch sequential rederivation in CrossCheckSpec.
+    "q_hac_clusters" -> ((s, dir) => {
+      val t = docsTable(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      graft.pipeline.Hac.run(sFlagshipCC(s, dir), t, cut = 9)(s)
+        .orderBy("doc_id")
+    }),
+
     // A3 group materialization + the reference's flagship report shape:
     // one row per multi-member cluster, members sorted keeper-first,
     // comma-joined for bit-exact compare with DuckDB string_agg
@@ -2794,6 +2833,7 @@ object SparkEntry {
     golden("q_compare_target"),
     golden("q_doc_stats"),
     golden("q_fingerprint"),
+    golden("q_hac_clusters"),
     golden("q_image_features"),
     golden("q_media_phash"),
     golden("q_minhash_lsh"),
@@ -3354,6 +3394,54 @@ object SparkEntry {
          |FROM ccL l LEFT JOIN ccS s USING (doc_id)
          |GROUP BY l.cluster_id HAVING count(*) > 1
          |ORDER BY cluster_id""".stripMargin,
+
+    "q_cluster_stability" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |e AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst, levenshtein(l.t, r.t) AS dd
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |symL AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |reachL(u, v) AS (
+         |  SELECT u, v FROM symL
+         |  UNION
+         |  SELECT r.u, s.v FROM reachL r JOIN symL s ON r.v = s.u),
+         |ccL AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |        FROM reachL GROUP BY u),
+         |symS AS (SELECT src AS u, dst AS v FROM e WHERE dd < 8
+         |         UNION SELECT dst, src FROM e WHERE dd < 8),
+         |reachS(u, v) AS (
+         |  SELECT u, v FROM symS
+         |  UNION
+         |  SELECT r.u, s.v FROM reachS r JOIN symS s ON r.v = s.u),
+         |ccS AS (SELECT u AS doc_id, least(u, min(v)) AS strict_id
+         |        FROM reachS GROUP BY u),
+         |assign AS (
+         |  SELECT d0.doc_id,
+         |         coalesce(l.cluster_id, d0.doc_id) AS c,
+         |         coalesce(s.strict_id, d0.doc_id) AS tt
+         |  FROM documents d0
+         |  LEFT JOIN ccL l ON l.doc_id = d0.doc_id
+         |  LEFT JOIN ccS s ON s.doc_id = d0.doc_id),
+         |agg AS (SELECT
+         |  (SELECT count(*) FROM assign) AS n_docs,
+         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+         |     FROM (SELECT count(*) AS n FROM assign GROUP BY c, tt)) AS sum_cells_c2,
+         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+         |     FROM (SELECT count(*) AS n FROM assign GROUP BY c)) AS sum_pred_c2,
+         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+         |     FROM (SELECT count(*) AS n FROM assign GROUP BY tt)) AS sum_truth_c2),
+         |f AS (SELECT n_docs, sum_cells_c2, sum_pred_c2, sum_truth_c2,
+         |        CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0 AS t2,
+         |        CAST(sum_cells_c2 AS DOUBLE) AS sij,
+         |        CAST(sum_pred_c2 AS DOUBLE) AS sa,
+         |        CAST(sum_truth_c2 AS DOUBLE) AS sb
+         |      FROM agg)
+         |SELECT n_docs, sum_cells_c2, sum_pred_c2, sum_truth_c2,
+         |       round(CASE WHEN t2 * (sa + sb) - 2.0 * sa * sb = 0.0 THEN 1.0
+         |             ELSE (2.0 * (t2 * sij - sa * sb)) /
+         |                  (t2 * (sa + sb) - 2.0 * sa * sb) END, 6) AS ari
+         |FROM f""".stripMargin,
 
     "q_cc_clusters" ->
       s"""WITH RECURSIVE $sBandCte,

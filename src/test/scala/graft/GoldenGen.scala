@@ -18,7 +18,7 @@ object GoldenGen {
   val GoldenQueries: Seq[String] = Seq(
     "q_ann_ivf", "q_ann_lsh", "q_audio_near_dups", "q_canopy",
     "q_center_clusters", "q_compare_target", "q_doc_stats", "q_fingerprint",
-    "q_image_features", "q_media_phash", "q_minhash_lsh",
+    "q_hac_clusters", "q_image_features", "q_media_phash", "q_minhash_lsh",
     "q_pipeline_clusters", "q_retract_clusters", "q_simhash", "q_swoosh",
     "q_video_near_dups")
 
