@@ -1338,6 +1338,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Staged dedup cascade — the composition every production corpus
+    // pipeline actually runs (cheap stages first, each stage sees only the
+    // previous stage's survivors): 1_exact (identical text, md5 groupBy),
+    // 2_near (the banded lev<15 edge relation restricted to exact
+    // survivors → CC), 3_jaccard (token-set Jaccard ≥ 0.6 over banded
+    // candidates among near survivors → CC; catches reorderings character
+    // edit distance misses), 4_survivor. One row per doc: the stage that
+    // dropped it and the representative (stage-CC min id) that killed it.
+    // Scale shape: stage order ONLY removes work — every stage's candidate
+    // join rides the same pinned band relation with survivor id filters
+    // pushed to both sides, and each CC runs on that stage's edges only.
+    // The partition {exact ∪ near ∪ jaccard ∪ survivor} is proven total
+    // and disjoint in DataOpsSpec.
+    "q_dedup_cascade" -> ((s, dir) => {
+      val keyed = docsTable(s, dir).select(col("doc_id"), md5(col("text")).as("k"))
+      val exactAssign = keyed.join(
+          keyed.groupBy("k").agg(min("doc_id").as("keeper")), "k")
+        .select(col("doc_id"), col("keeper"))
+      val exactKilled = exactAssign.filter(col("doc_id") =!= col("keeper"))
+      val s1 = exactAssign.filter(col("doc_id") === col("keeper")).select("doc_id")
+      val e2 = levEdges(s, dir)
+        .join(s1.select(col("doc_id").as("src")), "src")
+        .join(s1.select(col("doc_id").as("dst")), "dst")
+        .select("src", "dst")
+      val nearKilled = Components.connectedComponents(e2)(s)
+        .filter(col("doc_id") =!= col("cluster_id"))
+      val s2 = s1.join(nearKilled, Seq("doc_id"), "left_anti")
+      val toks = fsDocFeatures(s, dir).select(col("doc_id"), col("toks"))
+      val e3 = sBandCandidates(s, dir)
+        .join(s2.select(col("doc_id").as("a")), "a")
+        .join(s2.select(col("doc_id").as("b")), "b")
+        .join(toks.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+        .join(toks.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+        .filter(col("inter").cast("double") /
+          (size(col("ta")) + size(col("tb")) - col("inter")) >= 0.6)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val jacKilled = Components.connectedComponents(e3)(s)
+        .filter(col("doc_id") =!= col("cluster_id"))
+      val survivors = s2.join(jacKilled, Seq("doc_id"), "left_anti")
+      exactKilled.select(col("doc_id"), lit("1_exact").as("stage"), col("keeper"))
+        .unionByName(nearKilled.select(col("doc_id"), lit("2_near").as("stage"),
+          col("cluster_id").as("keeper")))
+        .unionByName(jacKilled.select(col("doc_id"), lit("3_jaccard").as("stage"),
+          col("cluster_id").as("keeper")))
+        .unionByName(survivors.select(col("doc_id"), lit("4_survivor").as("stage"),
+          col("doc_id").as("keeper")))
+        .orderBy("doc_id")
+    }),
+
     // A3 group materialization + the reference's flagship report shape:
     // one row per multi-member cluster, members sorted keeper-first,
     // comma-joined for bit-exact compare with DuckDB string_agg
@@ -3442,6 +3492,56 @@ object SparkEntry {
          |             ELSE (2.0 * (t2 * sij - sa * sb)) /
          |                  (t2 * (sa + sb) - 2.0 * sa * sb) END, 6) AS ari
          |FROM f""".stripMargin,
+
+    "q_dedup_cascade" ->
+      s"""WITH RECURSIVE $sBandCte,
+         |x AS (SELECT doc_id,
+         |        min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |      FROM documents),
+         |exact_killed AS (SELECT doc_id, keeper FROM x WHERE doc_id <> keeper),
+         |s1 AS (SELECT doc_id FROM x WHERE doc_id = keeper),
+         |e2 AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  JOIN s1 a ON a.doc_id = l.doc_id
+         |  JOIN s1 b ON b.doc_id = r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |sym2 AS (SELECT src AS u, dst AS v FROM e2 UNION SELECT dst, src FROM e2),
+         |reach2(u, v) AS (
+         |  SELECT u, v FROM sym2
+         |  UNION
+         |  SELECT r.u, s.v FROM reach2 r JOIN sym2 s ON r.v = s.u),
+         |cc2 AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |        FROM reach2 GROUP BY u),
+         |near_killed AS (SELECT doc_id, cluster_id FROM cc2 WHERE doc_id <> cluster_id),
+         |s2 AS (SELECT doc_id FROM s1
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM near_killed)),
+         |e3 AS (
+         |  SELECT l.doc_id AS src, r.doc_id AS dst
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  JOIN s2 a ON a.doc_id = l.doc_id
+         |  JOIN s2 b ON b.doc_id = r.doc_id
+         |  WHERE $sBandCond AND
+         |    CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+         |      (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.6),
+         |sym3 AS (SELECT src AS u, dst AS v FROM e3 UNION SELECT dst, src FROM e3),
+         |reach3(u, v) AS (
+         |  SELECT u, v FROM sym3
+         |  UNION
+         |  SELECT r.u, s.v FROM reach3 r JOIN sym3 s ON r.v = s.u),
+         |cc3 AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |        FROM reach3 GROUP BY u),
+         |jac_killed AS (SELECT doc_id, cluster_id FROM cc3 WHERE doc_id <> cluster_id),
+         |survivors AS (SELECT doc_id FROM s2
+         |              WHERE doc_id NOT IN (SELECT doc_id FROM jac_killed))
+         |SELECT doc_id, '1_exact' AS stage, keeper FROM exact_killed
+         |UNION ALL
+         |SELECT doc_id, '2_near' AS stage, cluster_id AS keeper FROM near_killed
+         |UNION ALL
+         |SELECT doc_id, '3_jaccard' AS stage, cluster_id AS keeper FROM jac_killed
+         |UNION ALL
+         |SELECT doc_id, '4_survivor' AS stage, doc_id AS keeper FROM survivors
+         |ORDER BY doc_id""".stripMargin,
 
     "q_cc_clusters" ->
       s"""WITH RECURSIVE $sBandCte,

@@ -394,4 +394,68 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
     assert(got == List((21L, 1L, 11L, 1000L), (22L, 1L, 12L, 500L)))
   }
+
+  test("q_dedup_cascade: stages partition the corpus; attribution matches stage semantics (sf0.01)") {
+    val rows = SparkEntry.queries("q_dedup_cascade")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // totality + disjointness: every doc exactly once
+    assert(rows.length == nDocs)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byStage = rows.groupBy(_._2)
+    // the sf corpus has no byte-identical texts (stage-1 coverage is the
+    // planted test below) but plants near dups AND at least one reordering
+    // only the token-set stage catches
+    assert(byStage.contains("2_near") && byStage.contains("3_jaccard") &&
+      byStage.contains("4_survivor"))
+    // a killed doc's keeper is a DIFFERENT doc; a survivor keeps itself
+    rows.foreach { case (d, st, k) =>
+      if (st == "4_survivor") assert(k == d) else assert(k != d)
+    }
+    // cascade monotonicity: a stage's keeper survived all earlier stages —
+    // a 2_near keeper is not exact-killed; a 3_jaccard keeper is neither
+    // exact- nor near-killed
+    val exactKilled = byStage.getOrElse("1_exact", Array.empty[(Long, String, Long)]).map(_._1).toSet
+    val nearKilled = byStage("2_near").map(_._1).toSet
+    byStage("2_near").foreach { case (_, _, k) => assert(!exactKilled.contains(k)) }
+    byStage("3_jaccard").foreach { case (_, _, k) =>
+      assert(!exactKilled.contains(k) && !nearKilled.contains(k))
+    }
+    // the jaccard stage caught a reordering: its killed docs are NOT within
+    // lev<15 of their keeper on the 60-prefix (else stage 2 owned the pair)
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byStage("3_jaccard").foreach { case (d, _, k) =>
+      assert(graft.pipeline.Hac.lev(texts(d).take(60), texts(k).take(60)) >= 15)
+    }
+  }
+
+  test("q_dedup_cascade: planted exact + tail-variant dups attribute to the right stages") {
+    // 1,2: byte-identical -> stage 1 kills 2 (keeper 1)
+    // 3,4: same 120-prefix (identical bands), different tail -> not exact,
+    //      lev(60-prefix)=0 -> stage 2 kills 4 (keeper 3)
+    // 9: unrelated survivor
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the cat watches from the warm windowsill nearby this day"
+    val base2 = "every winter morning the old lighthouse keeper climbs four " +
+      "hundred narrow steps to polish the enormous rotating glass lens"
+    assert(base.length >= 120 && base2.length >= 120)
+    val dir = plantedDir(Seq(
+      (1L, base, "en", "web"),
+      (2L, base, "en", "cc"),
+      (3L, base2 + " shared prefix tail one", "en", "web"),
+      (4L, base2 + " completely different ending words", "en", "cc"),
+      (9L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg " +
+        "ff ee dd cc bb aa zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll",
+        "en", "web")))
+    val got = SparkEntry.queries("q_dedup_cascade")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(got == List(
+      (1L, "4_survivor", 1L),
+      (2L, "1_exact", 1L),
+      (3L, "4_survivor", 3L),
+      (4L, "2_near", 3L),
+      (9L, "4_survivor", 9L)))
+  }
 }
