@@ -515,6 +515,34 @@ object SparkEntry {
        |  LEFT JOIN cc p ON p.doc_id = d0.doc_id
        |  LEFT JOIN tcc t ON t.doc_id = d0.doc_id)""".stripMargin
 
+  /** The exact-arithmetic ARI tail shared VERBATIM by the q_ari and
+    * q_cluster_stability oracles (the SQL mirror of [[ariOf]]): expects a
+    * CTE `assign(doc_id, c, tt)` in scope and closes the WITH chain —
+    * contingency-cell C(n,2) sums as exact BIGINT, one identically-ordered
+    * double expression, den==0 → 1.0, rounded once. Extracted so a fix to
+    * the rounding or zero-denominator branch cannot desynchronize the two.
+    */
+  private val ariSqlTail: String =
+    """agg AS (SELECT
+      |  (SELECT count(*) FROM assign) AS n_docs,
+      |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+      |     FROM (SELECT count(*) AS n FROM assign GROUP BY c, tt)) AS sum_cells_c2,
+      |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+      |     FROM (SELECT count(*) AS n FROM assign GROUP BY c)) AS sum_pred_c2,
+      |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+      |     FROM (SELECT count(*) AS n FROM assign GROUP BY tt)) AS sum_truth_c2),
+      |f AS (SELECT n_docs, sum_cells_c2, sum_pred_c2, sum_truth_c2,
+      |        CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0 AS t2,
+      |        CAST(sum_cells_c2 AS DOUBLE) AS sij,
+      |        CAST(sum_pred_c2 AS DOUBLE) AS sa,
+      |        CAST(sum_truth_c2 AS DOUBLE) AS sb
+      |      FROM agg)
+      |SELECT n_docs, sum_cells_c2, sum_pred_c2, sum_truth_c2,
+      |       round(CASE WHEN t2 * (sa + sb) - 2.0 * sa * sb = 0.0 THEN 1.0
+      |             ELSE (2.0 * (t2 * sij - sa * sb)) /
+      |                  (t2 * (sa + sb) - 2.0 * sa * sb) END, 6) AS ari
+      |FROM f""".stripMargin
+
   /** DuckDB mirror of [[fsVectors]] (the `p` CTE body shared by the
     * q_fellegi_sunter and q_fs_em oracles).
     */
@@ -1330,7 +1358,7 @@ object SparkEntry {
     // cut) splits such chains. Embarrassingly parallel across components
     // (one flatMapGroups; members capped at 32 BEFORE the group shuffle);
     // exact integer linkage arithmetic → deterministic golden oracle,
-    // with a from-scratch sequential rederivation in CrossCheckSpec.
+    // with a from-scratch sequential rederivation in HacSpec.
     "q_hac_clusters" -> ((s, dir) => {
       val t = docsTable(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
@@ -3296,25 +3324,7 @@ object SparkEntry {
     "q_ari" ->
       s"""WITH RECURSIVE $sBandCte,
          |$evalAssignCte,
-         |agg AS (SELECT
-         |  (SELECT count(*) FROM assign) AS n_docs,
-         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
-         |     FROM (SELECT count(*) AS n FROM assign GROUP BY c, tt)) AS sum_cells_c2,
-         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
-         |     FROM (SELECT count(*) AS n FROM assign GROUP BY c)) AS sum_pred_c2,
-         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
-         |     FROM (SELECT count(*) AS n FROM assign GROUP BY tt)) AS sum_truth_c2),
-         |f AS (SELECT n_docs, sum_cells_c2, sum_pred_c2, sum_truth_c2,
-         |        CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0 AS t2,
-         |        CAST(sum_cells_c2 AS DOUBLE) AS sij,
-         |        CAST(sum_pred_c2 AS DOUBLE) AS sa,
-         |        CAST(sum_truth_c2 AS DOUBLE) AS sb
-         |      FROM agg)
-         |SELECT n_docs, sum_cells_c2, sum_pred_c2, sum_truth_c2,
-         |       round(CASE WHEN t2 * (sa + sb) - 2.0 * sa * sb = 0.0 THEN 1.0
-         |             ELSE (2.0 * (t2 * sij - sa * sb)) /
-         |                  (t2 * (sa + sb) - 2.0 * sa * sb) END, 6) AS ari
-         |FROM f""".stripMargin,
+         |$ariSqlTail""".stripMargin,
 
     // Same shared assign CTE as q_ari/q_bcubed; entropies as exact int64
     // milli-nat occurrence sums, the NMI ratio identically ordered.
@@ -3473,25 +3483,7 @@ object SparkEntry {
          |  FROM documents d0
          |  LEFT JOIN ccL l ON l.doc_id = d0.doc_id
          |  LEFT JOIN ccS s ON s.doc_id = d0.doc_id),
-         |agg AS (SELECT
-         |  (SELECT count(*) FROM assign) AS n_docs,
-         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
-         |     FROM (SELECT count(*) AS n FROM assign GROUP BY c, tt)) AS sum_cells_c2,
-         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
-         |     FROM (SELECT count(*) AS n FROM assign GROUP BY c)) AS sum_pred_c2,
-         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
-         |     FROM (SELECT count(*) AS n FROM assign GROUP BY tt)) AS sum_truth_c2),
-         |f AS (SELECT n_docs, sum_cells_c2, sum_pred_c2, sum_truth_c2,
-         |        CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0 AS t2,
-         |        CAST(sum_cells_c2 AS DOUBLE) AS sij,
-         |        CAST(sum_pred_c2 AS DOUBLE) AS sa,
-         |        CAST(sum_truth_c2 AS DOUBLE) AS sb
-         |      FROM agg)
-         |SELECT n_docs, sum_cells_c2, sum_pred_c2, sum_truth_c2,
-         |       round(CASE WHEN t2 * (sa + sb) - 2.0 * sa * sb = 0.0 THEN 1.0
-         |             ELSE (2.0 * (t2 * sij - sa * sb)) /
-         |                  (t2 * (sa + sb) - 2.0 * sa * sb) END, 6) AS ari
-         |FROM f""".stripMargin,
+         |$ariSqlTail""".stripMargin,
 
     "q_dedup_cascade" ->
       s"""WITH RECURSIVE $sBandCte,

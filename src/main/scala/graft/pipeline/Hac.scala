@@ -9,9 +9,10 @@ import org.apache.spark.sql.expressions.Window
   * dedupe.io methodology: score pairs, block, then hierarchically cluster
   * within blocks) that splits over-merged transitive components: CC merges
   * a–b–c whenever a–b and b–c pass the edge threshold even if a and c are
-  * unrelated; HAC with a tighter average-distance cut keeps {a,b,c} together
-  * only while the AVERAGE pairwise distance of the merged group stays under
-  * the cut.
+  * unrelated; HAC keeps merging only while the best BETWEEN-CLUSTER average
+  * linkage distance (mean of all cross-pair distances between the two
+  * clusters) stays ≤ the cut — so the a|bc merge is refused when a sits far
+  * from both b and c even though the chain connected them.
   *
   * Spark shape: clustering is embarrassingly parallel ACROSS components —
   * one `groupByKey(cluster_id).flatMapGroups` where each group runs an
@@ -26,32 +27,11 @@ import org.apache.spark.sql.expressions.Window
   * cross-multiplication (s1·c2 vs s2·c1), never doubles; ties break on the
   * (min doc_id of A, min doc_id of B) lexicographic order; average-linkage
   * sums obey the exact Lance-Williams update sum(A∪B, C) = sum(A,C) +
-  * sum(B,C). All values stay ≪ 2⁶³ (cap ≤ 64, per-pair dist ≤ text length).
+  * sum(B,C). All values stay ≪ 2⁶³ (run() requires cap ≤ 1024; per-pair
+  * dist ≤ text length).
   */
 object Hac {
-
-  /** Plain Levenshtein over the full strings (same semantics as Spark's
-    * `levenshtein` builtin with no max-distance cap): two-row DP.
-    */
-  private[graft] def lev(a: String, b: String): Int = {
-    if (a.isEmpty) return b.length
-    if (b.isEmpty) return a.length
-    var prev = Array.tabulate(b.length + 1)(identity)
-    var cur = new Array[Int](b.length + 1)
-    var i = 1
-    while (i <= a.length) {
-      cur(0) = i
-      var j = 1
-      while (j <= b.length) {
-        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
-        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
-        j += 1
-      }
-      val t = prev; prev = cur; cur = t
-      i += 1
-    }
-    prev(b.length)
-  }
+  import graft.text.JaroWinkler.levenshtein
 
   /** Run the exact dendrogram over one component's members (doc_id, text),
     * cutting when no remaining merge keeps average pairwise distance ≤ cut.
@@ -61,15 +41,15 @@ object Hac {
     val docs = members.sortBy(_._1).toArray
     val k = docs.length
     if (k == 1) return Seq((docs(0)._1, docs(0)._1, 1))
-    // live clusters as parallel arrays; cluster identity = min doc_id
-    val minId = docs.map(_._1)
+    // live clusters as parallel arrays; cluster index i's min doc_id stays
+    // docs(i)._1 because merges always fold the higher index into the lower
     val size = Array.fill(k)(1)
     val alive = Array.fill(k)(true)
     val memb = Array.tabulate(k)(i => List(docs(i)._1))
     // sumD(i)(j), i < j: total pairwise lev between clusters i and j
     val sumD = Array.ofDim[Long](k, k)
     for (i <- 0 until k; j <- i + 1 until k)
-      sumD(i)(j) = lev(docs(i)._2, docs(j)._2).toLong
+      sumD(i)(j) = levenshtein(docs(i)._2, docs(j)._2).toLong
     var merged = true
     while (merged) {
       merged = false
@@ -123,6 +103,9 @@ object Hac {
     */
   def run(cc: DataFrame, t: DataFrame, cut: Int, cap: Int = 32)(
       spark: SparkSession): DataFrame = {
+    // the argmin compare cross-multiplies (sum ≤ cap²·len) × (count ≤ cap²):
+    // cap ≤ 1024 keeps the product < 2⁶³ for any text length ≤ 8M chars
+    require(cap >= 1 && cap <= 1024, s"cap must be in [1, 1024], got $cap")
     import spark.implicits._
     val multi = cc.groupBy("cluster_id").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("cluster_id")

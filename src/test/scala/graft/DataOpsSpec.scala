@@ -421,14 +421,16 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     byStage("3_jaccard").foreach { case (_, _, k) =>
       assert(!exactKilled.contains(k) && !nearKilled.contains(k))
     }
-    // the jaccard stage caught a reordering: its killed docs are NOT within
-    // lev<15 of their keeper on the 60-prefix (else stage 2 owned the pair)
+    // the jaccard stage caught at least one reordering edit distance
+    // misses: SOME killed doc is lev>=15 from its keeper on the 60-prefix.
+    // (Not universal: a keeper is the component MIN, so a doc can reach a
+    // lev-close keeper through a chain whose direct band pairing missed.)
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    byStage("3_jaccard").foreach { case (d, _, k) =>
-      assert(graft.pipeline.Hac.lev(texts(d).take(60), texts(k).take(60)) >= 15)
-    }
+    assert(byStage("3_jaccard").exists { case (d, _, k) =>
+      graft.text.JaroWinkler.levenshtein(texts(d).take(60), texts(k).take(60)) >= 15
+    })
   }
 
   test("q_dedup_cascade: planted exact + tail-variant dups attribute to the right stages") {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.Hac
+import graft.text.JaroWinkler.levenshtein
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -12,15 +13,6 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class HacSpec extends AnyFunSuite with SparkTestBase {
 
-  test("lev matches known distances") {
-    assert(Hac.lev("", "") == 0)
-    assert(Hac.lev("abc", "") == 3)
-    assert(Hac.lev("", "abc") == 3)
-    assert(Hac.lev("kitten", "sitting") == 3)
-    assert(Hac.lev("flaw", "lawn") == 2)
-    assert(Hac.lev("same", "same") == 0)
-  }
-
   test("average-linkage cut splits a chained component that CC would merge") {
     // d(a,b) = 4, d(b,c) = 4, d(a,c) = 8; cut = 5.
     // CC over edges (d < 5) chains all three; HAC merges {a,b} (avg 4),
@@ -28,8 +20,8 @@ class HacSpec extends AnyFunSuite with SparkTestBase {
     val a = (1L, "aaaaaaaaaaaa")
     val b = (2L, "aaaaaaaabbbb")
     val c = (3L, "aaaabbbbbbbb")
-    assert(Hac.lev(a._2, b._2) == 4 && Hac.lev(b._2, c._2) == 4 &&
-      Hac.lev(a._2, c._2) == 8)
+    assert(levenshtein(a._2, b._2) == 4 && levenshtein(b._2, c._2) == 4 &&
+      levenshtein(a._2, c._2) == 8)
     val out = Hac.cluster(Seq(a, b, c), cut = 5).sortBy(_._1)
     assert(out == Seq((1L, 1L, 2), (2L, 1L, 2), (3L, 3L, 1)))
   }
@@ -80,7 +72,7 @@ class HacSpec extends AnyFunSuite with SparkTestBase {
     def naive(members: Seq[Long], cut: Int): Seq[(Long, Long, Int)] = {
       val d = scala.collection.mutable.Map[(Long, Long), Int]()
       for (a <- members; b <- members if a < b)
-        d((a, b)) = Hac.lev(texts(a), texts(b))
+        d((a, b)) = levenshtein(texts(a), texts(b))
       var clusters: List[Set[Long]] = members.map(Set(_)).toList
       var go = true
       while (go && clusters.length > 1) {
