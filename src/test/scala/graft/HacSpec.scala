@@ -42,6 +42,40 @@ class HacSpec extends AnyFunSuite with SparkTestBase {
     assert(o1 == o2 && o2 == o3)
   }
 
+  test("fuzz: partition invariants + cut monotonicity (dendrogram prefix property)") {
+    // the merge ORDER is cut-independent (argmin each round); the cut only
+    // stops the sequence earlier — so clustering at a smaller cut must be
+    // an exact refinement of clustering at any larger cut
+    val rnd = new scala.util.Random(20260818L)
+    for (_ <- 1 to 200) {
+      val k = 2 + rnd.nextInt(10)
+      val members = (0 until k).map { i =>
+        val len = 5 + rnd.nextInt(10)
+        (i * 3 + rnd.nextInt(3).toLong + i * 10,
+          (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      }.distinctBy(_._1)
+      val c1 = rnd.nextInt(6)
+      val c2 = c1 + 1 + rnd.nextInt(6)
+      val lo = Hac.cluster(members, c1)
+      val hi = Hac.cluster(members, c2)
+      // partition: every member exactly once, hac_id = min of its group,
+      // n_sub = true group size
+      for (out <- Seq(lo, hi)) {
+        assert(out.map(_._1).sorted == members.map(_._1).sorted)
+        out.groupBy(_._2).foreach { case (h, g) =>
+          assert(g.map(_._1).min == h)
+          assert(g.forall(_._3 == g.length))
+        }
+      }
+      // refinement: each low-cut cluster maps into ONE high-cut cluster
+      val hiOf = hi.map(t => t._1 -> t._2).toMap
+      lo.groupBy(_._2).values.foreach { g =>
+        assert(g.map(t => hiOf(t._1)).distinct.length == 1,
+          s"low-cut cluster split across high-cut clusters: $g")
+      }
+    }
+  }
+
   test("run() caps members per component; overflow rows become singletons") {
     import spark.implicits._
     val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L))
