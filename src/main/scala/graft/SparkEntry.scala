@@ -2672,6 +2672,45 @@ object SparkEntry {
     // IVF ANN (coarse-quantizer scale path; deterministic centroids —
     // golden-snapshot oracle): top-3 cosine neighbours of the first 50
     // vectors probing 4 of 8 cells
+    // ANN evaluation: recall@10 of the IVF probe path against brute-force
+    // exact-cosine truth, per nprobe ∈ {1, 2, 4} — the standard ANN quality
+    // curve (recall vs probed fraction) that justifies an nprobe choice.
+    // The brute truth is the EVALUATOR leg and stays bounded the evaluator
+    // way: a fixed query sample (50 ids) × corpus, one pass, pinned for its
+    // three consumers; the production path is Ivf.topK (cell-partitioned,
+    // nprobe/K of the data per query batch). On these isotropic synthetic
+    // embeddings Voronoi cells cut neighbourhoods arbitrarily, so the curve
+    // measures the real nprobe trade instead of reading ~1 everywhere.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = embTable(s, dir)
+      val model = graft.ann.Ivf.fit(e, "embedding", "vec_id", k = 8)
+      val queries = e.filter(col("vec_id") < 50)
+      val cosRound = (a: Column, b: Column) =>
+        round(dotCol(a, b) / (normCol(a) * normCol(b)), 6)
+      val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
+      val truth = queries.select(col("vec_id").as("q"), col("embedding").as("qv"))
+        .crossJoin(e.select(col("vec_id").as("n"), col("embedding").as("nv")))
+        .filter(col("q") =!= col("n"))
+        .select(col("q"), col("n"), cosRound(col("qv"), col("nv")).as("cos"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("q", "n").localCheckpoint(true)
+      val gots = Seq(1, 2, 4).map { np =>
+        graft.ann.Ivf.topK(queries, e, model, "embedding", "vec_id",
+            k = 10, nprobe = np, cosRound)
+          .select(lit(np).as("nprobe"), col("q"), col("n"))
+      }.reduce(_ unionByName _)
+      val hits = truth.join(gots, Seq("q", "n"))
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      // literal nprobe grid so a zero-hit setting still emits its row
+      val grid = s.range(0, 3)
+        .select(expr("cast(1 << id AS int)").as("nprobe"))
+      grid.join(hits, Seq("nprobe"), "left").na.fill(0L, Seq("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("nprobe"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
+        .orderBy("nprobe")
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       val e = embTable(s, dir)
       val model = graft.ann.Ivf.fit(e, "embedding", "vec_id", k = 8)
@@ -2905,6 +2944,7 @@ object SparkEntry {
 
     golden("q_ann_ivf"),
     golden("q_ann_lsh"),
+    golden("q_ann_recall"),
     golden("q_audio_near_dups"),
     golden("q_canopy"),
     golden("q_center_clusters"),

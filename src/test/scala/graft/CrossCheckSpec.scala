@@ -308,6 +308,64 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
       s"first diff: ${emitted.zip(expected).find(p => p._1 != p._2)}")
   }
 
+  test("q_ann_recall: recall@10 re-derived sequentially (brute truth + per-nprobe IVF)") {
+    // Independent mirror of the whole evaluator: brute-force exact top-10
+    // per query, then for each nprobe the probed-cell candidate set,
+    // top-10 by (cos desc, n), and the hit count — all in plain Scala.
+    // The model comes from Ivf.fit (its Lloyd's iterations have their own
+    // from-scratch rederivation in the q_ann_ivf test above).
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val vecs = rows.toMap
+    val model = graft.ann.Ivf.fit(spark.read.parquet(s"$dir/embeddings.parquet"),
+      "embedding", "vec_id", k = 8)
+    val cents = model.centroids
+    def dotF(c: Array[Double], v: Array[Float]): Double =
+      v.indices.foldLeft(0.0)((s, i) => s + c(i) * v(i))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.indices.maxBy(c => (dotF(cents(c), v), -c))
+    }
+    val qs = vecs.keys.filter(_ < 50).toSeq.sorted
+    val truth: Map[Long, Set[Long]] = qs.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(10).map(_._1).toSet
+    }.toMap
+    val nTruth = truth.values.map(_.size).sum
+    val expected = Seq(1, 2, 4).map { np =>
+      val hits = qs.map { q =>
+        val probes = cents.indices
+          .sortBy(c => (-dotF(cents(c), vecs(q)), c)).take(np).toSet
+        val got = vecs.keys.filter(n => n != q && probes.contains(cellOf(n))).toSeq
+          .map(n => (n, cos(vecs(q), vecs(n))))
+          .sortBy { case (n, c) => (-c, n) }.take(10).map(_._1).toSet
+        (truth(q) & got).size
+      }.sum
+      (np, hits.toLong, nTruth.toLong,
+        BigDecimal(hits.toDouble / nTruth)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val emitted = SparkEntry.queries("q_ann_recall")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(emitted == expected, s"emitted=$emitted expected=$expected")
+    // the curve is a real trade on isotropic data: monotone, with
+    // nprobe=1 strictly below nprobe=4
+    assert(expected.map(_._4) == expected.map(_._4).sorted)
+    assert(expected.head._4 < expected.last._4)
+  }
+
   test("q_audio_near_dups: pair set re-derived by sequential brute force over the real WAV fingerprints") {
     // The golden locks the distributed posexplode→equi-join→agg plumbing;
     // this re-derives the SAME answer with nested loops: every item pair,
