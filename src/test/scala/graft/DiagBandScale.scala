@@ -64,7 +64,9 @@ object DiagBandScale {
       "q_cc_clusters", "q_center_clusters", "q_cluster_groups",
       "q_survivorship", "q_cluster_cohesion", "q_threshold_sweep",
       "q_cross_source_dups", "q_golden_record", "q_fellegi_sunter",
-      "q_fs_decisions")
+      "q_fs_decisions",
+      // round-4 second-session additions riding the same pinned relations
+      "q_hac_clusters", "q_cluster_stability", "q_dedup_cascade")
     var total = 0.0
     family.foreach { name =>
       val q0 = System.nanoTime()
