@@ -369,6 +369,19 @@ object SparkEntry {
     * [[sBandRelation]]. Same cache contract: dirs immutable within an
     * application, first derivation serialized.
     */
+  /** Strict-cut (lev < 8) CC over the pinned levEdges — shared by
+    * q_threshold_sweep and q_cluster_stability, so the iterative CC over
+    * the strict edge set runs once per (session, dir) like its loose
+    * sibling below.
+    */
+  private val strictCcCache = new SessionMemo[String]
+  private def sStrictCC(s: SparkSession, dir: String): DataFrame =
+    strictCcCache(s, dir) {
+      Components.connectedComponents(
+        levEdges(s, dir).filter(col("d") < 8).select("src", "dst"))(s)
+        .withColumnRenamed("cluster_id", "strict_id")
+    }
+
   private val flagshipCcCache = new SessionMemo[String]
   private[graft] def sFlagshipCC(s: SparkSession, dir: String): DataFrame =
     flagshipCcCache(s, dir) {
@@ -1309,15 +1322,12 @@ object SparkEntry {
     // CC-on-edges over the single-threshold pipeline at any scale.
     "q_threshold_sweep" -> ((s, dir) => {
       // the loose edge set + distances IS the pinned levEdges relation
-      // (which carries d), and the loose CC IS sFlagshipCC — the sweep
-      // adds only the strict filter and one CC-on-edges (at 850k this
-      // query previously re-ran its own candidate join + lev pass:
-      // 35.7 s → the strict CC alone)
-      val scored = levEdges(s, dir)
+      // (which carries d), the loose CC IS sFlagshipCC, and the strict CC
+      // is the memoized sStrictCC shared with q_cluster_stability (at 850k
+      // this query previously re-ran its own candidate join + lev pass:
+      // 35.7 s → the strict CC alone, now amortized across both consumers)
       val ccL = sFlagshipCC(s, dir)
-      val ccS = Components.connectedComponents(
-        scored.filter(col("d") < 8).select("src", "dst"))(s)
-        .withColumnRenamed("cluster_id", "strict_id")
+      val ccS = sStrictCC(s, dir)
       ccL.join(ccS, Seq("doc_id"), "left")
         .withColumn("strict_id", coalesce(col("strict_id"), col("doc_id")))
         .groupBy("cluster_id")
@@ -1339,9 +1349,7 @@ object SparkEntry {
     // linear map-side-combined aggregates, no pair expansion.
     "q_cluster_stability" -> ((s, dir) => {
       val ccL = sFlagshipCC(s, dir)
-      val ccS = Components.connectedComponents(
-        levEdges(s, dir).filter(col("d") < 8).select("src", "dst"))(s)
-        .withColumnRenamed("cluster_id", "strict_id")
+      val ccS = sStrictCC(s, dir)
       val assign = docsTable(s, dir).select(col("doc_id"))
         .join(ccL, Seq("doc_id"), "left")
         .join(ccS, Seq("doc_id"), "left")
@@ -2823,8 +2831,15 @@ object SparkEntry {
     //   first-position drop); collapse runs; drop the first position's
     //   code; drop 0s; pad to 4. Key census = blocking-quality profile.
     "q_soundex_blocks" -> ((s, dir) => {
+      // non-ASCII is stripped BEFORE upper-casing in BOTH engines: JVM
+      // upper() applies full case mapping (ß → SS) while DuckDB's utf8proc
+      // maps ß → ẞ, so upper-then-anything diverges on such chars; Soundex
+      // is defined over A-Z anyway (engine-parity hazard pinned in
+      // DataOpsSpec's non-ASCII soundex test)
       docsTable(s, dir)
-        .select(upper(split(col("text"), " ").getItem(0)).as("w"))
+        .select(upper(regexp_replace(split(col("text"), " ").getItem(0),
+          "[^A-Za-z]", "")).as("w"))
+        .filter(length(col("w")) > 0)
         .withColumn("sdx", soundexCol(col("w")))
         .groupBy("sdx").agg(count(lit(1)).as("n_docs"),
           countDistinct(col("w")).as("n_names"))
@@ -2843,7 +2858,8 @@ object SparkEntry {
     "q_phonetic_pairs" -> ((s, dir) => {
       val names = docsTable(s, dir)
         .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
-        .select(upper(col("tok")).as("w")).distinct()
+        .select(upper(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("w"))
+        .filter(length(col("w")) > 0).distinct()
         .withColumn("skel", soundexCol(col("w")).substr(2, 3))
       val l = names.select(col("skel"), col("w").as("name_a"))
       val r = names.select(col("skel"), col("w").as("name_b"))
@@ -2916,13 +2932,15 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_soundex_blocks" ->
-      s"""WITH n AS (SELECT upper(string_split(text, ' ')[1]) AS w FROM documents),
+      s"""WITH n0 AS (SELECT upper(regexp_replace(string_split(text, ' ')[1], '[^A-Za-z]', '', 'g')) AS w FROM documents),
+         |n AS (SELECT w FROM n0 WHERE length(w) > 0),
          |${soundexCteSql("n")}
          |SELECT sdx AS soundex, count(*) AS n_docs, count(DISTINCT w) AS n_names
          |FROM s4 GROUP BY 1 ORDER BY n_docs DESC, soundex LIMIT 40""".stripMargin,
 
     "q_phonetic_pairs" ->
-      s"""WITH n AS (SELECT DISTINCT upper(unnest(string_split_regex(trim(text), '\\s+'))) AS w FROM documents),
+      s"""WITH n0 AS (SELECT DISTINCT upper(regexp_replace(unnest(string_split_regex(trim(text), '\\s+')), '[^A-Za-z]', '', 'g')) AS w FROM documents),
+         |n AS (SELECT w FROM n0 WHERE length(w) > 0),
          |${soundexCteSql("n")},
          |k AS (SELECT w, substr(sdx, 2, 3) AS skel FROM s4)
          |SELECT a.skel, a.w AS name_a, b.w AS name_b, levenshtein(a.w, b.w) AS lev

@@ -29,9 +29,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Catalog-safe unique table name per directory. */
+  private[graft] def tableNameFor(path: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_bkt_$h"
+  }
+
+  private def metaPath(path: String) =
+    java.nio.file.Paths.get(path, "_graft_buckets.json")
+
+  /** The bucket layout is a property of the FILES, not of whichever session
+    * later reads them — a reader registering the directory with its own
+    * session's bucket count would silently drop buckets (count shrank) or
+    * desync the hash%N co-location contract (count grew). So every bucketed
+    * write persists {buckets, keys} as a sidecar, and readers re-register
+    * from the sidecar, never from live config.
+    */
+  def writeBucketMeta(path: String, buckets: Int, keys: Seq[String]): Unit =
+    java.nio.file.Files.writeString(metaPath(path),
+      s"""{"buckets":$buckets,"keys":[${keys.map("\"" + _ + "\"").mkString(",")}]}""")
+
+  def readBucketMeta(path: String): Option[(Int, Seq[String])] = {
+    val p = metaPath(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val s = java.nio.file.Files.readString(p)
+      val b = """"buckets":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      val ks = """"([A-Za-z0-9_]+)"""".r
+        .findAllMatchIn(s.substring(s.indexOf('['))).map(_.group(1)).toSeq
+      b.map(n => (n, ks))
+    }
+  }
+
   /** Write `df` as a hash-bucketed, per-bucket-sorted parquet table at
     * `path`, registered as `table` in the session catalog (replacing any
-    * previous registration).
+    * previous registration), with the bucket layout persisted beside the
+    * files so ANY later reader restores co-location from disk.
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     keys: Seq[String], path: String): Unit = {
@@ -44,6 +78,7 @@ object Bucketing {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+    writeBucketMeta(path, buckets, keys)
   }
 
   /** Read a bucketed table back WITH its bucket metadata (a plain
@@ -52,9 +87,24 @@ object Bucketing {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Read a parquet directory, restoring bucket co-location when (and only
+    * when) the dir self-describes as bucketed: the sidecar's PERSISTED
+    * count/keys drive the registration, so a session with a different
+    * shuffle-partitions setting cannot corrupt the read, and a dir written
+    * plain never gets bucket metadata stamped over it (which would throw
+    * 'Invalid bucket file' at scan).
+    */
+  def readMaybeBucketed(spark: SparkSession, path: String): DataFrame =
+    readBucketMeta(path) match {
+      case Some((buckets, keys)) =>
+        registerExisting(spark, tableNameFor(path), path, buckets, keys)
+      case None => spark.read.parquet(path)
+    }
+
   /** Re-register an existing bucketed parquet directory as an external
     * catalog table (fresh sessions lose the in-memory catalog entry; the
-    * files + this DDL restore the co-location metadata).
+    * files + this DDL restore the co-location metadata). `buckets`/`keys`
+    * must be the PERSISTED layout — prefer [[readMaybeBucketed]].
     */
   def registerExisting(spark: SparkSession, table: String, path: String,
                        buckets: Int, keys: Seq[String]): DataFrame = {
@@ -84,25 +134,18 @@ final class BucketedParquetTableIO(root: String, buckets: Int,
     bucketKeys: Map[String, Seq[String]] = BucketedParquetTableIO.DefaultKeys)
     extends ParquetTableIO(root) {
 
-  /** Catalog-safe unique name per (root, stage). */
-  private def tableName(name: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$root/$name".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"graft_bkt_$h"
-  }
-
   override protected def writeData(name: String, df: DataFrame): Unit =
     bucketKeys.get(name) match {
-      case Some(keys) => Bucketing.writeBucketed(df, tableName(name), buckets, keys, dir(name))
+      case Some(keys) =>
+        Bucketing.writeBucketed(df, Bucketing.tableNameFor(dir(name)),
+          buckets, keys, dir(name))
       case None => super.writeData(name, df)
     }
 
-  override def read(spark: SparkSession, name: String): DataFrame =
-    bucketKeys.get(name) match {
-      case Some(keys) =>
-        Bucketing.registerExisting(spark, tableName(name), dir(name), buckets, keys)
-      case None => super.read(spark, name)
-    }
+  // reads inherit ParquetTableIO.read: the dir self-describes via the
+  // bucket sidecar, so co-location is restored from the PERSISTED layout
+  // (this instance's `buckets` applies to writes only) and a plain dir
+  // reads plain instead of crashing on stamped-on bucket metadata.
 }
 
 object BucketedParquetTableIO {

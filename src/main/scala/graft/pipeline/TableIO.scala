@@ -53,8 +53,13 @@ class ParquetTableIO(root: String) extends TableIO {
     Files.writeString(manifestPath(name), json)
   }
 
+  /** Reads restore bucket co-location whenever the stage dir self-describes
+    * as bucketed (see [[Bucketing.readMaybeBucketed]]) — so a later
+    * generation's fold gets shuffle-free state joins no matter which
+    * TableIO class reads the checkpoint.
+    */
   def read(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(dir(name))
+    Bucketing.readMaybeBucketed(spark, dir(name))
 
   def completedKey(name: String): Option[Long] = {
     val p = manifestPath(name)

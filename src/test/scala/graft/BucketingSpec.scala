@@ -86,5 +86,46 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     val r2 = Pipeline.run(spark, docs, cfg, checkpointIo = Some(io))
     assert(r2.clusters.select("doc_id", "cluster_id").collect().toSet === out1)
     r2.release()
+
+    // the bucket layout is a property of the FILES: a reader configured
+    // with a DIFFERENT bucket count (the config drift --bucketed invites —
+    // tuning shuffle partitions between runs) must still see every row and
+    // still co-locate, because registration uses the PERSISTED sidecar
+    // layout, never the reader's count
+    spark.sql(s"DROP TABLE IF EXISTS ${Bucketing.tableNameFor(s"$root/assignments")}")
+    val mismatched = new BucketedParquetTableIO(root, buckets = 16)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val a = mismatched.read(spark, "assignments").select("doc_id", "cluster_id")
+      assert(a.collect().toSet === out1, "bucket-count drift dropped rows")
+      val j = a.join(mismatched.read(spark, "assignments")
+        .select(col("doc_id"), col("cluster_id").as("c2")), "doc_id")
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "persisted-layout registration must still co-locate")
+    }
+    // the fold's actual read path (Pipeline.readState constructs a plain
+    // ParquetTableIO) restores co-location from the sidecar too: the
+    // --bucketed promise reaches its beneficiary
+    spark.sql(s"DROP TABLE IF EXISTS ${Bucketing.tableNameFor(s"$root/assignments")}")
+    val (_, foldAssign) = Pipeline.readState(spark, root)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j2 = foldAssign.join(foldAssign.select(col("doc_id"),
+        col("cluster_id").as("c2")), "doc_id")
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+        "readState must restore bucket co-location from the sidecar")
+    }
+  }
+
+  test("a dir written plain reads plain through any TableIO (no stamped-on bucket metadata)") {
+    import graft.pipeline.{BucketedParquetTableIO, ParquetTableIO}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bktplain").toString
+    val df = (0L until 100L).map(i => (i, i % 5)).toDF("doc_id", "cluster_id")
+    new ParquetTableIO(root).write("assignments", df, resumeKey = 1L)
+    // reading a plain dir through the BUCKETED io must not register bucket
+    // metadata over plain part files (that scan throws 'Invalid bucket
+    // file') — it falls back to a plain read with all rows
+    val got = new BucketedParquetTableIO(root, buckets = 8).read(spark, "assignments")
+    assert(got.count() === 100)
+    assert(Bucketing.readBucketMeta(s"$root/assignments").isEmpty)
   }
 }

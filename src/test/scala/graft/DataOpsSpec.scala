@@ -433,6 +433,29 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("q_soundex_blocks: non-ASCII strips BEFORE upper-casing (ß full-case-mapping parity)") {
+    // JVM upper('ß') = 'SS' but DuckDB's utf8proc upper maps it to 'ẞ' —
+    // so any upper-then-X chain diverges between engines on such chars.
+    // The query strips [^A-Za-z] from the RAW word first in BOTH engines;
+    // the expected codes here were validated against the DuckDB oracle
+    // chain at authoring time.
+    val dir = plantedDir(Seq(
+      (1L, "straße road goes on and on", "de", "web"),
+      (2L, "Ärger time never ends here", "de", "web"),
+      (3L, "smith! here stands a person", "en", "web"),
+      (4L, "123 nothing but digits first", "en", "web"), // strips empty -> dropped
+      (5L, "Smyth person walks the lane", "en", "web"),
+      (6L, "robert x marks every spot", "en", "web"),
+      (7L, "rupert y holds the map", "en", "web")))
+    val got = SparkEntry.queries("q_soundex_blocks")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(
+      ("R163", 2L, 2L), // ROBERT + RUPERT
+      ("S530", 2L, 2L), // SMITH (bang stripped) + SMYTH
+      ("R260", 1L, 1L), // Ärger -> RGER (Ä stripped pre-upper)
+      ("S360", 1L, 1L))) // straße -> STRAE (ß stripped pre-upper)
+  }
+
   test("q_dedup_cascade: planted exact + tail-variant dups attribute to the right stages") {
     // 1,2: byte-identical -> stage 1 kills 2 (keeper 1)
     // 3,4: same 120-prefix (identical bands), different tail -> not exact,

@@ -119,18 +119,16 @@ class HacSpec extends AnyFunSuite with SparkTestBase {
           val c = BigInt(ca.size) * cb.size
           (ca, cb, s, c)
         }
-        val best = cand.minBy { case (ca, cb, s, c) =>
-          // total order: exact fraction then lexicographic ids — scale the
-          // fraction to a comparable BigInt via a common denominator bound
-          (s * 100000 / c, ca.min, cb.min)
+        // exact argmin: fractions compared by cross-multiplication (never
+        // a lossy scaled key), ties by (minA, minB) — the main
+        // implementation's first-found-strictly-smaller scan order
+        val best = cand.reduceLeft { (x, y) =>
+          val cmp = (y._3 * x._4).compare(x._3 * y._4)
+          if (cmp < 0) y
+          else if (cmp > 0) x
+          else if (Ordering[(Long, Long)].lt((y._1.min, y._2.min), (x._1.min, x._2.min))) y
+          else x
         }
-        // recheck with the EXACT fraction (the sort key above only orders;
-        // equal scaled keys fall back to id order which matches the main
-        // implementation's first-found-strictly-smaller scan)
-        val strictlyBest = cand.filter { case (_, _, s, c) =>
-          s * best._4 < best._3 * c
-        }
-        assert(strictlyBest.isEmpty, "scaled ordering disagreed with exact fractions")
         if (best._3 <= BigInt(cut) * best._4) {
           clusters = (best._1 ++ best._2) :: clusters.filterNot(x => x == best._1 || x == best._2)
           go = true
