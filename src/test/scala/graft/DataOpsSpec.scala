@@ -242,7 +242,7 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
       if keys(docs(i)._1).intersect(keys(docs(j)._1)).nonEmpty
       if editDist2(docs(i)._2.take(60), docs(j)._2.take(60)) < 15
     } yield (docs(i)._1, docs(j)._1)
-    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    val parent = scala.collection.mutable.Map.from(docs.map(d => d._1 -> d._1))
     def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

@@ -138,8 +138,8 @@ class HacSpec extends AnyFunSuite with SparkTestBase {
     }
 
     val expected = cc.groupBy(_._2).toSeq.flatMap { case (cid, ms) =>
-      val ids = ms.map(_._1).sorted.take(32)
-      val over = ms.map(_._1).sorted.drop(32)
+      val ids = ms.map(_._1).sorted.take(32).toIndexedSeq
+      val over = ms.map(_._1).sorted.drop(32).toIndexedSeq
       naive(ids, cut = 9).map { case (dd, h, n) => (dd, cid, h, n) } ++
         over.map(dd => (dd, cid, dd, 1))
     }.sortBy(_._1)
