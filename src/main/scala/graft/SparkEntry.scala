@@ -2870,6 +2870,38 @@ object SparkEntry {
         .orderBy("skel", "name_a", "name_b")
     }),
 
+    // Empirical LSH calibration: the MEASURED candidate rate per exact
+    // shingle-Jaccard decile for the shipped 4×3 string-band config — the
+    // corpus-measured counterpart of q_lsh_curve's analytic S-curve,
+    // completing the calibration trio with q_minhash_err. The brute
+    // all-pairs leg is the deliberate EVALUATOR protocol (half id-stratum,
+    // left side repartitioned so the nested-loop join parallelizes — the
+    // q_blocking_recall lesson); production candidacy never runs it, and
+    // at web scale the stratum shrinks like every sampled evaluator here.
+    // Buckets are exact integer arithmetic ((10·inter) div union); the
+    // candidacy flag is the same pinned band relation the pipeline blocks
+    // on, so the curve measures the join that actually ships.
+    "q_lsh_empirical" -> ((s, dir) => {
+      val sample = docsTable(s, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), shingleSet(col("text")).as("shs"))
+      val l = sample.repartition(64)
+        .select(col("doc_id").as("a"), col("shs").as("sa"))
+      val r = sample.select(col("doc_id").as("b"), col("shs").as("sb"))
+      val cands = sBandCandidates(s, dir).withColumn("is_cand", lit(1L))
+      l.crossJoin(r).filter(col("a") < col("b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+        .withColumn("bucket", expr("cast((10 * inter) div uni AS int)"))
+        .select("a", "b", "bucket")
+        .join(cands, Seq("a", "b"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("is_cand"), lit(0L))).as("n_cands"))
+        .withColumn("rate",
+          round(col("n_cands").cast("double") / col("n_pairs"), 6))
+        .orderBy("bucket")
+    }),
+
     // LSH band-design S-curve: P(candidate | Jaccard s) for the two band
     // configs this library ships (flagship text 32 bands × 4 rows; string
     // family 4 × 3) on a 1%-step grid. Analytic, but the powers are
@@ -2947,6 +2979,21 @@ object SparkEntry {
          |FROM k a JOIN k b ON a.skel = b.skel AND a.w < b.w
          |WHERE levenshtein(a.w, b.w) <= 3
          |ORDER BY a.skel, name_a, name_b""".stripMargin,
+
+    "q_lsh_empirical" ->
+      s"""WITH $sBandCte,
+         |p AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b,
+         |    CAST((10 * len(list_intersect(ml.shs, mr.shs))) //
+         |      (len(ml.shs) + len(mr.shs) - len(list_intersect(ml.shs, mr.shs))) AS INT) AS bucket,
+         |    CASE WHEN $sBandCond THEN 1 ELSE 0 END AS is_cand
+         |  FROM d l JOIN d r ON l.doc_id < r.doc_id
+         |  JOIN m ml ON ml.doc_id = l.doc_id
+         |  JOIN m mr ON mr.doc_id = r.doc_id
+         |  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 0)
+         |SELECT bucket, count(*) AS n_pairs, CAST(sum(is_cand) AS BIGINT) AS n_cands,
+         |       round(CAST(sum(is_cand) AS DOUBLE) / count(*), 6) AS rate
+         |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_lsh_curve" ->
       """WITH g AS (SELECT CAST(i AS DOUBLE)/CAST(100 AS DOUBLE) AS s FROM range(0,101) t(i)),

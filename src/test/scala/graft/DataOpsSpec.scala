@@ -456,6 +456,23 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
       ("S360", 1L, 1L))) // straße -> STRAE (ß stripped pre-upper)
   }
 
+  test("q_lsh_empirical: identical docs land bucket 10 at rate 1.0; unrelated docs bucket 0") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon phi chi psi omega end here now"
+    val b = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty ok"
+    // even ids only (the query's half stratum); 2/4 identical, 6/8 identical
+    val dir = plantedDir(Seq(
+      (2L, a, "en", "web"), (4L, a, "en", "cc"),
+      (6L, b, "en", "web"), (8L, b, "en", "cc")))
+    val got = SparkEntry.queries("q_lsh_empirical")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    // pairs: (2,4) and (6,8) identical -> bucket 10, candidates (identical
+    // bands) -> rate 1.0; the 4 cross pairs share no 8-char shingle ->
+    // bucket 0, and MUST NOT be candidates (else rate > 0)
+    assert(got == List((0, 4L, 0L, 0.0), (10, 2L, 2L, 1.0)))
+  }
+
   test("q_dedup_cascade: planted exact + tail-variant dups attribute to the right stages") {
     // 1,2: byte-identical -> stage 1 kills 2 (keeper 1)
     // 3,4: same 120-prefix (identical bands), different tail -> not exact,
