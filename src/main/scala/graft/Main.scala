@@ -86,6 +86,12 @@ object Main {
       case ("--delete" | "-d") :: t => loop(t, acc.copy(delete = true))
       case "--delete-all" :: t => loop(t, acc.copy(delete = true, deleteAll = true))
       case "-" :: t => loop(t, acc.copy(targets = acc.targets :+ "-"))
+      // a known value-taking flag given as the LAST token fails the
+      // two-element patterns above; without this case it would read as
+      // "unknown flag" (--csv) or silently become a target (-o)
+      case f :: Nil if Set("--hash", "--threshold", "--checkpoint",
+          "--csv", "-o", "--move", "-m", "--copy", "-c")(f) =>
+        Left(s"flag $f requires a value\n$usage")
       case f :: _ if f.startsWith("--") => Left(s"unknown flag $f\n$usage")
       case f :: t => loop(t, acc.copy(targets = acc.targets :+ f))
     }
@@ -129,11 +135,22 @@ object Main {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) Some(fs.getFileStatus(path)) else None
   }
+  /** Case-SENSITIVE like the directory scan's ImageGlob (and the
+    * reference's `filepath.Ext` equality) — a case-insensitive check here
+    * would accept CAT.JPG as an explicit target while the scan never
+    * discovers such files, a silent asymmetry.
+    */
   private def isImageFile(spark: SparkSession, p: String): Boolean =
-    imageExts.exists(p.toLowerCase.endsWith) && fsStatus(spark, p).exists(_.isFile)
-  /** Absolute form for local paths; remote URIs pass through untouched. */
+    imageExts.exists(p.endsWith) && fsStatus(spark, p).exists(_.isFile)
+  /** Canonical form for local paths (resolves `..` and symlinks — an alias
+    * like photos/../photos/x.jpg must get the SAME doc_id as the scanned
+    * /abs/photos/x.jpg, or exact-dedup clusters the two aliases and
+    * --delete destroys the only physical copy); remote URIs pass through.
+    */
   private def canonical(p: String): String =
-    if (p.contains("://")) p else new java.io.File(p).getAbsolutePath
+    if (p.contains("://")) p
+    else try new java.io.File(p).getCanonicalPath
+    catch { case _: java.io.IOException => new java.io.File(p).getAbsolutePath }
 
   /** GraftConfig for the CLI's media-only pipeline: dct/dhash radius with
     * the reference defaults, --threshold override (strict `<`, F4).
@@ -155,7 +172,7 @@ object Main {
       System.err.println(s"[graft] skipping missing target: $t"))
     val dirs = classified.collect { case (t, Some(st)) if st.isDirectory => t }
     val imageFiles = classified.collect {
-      case (t, Some(st)) if st.isFile && imageExts.exists(t.toLowerCase.endsWith) => t
+      case (t, Some(st)) if st.isFile && imageExts.exists(t.endsWith) => t
     }
     val dirDocs = dirs.map(d =>
       MediaSource.asDocs(spark, MediaSource.scanImages(spark, d, cli.recursive)))
@@ -165,8 +182,13 @@ object Main {
         val c = canonical(p)
         Doc(c, Seq(Span.media(c, 0)))
       }))
+    // overlapping targets (dir dir, or a file also inside a scanned dir)
+    // must not enter the pipeline twice: duplicate doc_ids make every
+    // singleton read as a 2-member "duplicate group" and double-plan
+    // destructive actions
     (dirDocs ++ fileDocs).reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[Doc])
+      .dropDuplicates("doc_id")
   }
 
   /** E1: duplicate groups over every target image —
@@ -234,9 +256,9 @@ object Main {
       n
     } else {
       // stdout path (the reference CLI's default): the report is printed,
-      // so a driver collect is inherent
+      // so a driver collect is inherent; fields quoted like the CSV sink
       val rows = groups.select(col("cluster_id").cast("string"),
-          array_join(transform(col("members"), _.cast("string")), ",").as("row"))
+          Report.csvRow(col("members")).as("row"))
         .orderBy("cluster_id")
       val collected = rows.select("row").collect().map(_.getString(0))
       collected.foreach(out.println)
@@ -250,6 +272,8 @@ object Main {
     * error (from [[main]]), 3 = duplicates found but one or more file
     * actions FAILED — mirroring the reference's errors.Join(err) nonzero
     * exit; a cleanup script must not read all-actions-failed as success.
+    * 4 = unexpected runtime error (caught in [[main]] — never conflated
+    * with 1).
     */
   def run(spark: SparkSession, cli: CliConfig,
           out: java.io.PrintStream = System.out): Int = {
@@ -257,6 +281,10 @@ object Main {
     val compareMode = isImageFile(spark, cli.targets.head) && !cli.search
 
     if (compareMode) {
+      if (cli.checkpointDir.nonEmpty)
+        System.err.println(
+          "[graft] --checkpoint/--bucketed are ignored in targeted-compare mode " +
+            "(stage checkpointing applies to the full-dedup pipeline only)")
       val dups = compareTarget(spark, cli).select("doc_id")
         .collect().map(_.getString(0)).sorted
       if (dups.isEmpty) {
@@ -314,7 +342,16 @@ object Main {
           .withExtensions(new graft.functions.GraftExtensions)
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        val code = run(spark, cli)
+        // a crash must NOT exit 1 — that code means "no duplicates found"
+        // and a cleanup script branching on it would read the failed run as
+        // a clean no-dup result; unexpected errors get their own code (4)
+        val code =
+          try run(spark, cli)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[graft] error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              4
+          }
         spark.stop()
         sys.exit(code)
     }

@@ -59,11 +59,23 @@ object FileActions {
       dupMembers.join(keepers, Seq("cluster_id", "doc_id"), "left_anti")
     } else dupMembers
     val inScope = inScope0.withColumn("doc_id", col("doc_id").cast("string"))
+    // distinct members of one group can share a basename (a/img.jpg and
+    // b/img.jpg) — without disambiguation both would plan to the same dest
+    // and the second move/copy would silently clobber the first. Collisions
+    // get a deterministic "<k>-" prefix (rank by src within (group, name));
+    // the common no-collision case keeps the reference's plain basename.
+    val base = element_at(split(col("src"), "/"), -1)
+    val withRk = inScope.withColumn("base", base)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"), col("base")).orderBy(col("src"))))
+    val name = when(col("rk") === 1, col("base"))
+      .otherwise(concat(col("rk").cast("string"), lit("-"), col("base")))
     val dest =
       if (action == "delete") lit("")
       else concat(lit(destDir.stripSuffix("/") + "/group-"), col("cluster_id"),
-        lit("/"), element_at(split(col("src"), "/"), -1))
-    inScope.select(col("doc_id"), col("cluster_id"), col("src"),
+        lit("/"), name)
+    withRk.select(col("doc_id"), col("cluster_id"), col("src"),
       dest.as("dest"), lit(action).as("action"))
   }
 
@@ -88,29 +100,60 @@ object FileActions {
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
+        // idempotent per file (a retried task's already-done work reads as
+        // ok, not as a spurious failure); dest paths resolve through the
+        // DEST's FileSystem so move/copy across stores (s3a source, local
+        // dest) lands where the user pointed instead of being re-qualified
+        // against the source bucket
+        def copyBytes(sfs: org.apache.hadoop.fs.FileSystem,
+                      s: org.apache.hadoop.fs.Path,
+                      dfs: org.apache.hadoop.fs.FileSystem,
+                      d: org.apache.hadoop.fs.Path): Unit = {
+          val in = sfs.open(s)
+          try {
+            val out = dfs.create(d, true)
+            try {
+              val buf = new Array[Byte](64 * 1024)
+              var n = in.read(buf)
+              while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+            } finally out.close()
+          } finally in.close()
+        }
+        def sameFs(a: org.apache.hadoop.fs.FileSystem,
+                   b: org.apache.hadoop.fs.FileSystem): Boolean =
+          a.getUri == b.getUri
         it.map { a =>
           try {
             val srcPath = new org.apache.hadoop.fs.Path(a.src)
             val fs = srcPath.getFileSystem(conf)
             a.action match {
               case "delete" =>
+                // deliberately STRICT (missing file = reported failure,
+                // like the reference's os.Remove): unlike move, a missing
+                // src carries no evidence the delete already happened, and
+                // silently passing typo'd paths would be worse than a rare
+                // spurious retry failure
                 if (!fs.delete(srcPath, false)) throw new java.io.IOException("delete returned false")
               case "move" =>
                 val d = new org.apache.hadoop.fs.Path(a.dest)
-                fs.mkdirs(d.getParent)
-                if (!fs.rename(srcPath, d)) throw new java.io.IOException("rename returned false")
+                val dfs = d.getFileSystem(conf)
+                if (!fs.exists(srcPath) && dfs.exists(d)) ()
+                else {
+                  dfs.mkdirs(d.getParent)
+                  if (sameFs(fs, dfs)) {
+                    if (!fs.rename(srcPath, d)) throw new java.io.IOException("rename returned false")
+                  } else {
+                    // rename can't cross filesystems: copy then delete
+                    copyBytes(fs, srcPath, dfs, d)
+                    if (!fs.delete(srcPath, false))
+                      throw new java.io.IOException("source delete after cross-fs copy returned false")
+                  }
+                }
               case "copy" =>
                 val d = new org.apache.hadoop.fs.Path(a.dest)
-                fs.mkdirs(d.getParent)
-                val in = fs.open(srcPath)
-                try {
-                  val out = fs.create(d, true)
-                  try {
-                    val buf = new Array[Byte](64 * 1024)
-                    var n = in.read(buf)
-                    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-                  } finally out.close()
-                } finally in.close()
+                val dfs = d.getFileSystem(conf)
+                dfs.mkdirs(d.getParent)
+                copyBytes(fs, srcPath, dfs, d)
             }
             ActionResult(a.src, a.action, ok = true, error = "")
           } catch {

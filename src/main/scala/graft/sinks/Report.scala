@@ -42,18 +42,36 @@ object Report {
       .select("cluster_id", "n_members", "members")
   }
 
+  /** RFC-4180 field quoting, matching the reference's Go `encoding/csv`
+    * writer: a member containing comma, quote, CR or LF is wrapped in
+    * quotes with inner quotes doubled; plain members stay bare, so
+    * comma-free corpora keep byte-identical rows to the unquoted form.
+    * (A bare array_join would corrupt any group holding a legal path like
+    * `cats, dogs/img.jpg` — consumers splitting on commas would see bogus
+    * members and a cleanup script would target wrong paths.)
+    */
+  def csvField(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.rlike("[\",\n\r]"),
+      concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
+      .otherwise(c)
+
+  /** One CSV row from a members array, keeper first, fields quoted per
+    * [[csvField]] — shared by the CSV sink and Main's stdout report.
+    */
+  def csvRow(members: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(transform(members, m => csvField(m.cast("string"))), ",")
+
   /** S7 CSV sink: one comma-joined row per group, keeper first — the exact
-    * shape of the reference's `csv.Writer.Write(group)` rows. Partitioned
-    * write (one file per task); pass `coalesce1 = true` for the reference's
-    * literal single-file layout on small outputs.
+    * shape of the reference's `csv.Writer.Write(group)` rows (including its
+    * quoting of comma/quote-bearing fields). Partitioned write (one file
+    * per task); pass `coalesce1 = true` for the reference's literal
+    * single-file layout on small outputs.
     */
   def writeGroupsCsv(groupsDf: DataFrame, path: String, coalesce1: Boolean = false): Unit = {
     val rows = groupsDf
-      .select(array_join(transform(col("members"), _.cast("string")), ",").as("group"))
+      .select(csvRow(col("members")).as("group"))
       .orderBy(col("group"))
     val out = if (coalesce1) rows.coalesce(1) else rows
-    // bare comma-joined rows, no header/quoting: the reference's csv.Writer
-    // emits exactly id1,id2,... per group
     out.write.mode(SaveMode.Overwrite).text(path.stripSuffix("/"))
   }
 }

@@ -43,6 +43,12 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
       Iterator.empty).toOption.get
     assert(cp.checkpointDir == "/tmp/cp" && cp.bucketed)
     assert(Main.parse(Seq("--bucketed", "d"), Iterator.empty).isLeft)
+    // a value-taking flag as the LAST token: a specific "requires a value"
+    // error (not "unknown flag" for --csv, not a silent target for -o)
+    val miss = Main.parse(Seq("d", "--csv"), Iterator.empty)
+    assert(miss.isLeft && miss.swap.toOption.get.contains("requires a value"))
+    val missO = Main.parse(Seq("d", "-o"), Iterator.empty)
+    assert(missO.isLeft && missO.swap.toOption.get.contains("requires a value"))
   }
 
   test("E1: cats corpus groups — cat transforms in ONE csv row, keeper first") {

@@ -123,4 +123,57 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     val res = FileActions.execute(spark, ghost).collect()
     assert(res.length == 1 && !res(0).ok && res(0).error.nonEmpty)
   }
+
+  test("same-basename members of one group get disambiguated dests (no silent clobber)") {
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("graft-col-a")
+    val dirB = Files.createTempDirectory("graft-col-b")
+    Files.writeString(dirA.resolve("img.txt"), "content-A")
+    Files.writeString(dirB.resolve("img.txt"), "content-B")
+    val dest = Files.createTempDirectory("graft-col-dest").toString
+    val clusters = Seq(
+      (s"$dirA/img.txt", 1L, s"$dirA/img.txt"),
+      (s"$dirB/img.txt", 1L, s"$dirB/img.txt"))
+      .toDF("doc_id", "cluster_id", "path")
+    val plan = FileActions.plan(clusters, "copy", destDir = dest)
+    // both rows plan to DIFFERENT dests
+    assert(plan.select("dest").distinct().count() == 2)
+    val res = FileActions.execute(spark, plan).collect()
+    assert(res.forall(_.ok))
+    // both contents survive: the src-ordered first keeps the plain name,
+    // the collision gets the "2-" prefix
+    assert(Files.readString(Paths.get(dest, "group-1", "img.txt")) == "content-A")
+    assert(Files.readString(Paths.get(dest, "group-1", "2-img.txt")) == "content-B")
+  }
+
+  test("retried move is idempotent: src gone + dest present reads as ok") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-retry")
+    Files.writeString(dir.resolve("m.txt"), "content-M")
+    val dest = Files.createTempDirectory("graft-retry-dest").toString
+    val plan = Seq((s"$dir/m.txt", 1L, s"$dir/m.txt", s"$dest/group-1/m.txt", "move"))
+      .toDF("doc_id", "cluster_id", "src", "dest", "action")
+    assert(FileActions.execute(spark, plan).collect().forall(_.ok))
+    // re-execute the same plan (a task retry re-runs its whole slice):
+    // the already-moved file must read as ok, not a spurious failure
+    val second = FileActions.execute(spark, plan).collect()
+    assert(second.forall(_.ok), s"retry read as failure: ${second.toSeq}")
+    assert(Files.readString(Paths.get(dest, "group-1", "m.txt")) == "content-M")
+  }
+
+  test("CSV fields with commas/quotes are RFC-4180 quoted; plain rows stay bare") {
+    import spark.implicits._
+    val g = Seq(
+      ("g1", 2L, Seq("/a/plain.txt", "/b/plain.txt")),
+      ("g2", 2L, Seq("/a/cats, dogs.txt", "/b/has\"quote.txt")))
+      .toDF("cluster_id", "n_members", "members")
+    val dir = Files.createTempDirectory("graft-csvq").toString + "/out"
+    Report.writeGroupsCsv(g, dir, coalesce1 = true)
+    val rows = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".txt")).flatMap(p =>
+        Files.readAllLines(p).asScala).toList.sorted
+    assert(rows == List(
+      "\"/a/cats, dogs.txt\",\"/b/has\"\"quote.txt\"",
+      "/a/plain.txt,/b/plain.txt"))
+  }
 }
