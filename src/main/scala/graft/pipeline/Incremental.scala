@@ -187,26 +187,47 @@ object Incremental {
     val tRun = System.nanoTime()
     def mark(label: String): Unit =
       System.err.println(f"[graft] incremental $label: ${(System.nanoTime() - tRun) / 1e9}%.2f s elapsed")
+    // Run on the FAILURE path only — on success, ownership of every
+    // persisted relation transfers to the result's release thunk. A fold
+    // lives inside a long-running streaming driver: a thrown stage (bad
+    // batch, FS hiccup) must not strand MEMORY_AND_DISK blocks for the
+    // life of the session. Every registered thunk is an idempotent
+    // unpersist, so the registry never double-frees anything live.
+    val onFailure = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    def guarded[A](body: => A): A =
+      try body
+      catch {
+        case e: Throwable =>
+          onFailure.reverseIterator.foreach(c =>
+            try c() catch { case _: Throwable => () })
+          throw e
+      }
+    guarded {
     val (batchDocs, expansion) =
       if (cfg.exactPrecollapse) Pipeline.precollapse(newDocs) else (newDocs, None)
+    expansion.foreach(e => onFailure += (() => { e.unpersist(); () }))
     mark("precollapse")
 
     val newSigs = Signatures.derive(batchDocs, cfg, resolver).map(_.sig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onFailure += (() => { newSigs.unpersist(); () })
 
     // new×new: the standard self-join pipeline on the batch alone. The
     // edge set is materialized BEFORE the block relation is released —
     // candidatePairs' persist contract — or the band udf would re-run for
     // both self-join legs when CC later forces the edges.
     val (cands, _, releaseBlocks) = Blocking.candidatePairs(newSigs, cfg)
+    onFailure += releaseBlocks
     val newEdges = Pairs.edges(Pairs.score(cands, newSigs, cfg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onFailure += (() => { newEdges.unpersist(); () })
     newEdges.count()
     releaseBlocks()
     mark("new-new edges")
 
     // new×old: bipartite band linkage — old-old pairs never exist in any plan
     val cross = Linkage.linkSigs(spark, newSigs, existingSigs, cfg, existingBands)
+    onFailure += (() => cross.release())
 
     // contract matched old docs to their cluster supernode. The assignment
     // join is id-keyed and touches only matched old docs; distinct caps the
@@ -221,6 +242,7 @@ object Incremental {
       .select(col("left_id").as("src"), col("cluster_id").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onFailure += (() => { crossEdges.unpersist(); () })
     crossEdges.count()
 
     mark("cross link built")
@@ -248,6 +270,7 @@ object Incremental {
         cross.release(); newSigs.unpersist(); newEdges.unpersist()
         crossEdges.unpersist(); expansion.foreach(_.unpersist()); ()
       })
+    }
   }
 
   final case class RetractResult(
@@ -327,21 +350,35 @@ object Incremental {
     implicit val s: SparkSession = spark
     import spark.implicits._
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-
+    // failure-path cleanup registry — see [[run]]: a thrown takedown in a
+    // long-running driver must not strand persisted relations; thunks are
+    // idempotent unpersists, success transfers ownership to the result
+    val onFailure = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    def guarded[A](body: => A): A =
+      try body
+      catch {
+        case e: Throwable =>
+          onFailure.reverseIterator.foreach(c =>
+            try c() catch { case _: Throwable => () })
+          throw e
+      }
+    guarded {
     val rm = removeIds.select("doc_id").distinct().persist(mem)
+    onFailure += (() => { rm.unpersist(); () })
     val touched = existingAssign.join(rm, Seq("doc_id"))
       .select("cluster_id").distinct().persist(mem)
+    onFailure += (() => { touched.unpersist(); () })
     if (touched.count() == 0) {
       // nothing known was removed (e.g. a re-run of an already executed
       // takedown): the state is unchanged — short-circuit BEFORE any
       // member gathering, signature work, or empty-relation pipeline jobs
-      return RetractResult(
+      RetractResult(
         existingAssign.select("doc_id", "cluster_id"),
         existingAssign.select("doc_id", "cluster_id").limit(0),
         touched, rm, rm.select("doc_id").limit(0),
         spark.emptyDataset[DocSig],
         () => { rm.unpersist(); touched.unpersist(); () })
-    }
+    } else {
 
     // surviving members of touched clusters; the broadcast is justified —
     // `touched` is bounded by the removal batch, not the corpus
@@ -349,6 +386,7 @@ object Incremental {
       .join(rm, Seq("doc_id"), "left_anti").select("doc_id")
     val memberDocs = docs.join(memberIds, Seq("doc_id"), "left_semi").as[Doc]
       .persist(mem)
+    onFailure += (() => { memberDocs.unpersist(); () })
     // coverage is a hard precondition, not a best effort: a survivor the
     // doc table does not cover would silently VANISH from the output
     // assignment while its stale signature row survived — exactly the
@@ -359,8 +397,7 @@ object Incremental {
       .join(docs.toDF().select("doc_id"), Seq("doc_id"), "left_anti")
     if (!uncovered.isEmpty) {
       val sample = uncovered.take(5).map(_.getString(0)).mkString(", ")
-      rm.unpersist(); touched.unpersist(); memberDocs.unpersist()
-      throw new IllegalArgumentException(
+      throw new IllegalArgumentException( // guarded releases rm/touched/memberDocs
         "retract: docs does not cover every surviving member of the " +
           s"touched clusters (e.g. $sample) — an incomplete doc table " +
           "would silently drop the uncovered survivors from the corpus state")
@@ -370,6 +407,7 @@ object Incremental {
     val (repDocs, expansion) =
       if (cfg.exactPrecollapse) Pipeline.precollapse(memberDocs)
       else (memberDocs, None)
+    expansion.foreach(e => onFailure += (() => { e.unpersist(); () }))
     val repSigs = (existingSigs match {
       case Some(old) =>
         val oldDf = old.toDF()
@@ -379,9 +417,12 @@ object Incremental {
           .as[DocSig]
       case None => Signatures.derive(repDocs, cfg, resolver).map(_.sig)
     }).persist(mem)
+    onFailure += (() => { repSigs.unpersist(); () })
 
     val (cands, _, releaseBlocks) = Blocking.candidatePairs(repSigs, cfg)
+    onFailure += releaseBlocks
     val edges = Pairs.edges(Pairs.score(cands, repSigs, cfg)).persist(mem)
+    onFailure += (() => { edges.unpersist(); () })
     edges.count()
     releaseBlocks()
     val comp = Components.connectedComponents(edges, cfg.maxCcIterations)
@@ -399,5 +440,7 @@ object Incremental {
         repSigs.unpersist(); edges.unpersist()
         expansion.foreach(_.unpersist()); ()
       })
+    }
+    }
   }
 }

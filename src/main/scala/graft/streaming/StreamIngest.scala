@@ -179,41 +179,50 @@ object StreamIngest {
     val chain = chainOf(stateDir, cur)
     val (sigs0, assign, bands0, prevKey) = readChainParts(spark, stateDir, chain)
     val (sigs, bandsOpt, releaseInputs) = Incremental.foldInputs(spark, sigs0, bands0)
-    val oldBands = bandsOpt.getOrElse {
-      val b = graft.pipeline.Blocking.bandRowsDF(sigs, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      b.count(); b
-    }
-    val inc = Incremental.run(spark, sigs, assign, batch, cfg, resolver,
-      existingBands = Some(oldBands))
+    // the finally releases every persisted relation on BOTH paths: a
+    // thrown fold (bad batch, FS hiccup) fails the streaming query but
+    // must not strand corpus-sized MEMORY_AND_DISK blocks in the
+    // still-running driver's storage memory (unpersist is idempotent)
+    var derivedBands: Option[org.apache.spark.sql.DataFrame] = None
+    var inc: Incremental.IncrementalResult = null
+    try {
+      val oldBands = bandsOpt.getOrElse {
+        val b = graft.pipeline.Blocking.bandRowsDF(sigs, cfg)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        b.count(); derivedBands = Some(b); b
+      }
+      inc = Incremental.run(spark, sigs, assign, batch, cfg, resolver,
+        existingBands = Some(oldBands))
 
-    // The batch side of the next generation is `inc.batchSigs` — the
-    // exact-content REPRESENTATIVES the fold itself derived (one
-    // derivation, persisted until release; same collapse rule as
-    // Pipeline.run stage 0) — so streamed-in exact copies never accumulate
-    // in corpus state. The generation key chains off the previous key so
-    // the manifest lineage links the whole history.
-    val genKey = Hashing.hash64(prevKey, batchId)
-    val newAssign = Incremental.applyRemap(assign, inc.remapped)
-      .unionByName(inc.assignments)
-    val nextDir = s"$stateDir/$next"
-    val batchBands = graft.pipeline.Blocking.bandRowsDF(inc.batchSigs, cfg)
-    if (chain.length >= compactEvery) {
-      // compaction: a self-contained full generation truncates the chain
-      commitFullGeneration(spark, nextDir, sigs.unionByName(inc.batchSigs),
-        newAssign, genKey, oldBands.unionByName(batchBands))
-    } else {
-      // delta generation: O(batch) signature/band rows (an EMPTY
-      // tombstone set — folds only add) under DISTINCT stage names, plus
-      // the full assignment table and the PARENT link
-      commitDeltaGeneration(spark, nextDir, inc.batchSigs, batchBands,
-        newAssign.select("doc_id").limit(0), newAssign, genKey, cur)
+      // The batch side of the next generation is `inc.batchSigs` — the
+      // exact-content REPRESENTATIVES the fold itself derived (one
+      // derivation, persisted until release; same collapse rule as
+      // Pipeline.run stage 0) — so streamed-in exact copies never accumulate
+      // in corpus state. The generation key chains off the previous key so
+      // the manifest lineage links the whole history.
+      val genKey = Hashing.hash64(prevKey, batchId)
+      val newAssign = Incremental.applyRemap(assign, inc.remapped)
+        .unionByName(inc.assignments)
+      val nextDir = s"$stateDir/$next"
+      val batchBands = graft.pipeline.Blocking.bandRowsDF(inc.batchSigs, cfg)
+      if (chain.length >= compactEvery) {
+        // compaction: a self-contained full generation truncates the chain
+        commitFullGeneration(spark, nextDir, sigs.unionByName(inc.batchSigs),
+          newAssign, genKey, oldBands.unionByName(batchBands))
+      } else {
+        // delta generation: O(batch) signature/band rows (an EMPTY
+        // tombstone set — folds only add) under DISTINCT stage names, plus
+        // the full assignment table and the PARENT link
+        commitDeltaGeneration(spark, nextDir, inc.batchSigs, batchBands,
+          newAssign.select("doc_id").limit(0), newAssign, genKey, cur)
+      }
+      writeMaxBatch(nextDir, batchId)
+      commitPointer(stateDir, next, Some(cur))
+    } finally {
+      if (inc != null) inc.release()
+      derivedBands.foreach(_.unpersist())
+      releaseInputs()
     }
-    writeMaxBatch(nextDir, batchId)
-    inc.release()
-    if (bands0.isEmpty) oldBands.unpersist()
-    releaseInputs()
-    commitPointer(stateDir, next, Some(cur))
   }
 
   /** Generation-level retraction — the takedown path beside the insert
@@ -259,42 +268,46 @@ object StreamIngest {
     val (sigs0, assign, bands0, prevKey) = readChainParts(spark, stateDir, chain)
     val (sigs, bandsOpt, releaseInputs) = Incremental.foldInputs(spark, sigs0, bands0)
 
-    val res =
-      try Incremental.retract(spark, docs, assign, removeIds, cfg, resolver,
+    // like foldBatch: the finally releases on success, failure, AND the
+    // nothing-touched early return (whose non-local return also passes
+    // through it) — a thrown takedown must not strand persisted state
+    var res: Incremental.RetractResult = null
+    try {
+      res = Incremental.retract(spark, docs, assign, removeIds, cfg, resolver,
         existingSigs = Some(sigs))
-      catch { case e: Throwable => releaseInputs(); throw e }
-    if (res.touched.isEmpty) { // nothing known was removed: state unchanged
-      System.err.println(s"[graft] stream-ingest: retraction touched no cluster (at $cur) — nothing to commit")
-      res.release(); releaseInputs()
-      return
-    }
-    // tagged key derivation: a crashed FOLD attempt can leave stages in
-    // the same uncommitted dir; the tag keeps a retraction's keys from
-    // ever pairing with them
-    val genKey = Hashing.hash64(Hashing.hash64(prevKey, 0x72657472616374L),
-      genNum(next))
-    val nextDir = s"$stateDir/$next"
-    val memberBands = graft.pipeline.Blocking.bandRowsDF(res.memberSigs, cfg)
-    if (chain.length >= compactEvery) {
-      // compaction-style full generation, reusing the chain's band union
-      val nextSigs = Incremental.applyRetractSigs(sigs, res)
-      val nextBands = bandsOpt match {
-        case Some(b) => b.join(res.dropIds, Seq("doc_id"), "left_anti")
-          .unionByName(memberBands)
-        case None => // some chain dir predates the bands stage — derive once
-          graft.pipeline.Blocking.bandRowsDF(nextSigs, cfg)
+      if (res.touched.isEmpty) { // nothing known was removed: state unchanged
+        System.err.println(s"[graft] stream-ingest: retraction touched no cluster (at $cur) — nothing to commit")
+        return
       }
-      commitFullGeneration(spark, nextDir, nextSigs,
-        res.assignments, genKey, nextBands)
-    } else {
-      // retraction delta: O(touched) rows + the tombstoned drop ids
-      commitDeltaGeneration(spark, nextDir, res.memberSigs, memberBands,
-        res.dropIds, res.assignments, genKey, cur)
+      // tagged key derivation: a crashed FOLD attempt can leave stages in
+      // the same uncommitted dir; the tag keeps a retraction's keys from
+      // ever pairing with them
+      val genKey = Hashing.hash64(Hashing.hash64(prevKey, 0x72657472616374L),
+        genNum(next))
+      val nextDir = s"$stateDir/$next"
+      val memberBands = graft.pipeline.Blocking.bandRowsDF(res.memberSigs, cfg)
+      if (chain.length >= compactEvery) {
+        // compaction-style full generation, reusing the chain's band union
+        val nextSigs = Incremental.applyRetractSigs(sigs, res)
+        val nextBands = bandsOpt match {
+          case Some(b) => b.join(res.dropIds, Seq("doc_id"), "left_anti")
+            .unionByName(memberBands)
+          case None => // some chain dir predates the bands stage — derive once
+            graft.pipeline.Blocking.bandRowsDF(nextSigs, cfg)
+        }
+        commitFullGeneration(spark, nextDir, nextSigs,
+          res.assignments, genKey, nextBands)
+      } else {
+        // retraction delta: O(touched) rows + the tombstoned drop ids
+        commitDeltaGeneration(spark, nextDir, res.memberSigs, memberBands,
+          res.dropIds, res.assignments, genKey, cur)
+      }
+      writeMaxBatch(nextDir, maxBatch(stateDir, cur)) // carried, not consumed
+      commitPointer(stateDir, next, Some(cur))
+    } finally {
+      if (res != null) res.release()
+      releaseInputs()
     }
-    writeMaxBatch(nextDir, maxBatch(stateDir, cur)) // carried, not consumed
-    res.release()
-    releaseInputs()
-    commitPointer(stateDir, next, Some(cur))
   }
 
   /** Write + scrub a DELTA generation dir — ONE implementation for fold

@@ -165,4 +165,23 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalStateException] { Pipeline.readState(s, dir) }
     assert(e.getMessage.contains("not a consistent generation"))
   }
+
+  test("a failed fold releases every relation it persisted") {
+    val s = spark
+    val old = Pipeline.run(s, ds(oldSeq.take(40)), cfg)
+    val oldAssign = old.clusters.select("doc_id", "cluster_id").localCheckpoint(true)
+    old.release()
+    val oldSigs = Signatures.derive(ds(oldSeq.take(40)), cfg, graft.media.DefaultMedia)(s)
+      .map(_.sig)(org.apache.spark.sql.Encoders.product)
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    // an assignment table missing cluster_id resolves fine through the
+    // new×new leg (newSigs + newEdges persisted and forced) and throws at
+    // the supernode-contraction select — the failure-path registry must
+    // unwind everything persisted up to that point
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Incremental.run(s, oldSigs, oldAssign.select("doc_id"), ds(newSeq.take(20)), cfg)
+    }
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"failed fold stranded persisted RDDs: ${leaked.toSeq.sorted}")
+  }
 }

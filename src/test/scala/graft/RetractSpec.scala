@@ -167,4 +167,27 @@ class RetractSpec extends AnyFunSuite with SparkTestBase {
     assert(nTouched == 1) // the unknown ids touched nothing
     assert(someCluster.forall(id => !got.contains(id)))
   }
+
+  test("a failed retract releases every relation it persisted (coverage-violation path)") {
+    val s = spark
+    import s.implicits._
+    val all = labeled.map(_.doc)
+    val full = Pipeline.run(s, ds(all), cfg)
+    val assign = full.clusters.select("doc_id", "cluster_id").localCheckpoint(true)
+    full.release()
+    val removed = all.map(_.doc_id).filter(_.endsWith("-0")).toSet
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    // the doc table carries ONLY the removed docs, so every touched
+    // cluster's survivors are uncovered — the hard precondition throws
+    // AFTER rm/touched/memberDocs were persisted; the failure-path
+    // registry must unwind them (a takedown loop in a long-running
+    // driver would otherwise strand blocks on every bad batch)
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.retract(s, ds(all.filter(d => removed(d.doc_id))), assign,
+        removed.toSeq.toDF("doc_id"), cfg)
+    }
+    assert(ex.getMessage.contains("does not cover"))
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"failed retract stranded persisted RDDs: ${leaked.toSeq.sorted}")
+  }
 }
