@@ -292,6 +292,20 @@ object SparkEntry {
   private[graft] def sampleSqlPred(k: Int, idCol: String = "doc_id"): String =
     s"CAST(('0x' || substr(md5('esample:' || CAST($idCol AS VARCHAR)),1,15)) AS BIGINT) % $k = 0"
 
+  /** Stratum denominator for the brute-force evaluator legs
+    * (q_blocking_recall, q_lsh_empirical, q_er_f1_sampled): the evaluators
+    * measure a deterministic 1/k md5 stratum ([[sampleBucket]] % k == 0),
+    * so their O((N/k)²) truth cost is a PARAMETER at scale instead of a
+    * hard-coded fraction — at 100× data, raise k instead of paying 10⁴×
+    * work. Read once at class-load so the Spark queries and the dumped
+    * oracle SQL (which bakes the same k into [[sampleSqlPred]]) can never
+    * disagree within a run. Default 2 = the driver's Verify protocol.
+    */
+  private[graft] val evalSampleK: Int =
+    sys.env.get("GRAFT_EVAL_SAMPLE_K")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(_ >= 1).getOrElse(2)
+
   /** n_true / n_pred / n_hit plus rounded precision/recall/F1 from two
     * pinned (a, b) pair relations — the pairwise-metric block shared by
     * q_er_f1 and q_er_f1_sampled. Ratios are UNROUNDED doubles of exact
@@ -1837,14 +1851,17 @@ object SparkEntry {
     }),
 
     // Blocking-quality estimator: pairs completeness (recall) + reduction
-    // ratio — the standard blocking evaluation pair — on a deterministic
-    // HALF sample: brute-force ground truth (lev < 15 on 60-prefixes)
-    // versus the banded candidate set restricted to the sample. The
-    // O(sample²) scorer is the deliberate, bounded cost of ESTIMATING
-    // recall; the production path never pays it, and at 100 TB the sample
-    // fraction shrinks with the corpus.
+    // ratio — the standard blocking evaluation pair — on the deterministic
+    // 1/[[evalSampleK]] md5 stratum: brute-force ground truth (lev < 15 on
+    // 60-prefixes) versus the banded candidate set restricted to the
+    // sample. The O((N/k)²) scorer is the deliberate, bounded cost of
+    // ESTIMATING recall; the production path never pays it, and because k
+    // is a parameter (GRAFT_EVAL_SAMPLE_K) the evaluator cost is tunable
+    // at 100 TB instead of hard-coded — the q_er_f1_sampled contract,
+    // oracle carrying the identical predicate.
     "q_blocking_recall" -> ((s, dir) => {
-      val sample = docsTable(s, dir).filter(col("doc_id") % 2 === 0)
+      val sample = docsTable(s, dir)
+        .filter(sampleBucket(col("doc_id")) % evalSampleK === 0)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
       // the sample reads as 1-2 parquet splits, and BroadcastNestedLoopJoin
       // parallelizes over LEFT partitions only — without this repartition
@@ -1899,8 +1916,9 @@ object SparkEntry {
       pairwisePrf(truth, pred)
     }),
 
-    // q_er_f1 on the deterministic 1/2 hash stratum ([[sampleBucket]] % 2
-    // == 0) — the BOUNDED evaluator mode the 100-TB path actually runs:
+    // q_er_f1 on the deterministic 1/[[evalSampleK]] hash stratum
+    // ([[sampleBucket]] % k == 0) — the BOUNDED evaluator mode the 100-TB
+    // path actually runs:
     // the exact PPJoin truth is quadratic in prefix candidates on
     // saturated vocabularies (BASELINE census: 131× candidates for 10×
     // docs), so at scale the truth relation is measured on a stratum
@@ -1910,10 +1928,10 @@ object SparkEntry {
     // metric is exact — a measurement of the full clustering on a
     // deterministic subpopulation, not an approximation of q_er_f1.
     "q_er_f1_sampled" -> ((s, dir) => {
-      val truth = exactShinglePairs(s, dir, 0.9, sampleK = 2)
+      val truth = exactShinglePairs(s, dir, 0.9, sampleK = evalSampleK)
         .select("a", "b").localCheckpoint(true)
       val inS = docsTable(s, dir)
-        .filter(sampleBucket(col("doc_id")) % 2 === 0).select("doc_id")
+        .filter(sampleBucket(col("doc_id")) % evalSampleK === 0).select("doc_id")
       val cc = sFlagshipCC(s, dir)
       val pred = cc.select(col("doc_id").as("a"), col("cluster_id"))
         .join(cc.select(col("doc_id").as("b"), col("cluster_id")), "cluster_id")
@@ -2874,15 +2892,17 @@ object SparkEntry {
     // shingle-Jaccard decile for the shipped 4×3 string-band config — the
     // corpus-measured counterpart of q_lsh_curve's analytic S-curve,
     // completing the calibration trio with q_minhash_err. The brute
-    // all-pairs leg is the deliberate EVALUATOR protocol (half id-stratum,
-    // left side repartitioned so the nested-loop join parallelizes — the
-    // q_blocking_recall lesson); production candidacy never runs it, and
-    // at web scale the stratum shrinks like every sampled evaluator here.
+    // all-pairs leg is the deliberate EVALUATOR protocol (deterministic
+    // 1/[[evalSampleK]] md5 stratum — the cost is a PARAMETER at scale,
+    // not a hard-coded fraction; left side repartitioned so the
+    // nested-loop join parallelizes — the q_blocking_recall lesson);
+    // production candidacy never runs it.
     // Buckets are exact integer arithmetic ((10·inter) div union); the
     // candidacy flag is the same pinned band relation the pipeline blocks
     // on, so the curve measures the join that actually ships.
     "q_lsh_empirical" -> ((s, dir) => {
-      val sample = docsTable(s, dir).filter(col("doc_id") % 2 === 0)
+      val sample = docsTable(s, dir)
+        .filter(sampleBucket(col("doc_id")) % evalSampleK === 0)
         .select(col("doc_id"), shingleSet(col("text")).as("shs"))
       val l = sample.repartition(64)
         .select(col("doc_id").as("a"), col("shs").as("sa"))
@@ -2990,7 +3010,7 @@ object SparkEntry {
          |  FROM d l JOIN d r ON l.doc_id < r.doc_id
          |  JOIN m ml ON ml.doc_id = l.doc_id
          |  JOIN m mr ON mr.doc_id = r.doc_id
-         |  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 0)
+         |  WHERE ${sampleSqlPred(evalSampleK, "l.doc_id")} AND ${sampleSqlPred(evalSampleK, "r.doc_id")})
          |SELECT bucket, count(*) AS n_pairs, CAST(sum(is_cand) AS BIGINT) AS n_cands,
          |       round(CAST(sum(is_cand) AS DOUBLE) / count(*), 6) AS rate
          |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
@@ -3268,12 +3288,12 @@ object SparkEntry {
 
     "q_blocking_recall" ->
       s"""WITH $sBandCte,
-         |s AS (SELECT doc_id, substr(text,1,60) AS t FROM documents WHERE doc_id % 2 = 0),
+         |s AS (SELECT doc_id, substr(text,1,60) AS t FROM documents WHERE ${sampleSqlPred(evalSampleK)}),
          |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, a.t AS ta, b.t AS tb
          |          FROM s a JOIN s b ON a.doc_id < b.doc_id),
          |truth AS (SELECT a, b FROM pairs WHERE levenshtein(ta, tb) < 15),
          |cands AS (SELECT l.doc_id AS a, r.doc_id AS b FROM d l JOIN d r ON l.doc_id < r.doc_id
-         |          WHERE $sBandCond AND l.doc_id % 2 = 0 AND r.doc_id % 2 = 0),
+         |          WHERE $sBandCond AND ${sampleSqlPred(evalSampleK, "l.doc_id")} AND ${sampleSqlPred(evalSampleK, "r.doc_id")}),
          |caught AS (SELECT a, b FROM truth SEMI JOIN cands USING (a, b))
          |SELECT (SELECT count(*) FROM truth) AS n_true,
          |       (SELECT count(*) FROM cands) AS n_cand,
@@ -3321,12 +3341,12 @@ object SparkEntry {
          |       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
          |FROM pr""".stripMargin,
 
-    // q_er_f1 on the deterministic md5 1/2 stratum: truth over sampled
+    // q_er_f1 on the deterministic md5 1/k stratum: truth over sampled
     // docs only; prediction = the FULL-corpus clustering restricted to
     // sampled endpoints (the bounded evaluator protocol).
     "q_er_f1_sampled" ->
       s"""WITH RECURSIVE $sBandCte,
-         |sm AS (SELECT * FROM m WHERE ${sampleSqlPred(2)}),
+         |sm AS (SELECT * FROM m WHERE ${sampleSqlPred(evalSampleK)}),
          |truth AS (
          |  SELECT l.doc_id AS a, r.doc_id AS b
          |  FROM sm l JOIN sm r ON l.doc_id < r.doc_id
@@ -3344,7 +3364,7 @@ object SparkEntry {
          |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
          |pred AS (SELECT l.doc_id AS a, r.doc_id AS b
          |         FROM cc l JOIN cc r ON l.cluster_id = r.cluster_id AND l.doc_id < r.doc_id
-         |         WHERE ${sampleSqlPred(2, "l.doc_id")} AND ${sampleSqlPred(2, "r.doc_id")}),
+         |         WHERE ${sampleSqlPred(evalSampleK, "l.doc_id")} AND ${sampleSqlPred(evalSampleK, "r.doc_id")}),
          |hit AS (SELECT a, b FROM truth SEMI JOIN pred USING (a, b)),
          |c AS (SELECT (SELECT count(*) FROM truth) AS n_true,
          |             (SELECT count(*) FROM pred) AS n_pred,

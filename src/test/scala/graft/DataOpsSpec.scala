@@ -280,9 +280,19 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
       }
       prev(b.length)
     }
+    // the SAME 1/evalSampleK md5 stratum the query filters on, rederived
+    // here via the JVM's own MessageDigest so the predicate itself is
+    // cross-checked (robust at any GRAFT_EVAL_SAMPLE_K)
+    def inStratum(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"esample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % SparkEntry.evalSampleK == 0
+    }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter("doc_id % 2 = 0").select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => inStratum(d._1)).sortBy(_._1)
     val keys = docs.map { case (id, t) => id -> jvmBandKeys(t) }.toMap
     var (nTrue, nCand, nCaught, nPairs) = (0L, 0L, 0L, 0L)
     for (i <- docs.indices; j <- i + 1 until docs.length) {
@@ -461,10 +471,14 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
       "nu xi omicron pi rho sigma tau upsilon phi chi psi omega end here now"
     val b = "one two three four five six seven eight nine ten eleven twelve " +
       "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty ok"
-    // even ids only (the query's half stratum); 2/4 identical, 6/8 identical
+    // the planted ids must all land in the 1/k md5 stratum the query
+    // filters on; 2,4,6,10 all have md5("esample:<id>") bucket % 2 == 0
+    // (id 8 does NOT — the old doc_id%2 stratum's id set no longer works)
+    assume(SparkEntry.evalSampleK == 2,
+      "planted ids are chosen for the default k=2 stratum")
     val dir = plantedDir(Seq(
       (2L, a, "en", "web"), (4L, a, "en", "cc"),
-      (6L, b, "en", "web"), (8L, b, "en", "cc")))
+      (6L, b, "en", "web"), (10L, b, "en", "cc")))
     val got = SparkEntry.queries("q_lsh_empirical")(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
     // pairs: (2,4) and (6,8) identical -> bucket 10, candidates (identical
