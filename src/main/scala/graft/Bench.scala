@@ -33,6 +33,14 @@ import org.apache.spark.sql.SparkSession
   *                        "load_suspect":true — a loaded-box artifact
   *                        self-identifies instead of reading as a
   *                        regression (BENCH_r01-r03 lineage).
+  *   SPARK_GRAFT_BENCH_MAXWAIT_SEC  quiet-window bound (default 600):
+  *                        before any work the bench waits for the 1-min
+  *                        loadavg to drop below SPARK_GRAFT_BENCH_QUIET_FRAC
+  *                        (default 0.25) × host cores; an exhausted wait
+  *                        runs anyway and reports
+  *                        "quiet_wait_sec"/"wait_expired":true alongside
+  *                        the load flag (r4 verdict item 2: detect AND
+  *                        avoid, not just detect).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,6 +62,42 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Quiet-window wait (BENCH_r01-r04 lineage: the harness DETECTED load
+    // but still MEASURED under it — four rounds of depressed driver
+    // medians). Before any work, poll the 1-min loadavg and delay until
+    // the box is quiet (below quietFrac × host cores, default 0.25×),
+    // bounded by SPARK_GRAFT_BENCH_MAXWAIT_SEC (default 600 s). If the
+    // wait expires the run proceeds anyway and the JSON carries BOTH the
+    // load flag and the exhausted-wait evidence (quiet_wait_sec +
+    // wait_expired), so a loaded-box artifact shows it tried. This runs
+    // BEFORE corpus generation: the generation burst is this JVM's own
+    // load and would otherwise leave a 1-min-average ghost the wait
+    // would pointlessly sit out.
+    def loadAvg1m: Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble finally src.close()
+      } catch {
+        case _: Throwable =>
+          java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean.getSystemLoadAverage
+      }
+    val hostCores = Runtime.getRuntime.availableProcessors()
+    val quietBar = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_FRAC", "0.25").toDouble * hostCores
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAIT_SEC", "600").toInt
+    val waitT0 = System.nanoTime()
+    var waitExpired = false
+    def waitedSec: Double = (System.nanoTime() - waitT0) / 1e9
+    while (loadAvg1m >= quietBar && !waitExpired) {
+      if (waitedSec >= maxWaitSec) waitExpired = true
+      else {
+        System.err.println(f"[bench] loadavg $loadAvg1m%.1f >= quiet bar $quietBar%.1f " +
+          f"($hostCores cores) — waiting (${waitedSec}%.0f/$maxWaitSec s)")
+        Thread.sleep(15000)
+      }
+    }
+    val quietWaitSec = waitedSec
 
     // end-to-end pipeline throughput on the deterministic labeled corpus
     // (north rule: block → score → cluster docs/sec at two cluster sizes)
@@ -78,15 +122,6 @@ object Bench {
     // run extra trials (9 total cap) and mark the artifact load-suspect so
     // a noisy measurement self-identifies instead of reading as a
     // regression.
-    def loadAvg1m: Double =
-      try {
-        val src = scala.io.Source.fromFile("/proc/loadavg")
-        try src.getLines().next().split(" ")(0).toDouble finally src.close()
-      } catch {
-        case _: Throwable =>
-          java.lang.management.ManagementFactory
-            .getOperatingSystemMXBean.getSystemLoadAverage
-      }
     val trialSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val trialLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     def runTrial(): Unit = {
@@ -144,7 +179,7 @@ object Bench {
     val dps = nDocs / pipelineSec
     val minSec = trialSecs.min
     val dpsBest = nDocs / minSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline":{"docs":$nDocs,"wall_sec":$pipelineSec%.3f,"docs_per_sec":$dps%.1f,"wall_sec_min":$minSec%.3f,"docs_per_sec_best":$dpsBest%.1f,"trials":$trialsJson,"loadavg":$loadsJson,"load_suspect":$loadSuspect},"cpus":$cpus}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline":{"docs":$nDocs,"wall_sec":$pipelineSec%.3f,"docs_per_sec":$dps%.1f,"wall_sec_min":$minSec%.3f,"docs_per_sec_best":$dpsBest%.1f,"trials":$trialsJson,"loadavg":$loadsJson,"load_suspect":$loadSuspect,"quiet_wait_sec":$quietWaitSec%.1f,"wait_expired":$waitExpired},"cpus":$cpus}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
