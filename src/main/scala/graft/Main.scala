@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   *   spark-submit --class graft.Main graft.jar \
   *     [--recursive] [--search] [--hash dct|dhash] [--threshold N] \
   *     [--csv DIR|-] [--move DIR|--copy DIR|--delete|--delete-all] \
+  *     [--output] [--quiet] [--verbose] [--version] \
   *     <image|dir|-> [<image|dir> ...]
   *
   * Semantics preserved from the reference:
@@ -28,13 +29,21 @@ import org.apache.spark.sql.functions._
   *    directory; --delete removes all but the keeper; --delete-all removes
   *    every member (`cmd/dedupe/main.go:208-236`);
   *  - exit 0 when duplicates were found, 1 when none (the reference returns
-  *    an error for the no-duplicates case so callers can branch on it).
+  *    an error for the no-duplicates case so callers can branch on it);
+  *  - --output/-o prints result rows only (info → discard, main.go:176-180),
+  *    --quiet/-q prints nothing, -v/--verbose enables info logging,
+  *    --version prints `v<version>` and exits 0.
   *
   * Everything is dataflow: directory listing is the distributed binaryFile
   * index, survivorship is an anti-join plan, file actions run as a
   * mapPartitions sink — the driver never walks directories or loops groups.
   */
 object Main {
+
+  /** Library version, printed by --version (the reference prints
+    * `v<utils.Version>`, main.go:106-113).
+    */
+  val Version = "0.5.0"
 
   final case class CliConfig(
       targets: Seq[String] = Vector.empty,
@@ -47,18 +56,29 @@ object Main {
       copyTo: String = "",
       delete: Boolean = false,
       deleteAll: Boolean = false,
+      // reference output tiers (main.go:63-77,176-199): --output/-o keeps
+      // the result rows but routes info lines to /dev/null (pipe-friendly);
+      // --quiet/-q suppresses info AND rows (exit code only); --verbose/-v
+      // turns info logging on; --version prints the version and exits.
+      output: Boolean = false,
       quiet: Boolean = false,
+      verbose: Boolean = false,
+      version: Boolean = false,
       // graft extensions beyond the reference CLI: resumable stage
       // checkpointing (TableIO), optionally with bucketed state tables so
       // a later incremental fold's id joins read co-located
       checkpointDir: String = "",
-      bucketed: Boolean = false)
+      bucketed: Boolean = false) {
+    /** Reference gate for info lines (`output || quiet` → discard). */
+    def suppressInfo: Boolean = output || quiet
+  }
 
   val usage: String =
     """usage: graft.Main [--recursive] [--search] [--hash dct|dhash] [--threshold N]
       |                  [--csv DIR|-] [--move DIR|--copy DIR|--delete|--delete-all]
       |                  [--checkpoint DIR [--bucketed]]
-      |                  [--quiet] <image|dir|-> [<image|dir> ...]""".stripMargin
+      |                  [--output] [--quiet] [--verbose] [--version]
+      |                  <image|dir|-> [<image|dir> ...]""".stripMargin
 
   /** Pure argument parser (no I/O except the lazily-read stdin for `-`). */
   def parse(args: Seq[String], stdin: => Iterator[String]): Either[String, CliConfig] = {
@@ -68,6 +88,9 @@ object Main {
       case ("--recursive" | "-r") :: t => loop(t, acc.copy(recursive = true))
       case "--search" :: t => loop(t, acc.copy(search = true))
       case ("--quiet" | "-q") :: t => loop(t, acc.copy(quiet = true))
+      case ("--output" | "-o") :: t => loop(t, acc.copy(output = true))
+      case ("--verbose" | "-v") :: t => loop(t, acc.copy(verbose = true))
+      case "--version" :: t => loop(t, acc.copy(version = true))
       case "--hash" :: h :: t if h == "dct" || h == "dhash" => loop(t, acc.copy(hashName = h))
       case "--hash" :: h :: _ => Left(s"unknown hash type '$h' (dct, dhash)")
       case "--threshold" :: v :: t =>
@@ -80,7 +103,9 @@ object Main {
         }
       case "--checkpoint" :: p :: t => loop(t, acc.copy(checkpointDir = p))
       case "--bucketed" :: t => loop(t, acc.copy(bucketed = true))
-      case ("--csv" | "-o") :: p :: t => loop(t, acc.copy(csvOut = p))
+      // NOTE: -o is the reference's boolean output flag (above), NOT an
+      // alias for --csv — graft's file sink is its own extension flag
+      case "--csv" :: p :: t => loop(t, acc.copy(csvOut = p))
       case ("--move" | "-m") :: p :: t => loop(t, acc.copy(moveTo = p))
       case ("--copy" | "-c") :: p :: t => loop(t, acc.copy(copyTo = p))
       case ("--delete" | "-d") :: t => loop(t, acc.copy(delete = true))
@@ -88,9 +113,9 @@ object Main {
       case "-" :: t => loop(t, acc.copy(targets = acc.targets :+ "-"))
       // a known value-taking flag given as the LAST token fails the
       // two-element patterns above; without this case it would read as
-      // "unknown flag" (--csv) or silently become a target (-o)
+      // "unknown flag" (--csv)
       case f :: Nil if Set("--hash", "--threshold", "--checkpoint",
-          "--csv", "-o", "--move", "-m", "--copy", "-c")(f) =>
+          "--csv", "--move", "-m", "--copy", "-c")(f) =>
         Left(s"flag $f requires a value\n$usage")
       case f :: _ if f.startsWith("--") => Left(s"unknown flag $f\n$usage")
       case f :: t => loop(t, acc.copy(targets = acc.targets :+ f))
@@ -105,7 +130,9 @@ object Main {
           acc.copy(targets = stdin.flatMap(_.split("\\s+")).filter(_.nonEmpty).toVector)
         else acc
       }
-      .filterOrElse(_.targets.nonEmpty, s"no targets provided\n$usage")
+      // --version needs no targets (the reference prints and exits before
+      // the "no arguments provided" check, main.go:106-118)
+      .filterOrElse(c => c.version || c.targets.nonEmpty, s"no targets provided\n$usage")
       .filterOrElse(c => !(c.bucketed && c.checkpointDir.isEmpty),
         s"--bucketed requires --checkpoint DIR\n$usage")
   }
@@ -225,7 +252,7 @@ object Main {
   /** Plan + execute one file action; returns the failure count. */
   private def runActions(spark: SparkSession, members: DataFrame,
                          kind: String, dest: String, keepFirst: Boolean,
-                         minGroupSize: Int, quiet: Boolean,
+                         minGroupSize: Int, suppressInfo: Boolean,
                          out: java.io.PrintStream): Int = {
     // eager checkpoint: the mapPartitions sink is SIDE-EFFECTING, so it
     // must execute exactly once — a second action on the raw plan would
@@ -239,7 +266,7 @@ object Main {
       case "delete" => "deleted"
       case k => k + "d"
     }
-    if (!quiet) out.println(s"${results.count() - failed.length} files $verb")
+    if (!suppressInfo) out.println(s"${results.count() - failed.length} files $verb")
     failed.length
   }
 
@@ -254,9 +281,15 @@ object Main {
       if (n > 0) Report.writeGroupsCsv(groups, cli.csvOut, coalesce1 = true)
       groups.unpersist()
       n
+    } else if (cli.quiet) {
+      // reference --quiet: rows AND info are discarded — only the exit
+      // code speaks (main.go:176-199 routes the csv writer to /dev/null);
+      // nothing is collected, the count is the only job
+      groups.count()
     } else {
-      // stdout path (the reference CLI's default): the report is printed,
-      // so a driver collect is inherent; fields quoted like the CSV sink
+      // stdout path (the reference CLI's default, and --output's rows-only
+      // mode): the report is printed, so a driver collect is inherent;
+      // fields quoted like the CSV sink
       val rows = groups.select(col("cluster_id").cast("string"),
           Report.csvRow(col("members")).as("row"))
         .orderBy("cluster_id")
@@ -288,9 +321,11 @@ object Main {
       val dups = compareTarget(spark, cli).select("doc_id")
         .collect().map(_.getString(0)).sorted
       if (dups.isEmpty) {
-        if (!cli.quiet) out.println("No duplicate images found")
+        if (!cli.suppressInfo) out.println("No duplicate images found")
         return 1
       }
+      if (!cli.suppressInfo)
+        out.println(s"These ${dups.length} images are duplicates of ${canonical(cli.targets.head)}")
       val groupsDf = Seq(("target", dups.length.toLong, dups.toSeq))
         .toDF("cluster_id", "n_members", "members")
       emitRows(groupsDf, cli, out)
@@ -302,7 +337,7 @@ object Main {
         val members = dups.toSeq.toDF("doc_id")
           .select(col("doc_id"), lit("target").as("cluster_id"),
             col("doc_id").as("path"))
-        runActions(spark, members, kind, dest, keepFirst, 1, cli.quiet, out)
+        runActions(spark, members, kind, dest, keepFirst, 1, cli.suppressInfo, out)
       }.getOrElse(0)
       if (failures > 0) 3 else 0
     } else {
@@ -314,15 +349,23 @@ object Main {
           .select(col("doc_id").cast("string").as("doc_id"),
             col("cluster_id").cast("string").as("cluster_id"))
           .localCheckpoint(true) // consumed by report AND action plan
-        if (emitRows(Report.groups(clusters), cli, out) == 0) {
-          if (!cli.quiet) out.println("No duplicate images found")
+        val groups = Report.groups(clusters).localCheckpoint(true)
+        // reference header (main.go:190): total = duplicate MEMBERS, and it
+        // prints BEFORE the rows — an info line, so --output/-q drop it
+        if (!cli.suppressInfo) {
+          val total = groups.agg(sum(col("n_members"))).collect()(0)
+          if (!total.isNullAt(0) && total.getLong(0) > 0)
+            out.println(s"These ${total.getLong(0)} images are duplicates")
+        }
+        if (emitRows(groups, cli, out) == 0) {
+          if (!cli.suppressInfo) out.println("No duplicate images found")
           return 1
         }
         // actions plan from the UNCAPPED cluster relation — the report's
         // maxMembers display cap must never truncate a delete plan
         val failures = cliAction(cli).map { case (kind, dest, keepFirst) =>
           val members = clusters.withColumn("path", col("doc_id"))
-          runActions(spark, members, kind, dest, keepFirst, 2, cli.quiet, out)
+          runActions(spark, members, kind, dest, keepFirst, 2, cli.suppressInfo, out)
         }.getOrElse(0)
         if (failures > 0) 3 else 0
       } finally result.release()
@@ -334,6 +377,11 @@ object Main {
       case Left(err) =>
         System.err.println(err)
         sys.exit(2)
+      case Right(cli) if cli.version =>
+        // reference main.go:106-113: print the version and exit cleanly
+        // BEFORE any engine spin-up
+        println(s"v$Version")
+        sys.exit(0)
       case Right(cli) =>
         val spark = SparkSession.builder()
           .appName("graft-dedupe")
@@ -341,7 +389,9 @@ object Main {
           // SQL function registry + the Hamming-join optimizer rule
           .withExtensions(new graft.functions.GraftExtensions)
           .getOrCreate()
-        spark.sparkContext.setLogLevel("WARN")
+        // reference -v/--verbose (main.go:122-129): info-level logging on
+        // request, warnings otherwise
+        spark.sparkContext.setLogLevel(if (cli.verbose) "INFO" else "WARN")
         // a crash must NOT exit 1 — that code means "no duplicates found"
         // and a cleanup script branching on it would read the failed run as
         // a clean no-dup result; unexpected errors get their own code (4)

@@ -44,11 +44,19 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(cp.checkpointDir == "/tmp/cp" && cp.bucketed)
     assert(Main.parse(Seq("--bucketed", "d"), Iterator.empty).isLeft)
     // a value-taking flag as the LAST token: a specific "requires a value"
-    // error (not "unknown flag" for --csv, not a silent target for -o)
+    // error (not "unknown flag" for --csv)
     val miss = Main.parse(Seq("d", "--csv"), Iterator.empty)
     assert(miss.isLeft && miss.swap.toOption.get.contains("requires a value"))
-    val missO = Main.parse(Seq("d", "-o"), Iterator.empty)
-    assert(missO.isLeft && missO.swap.toOption.get.contains("requires a value"))
+    // reference parity (main.go:63-77): -o/--output is a BOOLEAN (suppress
+    // info, keep rows) — not a --csv alias; -v/--verbose and --version parse
+    val ob = Main.parse(Seq("-o", "d"), Iterator.empty).toOption.get
+    assert(ob.output && ob.csvOut.isEmpty && ob.targets == Seq("d") && ob.suppressInfo)
+    val vb = Main.parse(Seq("--verbose", "d"), Iterator.empty).toOption.get
+    assert(vb.verbose && !vb.suppressInfo)
+    // --version needs no targets (reference exits before the target check)
+    val ver = Main.parse(Seq("--version"), Iterator.empty).toOption.get
+    assert(ver.version)
+    assert(Main.parse(Seq("-q", "d"), Iterator.empty).toOption.get.suppressInfo)
   }
 
   test("E1: cats corpus groups — cat transforms in ONE csv row, keeper first") {
@@ -91,10 +99,24 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     val buf = new java.io.ByteArrayOutputStream()
     val code = Main.run(spark, cli, new java.io.PrintStream(buf, true, "UTF-8"))
     assert(code == 0)
-    val members = buf.toString("UTF-8").trim.split(',').map(_.split('/').last).toSet
+    val lines = buf.toString("UTF-8").trim.linesIterator.toSeq
+    // reference header precedes the row (main.go:188-189); it names the target
+    assert(lines.head.matches("These \\d+ images are duplicates of .*cat\\.jpg"),
+      lines.mkString("\n"))
+    val members = lines.last.split(',').map(_.split('/').last).toSet
     assert(members.contains("cat-dark.jpg") && members.contains("cat-shrink.jpg"))
     assert(!members.contains("cat.jpg"), "target itself must not be in its duplicate list")
     assert(!members.contains("cat-on-couch.jpg"))
+    // --output (reference -o): same rows, info header dropped — the
+    // pipe-to-csv mode; --quiet: nothing at all, exit code still 0
+    val bufO = new java.io.ByteArrayOutputStream()
+    assert(Main.run(spark, cli.copy(output = true),
+      new java.io.PrintStream(bufO, true, "UTF-8")) == 0)
+    assert(bufO.toString("UTF-8").trim == lines.last, "output mode must print rows only")
+    val bufQ = new java.io.ByteArrayOutputStream()
+    assert(Main.run(spark, cli.copy(quiet = true),
+      new java.io.PrintStream(bufQ, true, "UTF-8")) == 0)
+    assert(bufQ.toString("UTF-8").isEmpty, "quiet mode must print nothing")
   }
 
   test("exit code 1 when no duplicates are found") {
