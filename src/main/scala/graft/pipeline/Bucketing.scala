@@ -46,19 +46,37 @@ object Bucketing {
     * write persists {buckets, keys} as a sidecar, and readers re-register
     * from the sidecar, never from live config.
     */
-  def writeBucketMeta(path: String, buckets: Int, keys: Seq[String]): Unit =
+  def writeBucketMeta(path: String, buckets: Int, keys: Seq[String]): Unit = {
+    // the reader's key regex is [A-Za-z0-9_]+ — a key with other characters
+    // would be silently DROPPED at read, registering a wrong CLUSTERED BY
+    // and desyncing the hash%N co-location contract; fail at write instead
+    keys.foreach(k => require(k.matches("[A-Za-z0-9_]+"),
+      s"bucket key '$k' has characters the sidecar format cannot round-trip"))
     java.nio.file.Files.writeString(metaPath(path),
       s"""{"buckets":$buckets,"keys":[${keys.map("\"" + _ + "\"").mkString(",")}]}""")
+  }
 
+  /** None for a missing OR unparseable sidecar (a corrupt/truncated file
+    * must fall back to a plain read, not throw); a sidecar that parses a
+    * bucket count but yields ZERO keys is a loud error — registering a
+    * keyless CLUSTERED BY would be wrong, and treating it as plain would
+    * silently drop co-location that the files actually have.
+    */
   def readBucketMeta(path: String): Option[(Int, Seq[String])] = {
     val p = metaPath(path)
     if (!java.nio.file.Files.exists(p)) None
     else {
       val s = java.nio.file.Files.readString(p)
       val b = """"buckets":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
-      val ks = """"([A-Za-z0-9_]+)"""".r
-        .findAllMatchIn(s.substring(s.indexOf('['))).map(_.group(1)).toSeq
-      b.map(n => (n, ks))
+      val lb = s.indexOf('[')
+      if (b.isEmpty || lb < 0) None
+      else {
+        val ks = """"([A-Za-z0-9_]+)"""".r
+          .findAllMatchIn(s.substring(lb)).map(_.group(1)).toSeq
+        require(ks.nonEmpty,
+          s"corrupt bucket sidecar at $p: buckets=${b.get} parsed but no keys")
+        b.map(n => (n, ks))
+      }
     }
   }
 

@@ -62,15 +62,25 @@ object FileActions {
     // distinct members of one group can share a basename (a/img.jpg and
     // b/img.jpg) — without disambiguation both would plan to the same dest
     // and the second move/copy would silently clobber the first. Collisions
-    // get a deterministic "<k>-" prefix (rank by src within (group, name));
-    // the common no-collision case keeps the reference's plain basename.
+    // get a deterministic "<rank>-<md5(src) 8 hex>-" prefix (rank by src
+    // within (group, name)); the common no-collision case keeps the
+    // reference's plain basename. The src hash is what makes the prefixed
+    // names collision-proof among THEMSELVES and against a plain kept name:
+    // a bare "<rank>-" prefix could equal a real member basename in the
+    // same group (members a/img.jpg, b/img.jpg, c/2-img.jpg — b would plan
+    // to "2-img.jpg", which c keeps as its rank-1 plain name), silently
+    // clobbering on move/copy. Two prefixed names are equal only for equal
+    // (rank, md5(src), base) — same partition forbids equal ranks, and a
+    // plain name collides only if a real basename literally embeds another
+    // member's md5, which no accidental layout produces.
     val base = element_at(split(col("src"), "/"), -1)
     val withRk = inScope.withColumn("base", base)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster_id"), col("base")).orderBy(col("src"))))
     val name = when(col("rk") === 1, col("base"))
-      .otherwise(concat(col("rk").cast("string"), lit("-"), col("base")))
+      .otherwise(concat(col("rk").cast("string"), lit("-"),
+        substring(md5(col("src")), 1, 8), lit("-"), col("base")))
     val dest =
       if (action == "delete") lit("")
       else concat(lit(destDir.stripSuffix("/") + "/group-"), col("cluster_id"),
@@ -137,6 +147,14 @@ object FileActions {
               case "move" =>
                 val d = new org.apache.hadoop.fs.Path(a.dest)
                 val dfs = d.getFileSystem(conf)
+                // retry idempotence: src gone + dest present reads as
+                // already-done. CAVEAT: with the src gone there is nothing
+                // left to compare against, so a pre-existing UNRELATED file
+                // at dest (a destDir reused across different plans) is
+                // indistinguishable from our completed move and reads as
+                // ok. Within one plan this cannot happen (dest names are
+                // collision-proof, see plan()); across plans, point
+                // move/copy at a fresh destDir.
                 if (!fs.exists(srcPath) && dfs.exists(d)) ()
                 else {
                   dfs.mkdirs(d.getParent)

@@ -43,15 +43,21 @@ object Report {
   }
 
   /** RFC-4180 field quoting, matching the reference's Go `encoding/csv`
-    * writer: a member containing comma, quote, CR or LF is wrapped in
-    * quotes with inner quotes doubled; plain members stay bare, so
-    * comma-free corpora keep byte-identical rows to the unquoted form.
-    * (A bare array_join would corrupt any group holding a legal path like
-    * `cats, dogs/img.jpg` — consumers splitting on commas would see bogus
-    * members and a cleanup script would target wrong paths.)
+    * writer (`fieldNeedsQuotes`): a member is wrapped in quotes (inner
+    * quotes doubled) when it contains comma, quote, CR or LF, when its
+    * FIRST rune is white space (Go quotes leading-space fields so readers
+    * with TrimLeadingSpace don't eat the content), or when it is the
+    * literal field `\.` (Go's PostgreSQL-dump guard). Plain members stay
+    * bare, so comma-free corpora keep byte-identical rows to the unquoted
+    * form. (A bare array_join would corrupt any group holding a legal path
+    * like `cats, dogs/img.jpg` — consumers splitting on commas would see
+    * bogus members and a cleanup script would target wrong paths.)
+    * Leading-whitespace class: Java's \s plus the Unicode space separators
+    * and NEL — the code points unicode.IsSpace accepts.
     */
   def csvField(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(c.rlike("[\",\n\r]"),
+    when(c.rlike("[\",\n\r]") || c.rlike("^[\\s\\p{Zs}\\u0085\\u2028\\u2029]") ||
+        c === lit("\\."),
       concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
       .otherwise(c)
 

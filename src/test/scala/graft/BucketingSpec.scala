@@ -128,4 +128,27 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() === 100)
     assert(Bucketing.readBucketMeta(s"$root/assignments").isEmpty)
   }
+
+  test("sidecar parsing: truncated files fall back to plain; keyless-but-bucketed fails loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bktmeta").toString
+    val dir = s"$root/t"
+    (0L until 10L).map(i => (i, i)).toDF("doc_id", "v").write.parquet(dir)
+    val sidecar = java.nio.file.Paths.get(dir, "_graft_buckets.json")
+    // truncated before the key array: no '[' — must read as None (plain),
+    // not throw StringIndexOutOfBoundsException
+    java.nio.file.Files.writeString(sidecar, """{"buckets":8,"keys":""")
+    assert(Bucketing.readBucketMeta(dir).isEmpty)
+    assert(Bucketing.readMaybeBucketed(spark, dir).count() === 10)
+    // garbage with no buckets field at all — also None
+    java.nio.file.Files.writeString(sidecar, """not json at all""")
+    assert(Bucketing.readBucketMeta(dir).isEmpty)
+    // buckets parsed but zero keys: registering a keyless CLUSTERED BY
+    // would corrupt the co-location contract — loud failure, not a guess
+    java.nio.file.Files.writeString(sidecar, """{"buckets":8,"keys":[]}""")
+    intercept[IllegalArgumentException](Bucketing.readBucketMeta(dir))
+    // keys that cannot round-trip through the sidecar are rejected at WRITE
+    intercept[IllegalArgumentException](
+      Bucketing.writeBucketMeta(dir, 8, Seq("bad-key!")))
+  }
 }

@@ -141,9 +141,31 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     val res = FileActions.execute(spark, plan).collect()
     assert(res.forall(_.ok))
     // both contents survive: the src-ordered first keeps the plain name,
-    // the collision gets the "2-" prefix
+    // the collision gets the "<rank>-<md5(src) 8 hex>-" prefix (the src
+    // hash makes the synthesized name unable to equal a REAL member
+    // basename like "2-img.txt" in the same group)
+    val h8 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dirB/img.txt".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
     assert(Files.readString(Paths.get(dest, "group-1", "img.txt")) == "content-A")
-    assert(Files.readString(Paths.get(dest, "group-1", "2-img.txt")) == "content-B")
+    assert(Files.readString(Paths.get(dest, "group-1", s"2-$h8-img.txt")) == "content-B")
+  }
+
+  test("synthesized collision names cannot clobber a real member basename") {
+    import spark.implicits._
+    // the ADVICE r4 scenario: a/img.jpg, b/img.jpg, c/2-img.jpg in ONE
+    // group — a bare rank prefix would plan b to "2-img.jpg", the exact
+    // plain name c keeps; all three dests must be distinct
+    val clusters = Seq(
+      ("a/img.jpg", 1L, "a/img.jpg"),
+      ("b/img.jpg", 1L, "b/img.jpg"),
+      ("c/2-img.jpg", 1L, "c/2-img.jpg"))
+      .toDF("doc_id", "cluster_id", "path")
+    val plan = FileActions.plan(clusters, "copy", destDir = "/tmp/adv")
+    val dests = plan.select("dest").collect().map(_.getString(0)).toSet
+    assert(dests.size == 3, s"dest collision: $dests")
+    assert(dests.contains("/tmp/adv/group-1/img.jpg"))
+    assert(dests.contains("/tmp/adv/group-1/2-img.jpg"))
   }
 
   test("retried move is idempotent: src gone + dest present reads as ok") {
@@ -175,5 +197,17 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == List(
       "\"/a/cats, dogs.txt\",\"/b/has\"\"quote.txt\"",
       "/a/plain.txt,/b/plain.txt"))
+  }
+
+  test("csvField quotes leading-whitespace fields and the literal \\. like Go encoding/csv") {
+    import spark.implicits._
+    // Go's fieldNeedsQuotes: leading space/tab (any unicode.IsSpace first
+    // rune) and the exact field `\.` are quoted even without commas
+    val got = Seq(" lead-space.txt", "\tlead-tab.txt", "\\.", "mid space.txt",
+        "\u00a0nbsp.txt", "trail.txt ")
+      .toDF("f").select(Report.csvField(col("f")).as("q"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("\" lead-space.txt\"", "\"\tlead-tab.txt\"", "\"\\.\"",
+      "mid space.txt", "\"\u00a0nbsp.txt\"", "trail.txt "))
   }
 }
