@@ -444,6 +444,34 @@ object SparkEntry {
       assign
     }
 
+  /** ONE persisted IVF index per (session, table dir): centroids + corpus
+    * cell assignment checkpointed as TableIO generation stages
+    * (`ivf_centroids` / `ivf_cells`) under a deterministic per-dir root, so
+    * the k-means fit and the corpus-wide argmin are paid once per
+    * GENERATION — a later session over the same embeddings table resumes
+    * from the manifests instead of refitting (the band-relation precedent,
+    * extended across sessions). The resume key carries the fit params and
+    * the corpus row count, so a regenerated table at the same path
+    * invalidates the stage instead of serving a stale index. The in-memory
+    * memo only avoids re-reading the tiny manifest+centroid files within a
+    * session.
+    */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (graft.ann.Ivf.Model, DataFrame)]
+  private def sIvfIndex(s: SparkSession, dir: String): (graft.ann.Ivf.Model, DataFrame) =
+    ivfIndexCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val e = embTable(s, dir)
+      val n = e.count()
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$dirKey"
+      val resumeKey = graft.text.Hashing.hash64(
+        s"ivf:k=8:n=512:it=5:seed=42:$dir", graft.text.Hashing.mix64(n))
+      val (model, cells) = graft.ann.Ivf.fitOrLoad(s, new graft.pipeline.ParquetTableIO(root),
+        e, "embedding", "vec_id", k = 8, resumeKey = resumeKey)
+      (model, cells)
+    })
+
   /** k-word-gram 60-bit md5 keys for one tokenized doc, ONE udf call per
     * doc (the interpreted transform+md5 column form costs ~4× more — the
     * sBandKeys lesson); "first 15 md5 hex chars" == top 60 bits of the
@@ -2697,7 +2725,9 @@ object SparkEntry {
 
     // IVF ANN (coarse-quantizer scale path; deterministic centroids —
     // golden-snapshot oracle): top-3 cosine neighbours of the first 50
-    // vectors probing 4 of 8 cells
+    // vectors probing 4 of 8 cells. Both IVF queries ride the PERSISTED
+    // index ([[sIvfIndex]]): centroids + corpus cells are TableIO stages
+    // paid once per generation, probes join the narrow (id, cell) relation.
     // ANN evaluation: recall@10 of the IVF probe path against brute-force
     // exact-cosine truth, per nprobe ∈ {1, 2, 4} — the standard ANN quality
     // curve (recall vs probed fraction) that justifies an nprobe choice.
@@ -2709,7 +2739,7 @@ object SparkEntry {
     // measures the real nprobe trade instead of reading ~1 everywhere.
     "q_ann_recall" -> ((s, dir) => {
       val e = embTable(s, dir)
-      val model = graft.ann.Ivf.fit(e, "embedding", "vec_id", k = 8)
+      val (model, cells) = sIvfIndex(s, dir)
       val queries = e.filter(col("vec_id") < 50)
       val cosRound = (a: Column, b: Column) =>
         round(dotCol(a, b) / (normCol(a) * normCol(b)), 6)
@@ -2721,8 +2751,8 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
         .select("q", "n").localCheckpoint(true)
       val gots = Seq(1, 2, 4).map { np =>
-        graft.ann.Ivf.topK(queries, e, model, "embedding", "vec_id",
-            k = 10, nprobe = np, cosRound)
+        graft.ann.Ivf.topKWithIndex(queries, e, cells, model, "embedding",
+            "vec_id", k = 10, nprobe = np, cosRound)
           .select(lit(np).as("nprobe"), col("q"), col("n"))
       }.reduce(_ unionByName _)
       val hits = truth.join(gots, Seq("q", "n"))
@@ -2739,10 +2769,10 @@ object SparkEntry {
 
     "q_ann_ivf" -> ((s, dir) => {
       val e = embTable(s, dir)
-      val model = graft.ann.Ivf.fit(e, "embedding", "vec_id", k = 8)
+      val (model, cells) = sIvfIndex(s, dir)
       val queries = e.filter(col("vec_id") < 50)
-      graft.ann.Ivf.topK(queries, e, model, "embedding", "vec_id",
-          k = 3, nprobe = 4,
+      graft.ann.Ivf.topKWithIndex(queries, e, cells, model, "embedding",
+          "vec_id", k = 3, nprobe = 4,
           (a, b) => round(dotCol(a, b) / (normCol(a) * normCol(b)), 6))
         .select("q", "n", "rank", "cos")
         .orderBy("q", "rank")

@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,16 +105,66 @@ object Ivf {
     */
   def topK(queries: DataFrame, corpus: DataFrame, model: Model, vecCol: String,
            idCol: String, k: Int, nprobe: Int,
-           cosine: (Column, Column) => Column): DataFrame = {
+           cosine: (Column, Column) => Column): DataFrame =
+    topKWithIndex(queries, corpus,
+      withCell(corpus, vecCol, model).select(col(idCol), col("cell")),
+      model, vecCol, idCol, k, nprobe, cosine)
+
+  /** [[topK]] against a PRE-ASSIGNED (id, cell) relation — the
+    * persisted-index path: the build-time cell assignment is a checkpoint
+    * stage paid once per generation ([[fitOrLoad]]), and every later query
+    * batch joins it by id instead of re-running the per-vector argmin over
+    * the corpus. The cells relation is deliberately NARROW (no vectors):
+    * vectors rejoin from the base table by id, so the index stage stays
+    * O(ids) on disk and the 64-float payloads never ride the index write.
+    */
+  def topKWithIndex(queries: DataFrame, corpus: DataFrame, cells: DataFrame,
+                    model: Model, vecCol: String, idCol: String, k: Int,
+                    nprobe: Int, cosine: (Column, Column) => Column): DataFrame = {
     val q = withProbes(queries, vecCol, model, nprobe)
       .select(col(idCol).as("q"), col(vecCol).as("qv"), col("cell"))
-    val c = withCell(corpus, vecCol, model)
-      .select(col(idCol).as("n"), col(vecCol).as("nv"), col("cell"))
+    val c = corpus.select(col(idCol).as("n"), col(vecCol).as("nv"))
+      .join(cells.select(col(idCol).as("n"), col("cell")), "n")
     val scored = q.join(c, Seq("cell"))
       .filter(col("q") =!= col("n"))
       .select(col("q"), col("n"), cosine(col("qv"), col("nv")).as("cos"))
       .groupBy("q", "n").agg(max("cos").as("cos")) // dedup multi-probe hits
     val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Centroids as a tiny DataFrame (cell, centroid) — the persistable form. */
+  def centroidsDF(spark: SparkSession, model: Model): DataFrame =
+    spark.createDataFrame(
+      model.centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+
+  /** Inverse of [[centroidsDF]]: exact round-trip (parquet doubles are
+    * bit-preserving), cells ordered by index.
+    */
+  def modelFromDF(df: DataFrame): Model =
+    Model(df.select("cell", "centroid").orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray))
+
+  /** Fit-or-resume the IVF index as checkpoint stages: `ivf_centroids`
+    * (k rows) and `ivf_cells` (one (id, cell) row per corpus vector),
+    * written through the caller's [[graft.pipeline.TableIO]] under
+    * `resumeKey` and read back on every later call — the k-means fit and
+    * the corpus-wide cell assignment are paid ONCE per generation, and any
+    * session (this one or a later run over the same generation) probes the
+    * persisted index. Same contract as the pipeline's band-relation stage.
+    */
+  def fitOrLoad(spark: SparkSession, io: graft.pipeline.TableIO,
+                vectors: DataFrame, vecCol: String, idCol: String, k: Int,
+                resumeKey: Long, sampleSize: Int = 512, iters: Int = 5,
+                seed: Long = 42L): (Model, DataFrame) = {
+    val cdf = graft.pipeline.Checkpoints.stage(spark, io, "ivf_centroids", resumeKey) {
+      centroidsDF(spark, fit(vectors, vecCol, idCol, k, sampleSize, iters, seed))
+    }
+    val model = modelFromDF(cdf)
+    val cells = graft.pipeline.Checkpoints.stage(spark, io, "ivf_cells", resumeKey) {
+      withCell(vectors, vecCol, model).select(col(idCol), col("cell"))
+    }
+    (model, cells)
   }
 }

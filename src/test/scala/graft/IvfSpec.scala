@@ -53,4 +53,46 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     val recall = (probed & brute).size.toDouble / brute.size
     assert(recall >= 0.5, f"nprobe=4/8 recall $recall%.2f below measured floor")
   }
+
+  test("fitOrLoad persists the index as stages and resumes without refitting") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-ivf-spec").toString
+    val io = new graft.pipeline.ParquetTableIO(root)
+    val (m1, cells1) = Ivf.fitOrLoad(spark, io, emb, "embedding", "vec_id",
+      k = 8, resumeKey = 42L)
+    // the persisted model IS the in-memory fit (exact double round-trip)
+    val direct = Ivf.fit(emb, "embedding", "vec_id", k = 8)
+    assert(m1.centroids.map(_.toSeq).toSeq == direct.centroids.map(_.toSeq).toSeq)
+    // cells stage is the narrow (id, cell) relation, one row per vector
+    assert(cells1.columns.toSeq == Seq("vec_id", "cell") && cells1.count() == 500)
+    // resume: same key leaves the manifests untouched (no refit, no rewrite)
+    val manifests = Seq("ivf_centroids", "ivf_cells")
+      .map(st => Paths.get(root, st, "_graft_manifest.json"))
+    manifests.foreach(p => assert(Files.exists(p), s"missing manifest $p"))
+    val mtimes = manifests.map(p => p -> Files.getLastModifiedTime(p)).toMap
+    val (m2, cells2) = Ivf.fitOrLoad(spark, io, emb, "embedding", "vec_id",
+      k = 8, resumeKey = 42L)
+    manifests.foreach(p => assert(Files.getLastModifiedTime(p) == mtimes(p),
+      s"stage rewritten on resume: $p"))
+    assert(m2.centroids.map(_.toSeq).toSeq == m1.centroids.map(_.toSeq).toSeq)
+    // probing the persisted index == probing a fresh in-memory assignment
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (0 until 64).map(i =>
+        element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
+        .reduceLeft(_ + _)
+    val q = emb.filter(col("vec_id") < 20)
+    val viaIndex = Ivf.topKWithIndex(q, emb, cells2, m2, "embedding", "vec_id",
+        k = 3, nprobe = 4, cos)
+      .select("q", "n", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fresh = Ivf.topK(q, emb, m1, "embedding", "vec_id", k = 3, nprobe = 4, cos)
+      .select("q", "n", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == fresh)
+    // a changed key (new generation) rewrites the stages
+    Ivf.fitOrLoad(spark, io, emb, "embedding", "vec_id", k = 8, resumeKey = 43L)
+    manifests.foreach(p => assert(Files.getLastModifiedTime(p) != mtimes(p),
+      s"stage NOT rewritten on key change: $p"))
+    Files.walk(Paths.get(root)).iterator().asScala.toList.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
 }
