@@ -32,21 +32,68 @@ object Corpus {
       // selectivity so candidate volume stays O(N) at bench scale
       mediaBlockBits = 8, mediaBlocksPerKey = 2)
 
-  /** ~1600 deterministic pseudo-words (two seeded syllables each): a
-    * realistic vocabulary size so inter-entity shingle Jaccard sits near
-    * real-corpus levels (~0.05) instead of the pathological overlap a
-    * 40-word vocab produces.
+  /** 4800 deterministic syllables (onset × core × coda) — the shared pool
+    * behind both vocabularies below.
     */
-  private val Vocab: Array[String] = {
+  private val Syllables: Array[String] = {
     val onsets = Array("b", "br", "c", "ch", "d", "dr", "f", "fl", "g", "gr",
       "h", "j", "k", "kl", "l", "m", "n", "p", "pr", "qu",
       "r", "s", "sh", "sk", "sl", "st", "t", "tr", "v", "w")
     val cores = Array("a", "ai", "e", "ea", "i", "io", "o", "oa", "u", "ue")
     val codas = Array("ck", "ft", "l", "ld", "m", "n", "nd", "r", "rn", "s",
       "sh", "st", "t", "th", "x", "z")
-    (for {
-      o <- onsets; c <- cores; d <- codas
-    } yield o + c + d).take(1600)
+    for { o <- onsets; c <- cores; d <- codas } yield o + c + d
+  }
+
+  /** ~1600 deterministic pseudo-words (two seeded syllables each): a
+    * realistic vocabulary size so inter-entity shingle Jaccard sits near
+    * real-corpus levels (~0.05) instead of the pathological overlap a
+    * 40-word vocab produces. (Same 1600 words, same order, as every prior
+    * round — the seeded corpora are byte-stable.)
+    */
+  private val Vocab: Array[String] = Syllables.take(1600)
+
+  /** Natural-vocabulary mode (Params.zipfTypes > 0): draws follow a Zipf
+    * law with exponent ~1.07 (the empirical natural-text slope) over a
+    * ~zipfTypes-type vocabulary, instead of the uniform 1600-word draw.
+    * Every census caveat this repo carries (PPJoin prefix saturation,
+    * 4-char-prefix blocks) traces to the uniform vocabulary's ~126
+    * EFFECTIVE types per position — this mode exists to measure those
+    * censuses on a realistically heavy-tailed type distribution.
+    *
+    * Word for rank r: base-4800 syllable digits (rank 0-4799 = one
+    * syllable, higher ranks two) — frequent words are short like natural
+    * text. Concatenated two-syllable forms can in principle collide with
+    * each other, so the DISTINCT type count is ~types, not exactly; the
+    * Diag censuses measure the realized vocabulary rather than assume it.
+    */
+  private def zipfWord(r: Int): String =
+    if (r < Syllables.length) Syllables(r)
+    else Syllables(r / Syllables.length - 1) + Syllables(r % Syllables.length)
+
+  private val zipfCdfCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Double]]
+  private def zipfCdf(types: Int): Array[Double] =
+    zipfCdfCache.getOrElseUpdate(types, {
+      val c = new Array[Double](types)
+      var acc = 0.0
+      var i = 0
+      while (i < types) { acc += 1.0 / math.pow(i + 1.0, 1.07); c(i) = acc; i += 1 }
+      val tot = c(types - 1)
+      i = 0
+      while (i < types) { c(i) /= tot; i += 1 }
+      c
+    })
+
+  /** Smallest rank whose cdf covers u — binary search, O(log types). */
+  private def zipfDraw(cdf: Array[Double], u: Double): Int = {
+    var lo = 0
+    var hi = cdf.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cdf(mid) < u) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   final case class LabeledDoc(doc: Doc, label: Long)
@@ -62,7 +109,12 @@ object Corpus {
                           // this many EXACT copies (byte-identical spans,
                           // distinct doc_ids) — the adversarial shape that
                           // exercises exact pre-collapse + block skew paths
-                          hotEntityCopies: Int = 0)
+                          hotEntityCopies: Int = 0,
+                          // > 0: Zipf(1.07) draws over a ~zipfTypes-type
+                          // vocabulary (see [[zipfWord]]) instead of the
+                          // uniform 1600-word draw; 0 keeps every prior
+                          // round's corpora byte-identical
+                          zipfTypes: Int = 0)
 
   /** Deterministic per-call RNG: a splitmix64 stream keyed by (seed, tags). */
   private final class Rng(seed: Long) {
@@ -81,7 +133,10 @@ object Corpus {
     val rng = new Rng(Hashing.hash64(p.seed, e.toLong))
     val nText = 1 + rng.nextInt(2)
     val nMedia = if (rng.nextDouble() < p.mediaSpanProb) 1 else 0
-    val words = Array.fill(p.minWords + rng.nextInt(math.max(p.maxWords - p.minWords, 1)))(Vocab(rng.nextInt(Vocab.length)))
+    val drawWord: () => String =
+      if (p.zipfTypes > 0) { val cdf = zipfCdf(p.zipfTypes); () => zipfWord(zipfDraw(cdf, rng.nextDouble())) }
+      else () => Vocab(rng.nextInt(Vocab.length))
+    val words = Array.fill(p.minWords + rng.nextInt(math.max(p.maxWords - p.minWords, 1)))(drawWord())
     val spans = ArrayBuffer.empty[Span]
     var off = 0
     var t = 0

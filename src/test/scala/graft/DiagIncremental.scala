@@ -110,6 +110,38 @@ object DiagIncremental {
     require(newAssign3 == newAssign && remap3 == remap,
       "fromCheckpoint fold diverged from the in-memory folds")
 
+    // --bucketed generation (verdict r4 item 3): the same state written
+    // CLUSTERED BY its join keys (assignments/clusters by doc_id, bands by
+    // block_key), then the identical pure-disk fold. Wall delta vs the
+    // plain-parquet fold above + plan evidence (no Exchange on the state
+    // side of the id joins / band-key aggregates) recorded in BASELINE.md.
+    val genDirB = java.nio.file.Files.createTempDirectory("graft-diag-genb").toString
+    val io = new graft.pipeline.BucketedParquetTableIO(genDirB,
+      buckets = spark.sessionState.conf.numShufflePartitions)
+    val oldCkB = Pipeline.run(spark, oldDocs, cfg, checkpointIo = Some(io))
+    oldCkB.clusters.count(); oldCkB.release()
+    val ((newAssign4, remap4), incCkBSec) = time("incremental fold (fromCheckpoint: BUCKETED sigs+bands)") {
+      val inc = Incremental.fromCheckpoint(spark, genDirB, newDocs, cfg)
+      val a = inc.assignments.collect().map(x => (x.getString(0), x.getString(1))).toMap
+      val m = inc.remapped.collect().map(x => (x.getString(0), x.getString(1))).toMap
+      inc.release(); (a, m)
+    }
+    require(newAssign4 == newAssign && remap4 == remap,
+      "bucketed fromCheckpoint fold diverged from the plain fold")
+    // plan evidence, with broadcast off so the shuffle question is visible
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "(?<!Broadcast)Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (_, assignB) = Pipeline.readState(spark, genDirB)
+    val idJoin = assignB.join(assignB.select(col("doc_id"),
+      col("cluster_id").as("c2")), "doc_id")
+    val bandsB = graft.pipeline.Pipeline.readBands(spark, genDirB).get
+    val bandAgg = bandsB.groupBy("block_key").agg(count(lit(1)))
+    println(s"[diag] BUCKETED plan evidence: assignments id-self-join exchanges=${exchanges(idJoin)} " +
+      s"band-key aggregate exchanges=${exchanges(bandAgg)} (0 = state side never reshuffles)")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+
     val incMap = oldAssign.collect().map { r =>
       val c = r.getString(1); (r.getString(0), remap.getOrElse(c, c))
     }.toMap ++ newAssign

@@ -11,20 +11,24 @@ import org.apache.spark.sql.functions._
   * per sf dir: docs, shingle vocabulary, prefix rows, block count, max
   * block size, prefix-candidate pairs, positional-filter survivors,
   * verified pairs.
+  *
+  * The second loop runs the SAME census on the Zipf(1.07) ~50k-type
+  * natural-vocabulary corpus (Corpus.Params.zipfTypes — verdict r4 item 4)
+  * at two sizes 10× apart, replacing the "on natural text this would be
+  * fine" prose with a measured block-growth slope.
   */
 object DiagPPJoin {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "64")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/spark-graft"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val thr = 0.8
-    // sampleK = 1: the full-corpus join; sampleK = 2: the deterministic
-    // 1/2 md5 stratum of the bounded evaluator mode (verdict r4 item 6) —
-    // the census that shows how much prefix-candidate volume the stratum
-    // sheds on this saturated synthetic vocabulary
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); sampleK <- Seq(1, 2)) {
-      val dir = s"/root/testdata/$sf"
+
+    def census(label: String, dir: String, sampleK: Int): Unit = {
       val all = spark.read.parquet(s"$dir/documents.parquet")
       val base = if (sampleK <= 1) all
         else all.filter(SparkEntry.sampleBucket(col("doc_id")) % sampleK === 0)
@@ -39,9 +43,34 @@ object DiagPPJoin {
       val vocab = tok.select("token").distinct().count()
       val prefRows = pref.count()
       val pairs = SparkEntry.exactShinglePairs(spark, dir, thr, sampleK).count()
-      println(s"[ppjoin] $sf sampleK=$sampleK docs=$docs vocab=$vocab prefRows=$prefRows " +
+      println(s"[ppjoin] $label sampleK=$sampleK docs=$docs vocab=$vocab prefRows=$prefRows " +
         s"blocks=${bstats.getLong(0)} maxBlock=${bstats.getLong(1)} " +
         s"prefixCand=${bstats.getDouble(2).toLong} posSurvivors=$surv verified=$pairs")
+    }
+
+    // sampleK = 1: the full-corpus join; sampleK = 2: the deterministic
+    // 1/2 md5 stratum of the bounded evaluator mode (verdict r4 item 6) —
+    // the census that shows how much prefix-candidate volume the stratum
+    // sheds on this saturated synthetic vocabulary
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); sampleK <- Seq(1, 2))
+      census(sf, s"/root/testdata/$sf", sampleK)
+
+    // natural-vocabulary legs: Zipf(1.07) over ~50k types, bench-shaped
+    // docs (150-400 words), sizes 10× apart so the growth SLOPE is the
+    // reading (not one absolute number)
+    import spark.implicits._
+    for (entities <- Seq(3000, 30000)) {
+      val dir = s"${if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else System.getProperty("java.io.tmpdir")}/graft_ppjoin_zipf_$entities"
+      val docs = graft.synth.Corpus.generateDistributed(spark,
+          graft.synth.Corpus.Params(entities = entities, minWords = 150,
+            maxWords = 400, seed = 42, zipfTypes = 50000))
+        .map { ld =>
+          val d = ld.doc
+          (d.doc_id.filter(_.isDigit).toLong, d.concatText)
+        }
+        .toDF("doc_id", "text")
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      census(s"zipf50k-e$entities", dir, sampleK = 1)
     }
     spark.stop()
   }

@@ -40,6 +40,15 @@ object DiagStringBands {
       .map(_.doc)(org.apache.spark.sql.Encoders.product[graft.model.Doc])
       .map(d => (d.doc_id, d.concatText)).toDF("doc_id", "text")
     census("bench102k", corpus)
+    // natural-vocabulary leg (verdict r4 item 4): Zipf(1.07) over ~50k
+    // types — the band-key census on a realistically heavy-tailed type
+    // distribution instead of the saturated 1600-word draw
+    val zipf = graft.synth.Corpus.generateDistributed(spark,
+        graft.synth.Corpus.Params(entities = 60000, minWords = 150, maxWords = 400,
+          seed = 42, zipfTypes = 50000))
+      .map(_.doc)(org.apache.spark.sql.Encoders.product[graft.model.Doc])
+      .map(d => (d.doc_id, d.concatText)).toDF("doc_id", "text")
+    census("bench102k-zipf", zipf)
     spark.stop()
   }
 }
