@@ -17,6 +17,15 @@ import org.apache.spark.sql.SparkSession
   *                        efficiency = (thru_32 / thru_8) / 4
   *   SPARK_GRAFT_BENCH_ENTITIES  synthetic-corpus size for the end-to-end
   *                        pipeline throughput measurement (default 60000)
+  *   SPARK_GRAFT_BENCH_ZIPF_TYPES  > 0 switches the pipeline corpus to the
+  *                        natural-vocabulary mode (Zipf(1.07) over ~this
+  *                        many types, Corpus.Params.zipfTypes) — the
+  *                        heavy-tailed-blocks stress leg: hot MinHash
+  *                        bands are ~7× larger than the uniform draw
+  *                        (DiagStringBands census), so this measures the
+  *                        salted self-join under realistic skew. Default
+  *                        0 = the uniform corpus every recorded headline
+  *                        uses; the two are not comparable numbers.
   *   SPARK_GRAFT_BENCH_TRIALS    pipeline trials; the reported docs/sec is
   *                        the MEDIAN (default 5 — trial 1 carries JIT/page
   *                        warmup, ~2.5-4x slower, and a loaded box can
@@ -48,6 +57,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val entities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "60000").toInt
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "5").toInt
+    val zipfTypes = sys.env.getOrElse("SPARK_GRAFT_BENCH_ZIPF_TYPES", "0").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "64") // fixed plan shape across the two scaling runs
@@ -105,7 +115,8 @@ object Bench {
     // synthesized DISTRIBUTED (no driver materialization — scales to the
     // 500k+-entity stress runs without driver heap)
     val docs = Corpus.generateDistributed(spark,
-        Corpus.Params(entities = entities, minWords = 150, maxWords = 400, seed = 42))
+        Corpus.Params(entities = entities, minWords = 150, maxWords = 400, seed = 42,
+          zipfTypes = zipfTypes))
       .map(_.doc)(org.apache.spark.sql.Encoders.product[graft.model.Doc])
       .cache()
     val nDocs = docs.count() // materialize input outside the timed window
@@ -179,7 +190,7 @@ object Bench {
     val dps = nDocs / pipelineSec
     val minSec = trialSecs.min
     val dpsBest = nDocs / minSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline":{"docs":$nDocs,"wall_sec":$pipelineSec%.3f,"docs_per_sec":$dps%.1f,"wall_sec_min":$minSec%.3f,"docs_per_sec_best":$dpsBest%.1f,"trials":$trialsJson,"loadavg":$loadsJson,"load_suspect":$loadSuspect,"quiet_wait_sec":$quietWaitSec%.1f,"wait_expired":$waitExpired},"cpus":$cpus}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline":{"docs":$nDocs,"zipf_types":$zipfTypes,"wall_sec":$pipelineSec%.3f,"docs_per_sec":$dps%.1f,"wall_sec_min":$minSec%.3f,"docs_per_sec_best":$dpsBest%.1f,"trials":$trialsJson,"loadavg":$loadsJson,"load_suspect":$loadSuspect,"quiet_wait_sec":$quietWaitSec%.1f,"wait_expired":$waitExpired},"cpus":$cpus}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
