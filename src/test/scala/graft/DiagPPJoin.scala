@@ -52,14 +52,20 @@ object DiagPPJoin {
     // 1/2 md5 stratum of the bounded evaluator mode (verdict r4 item 6) —
     // the census that shows how much prefix-candidate volume the stratum
     // sheds on this saturated synthetic vocabulary
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); sampleK <- Seq(1, 2))
-      census(sf, s"/root/testdata/$sf", sampleK)
+    // (GRAFT_PPJOIN_SKIP_SF=1 skips these recorded legs when extending the
+    // zipf slope with a new size)
+    if (!sys.env.get("GRAFT_PPJOIN_SKIP_SF").contains("1"))
+      for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); sampleK <- Seq(1, 2))
+        census(sf, s"/root/testdata/$sf", sampleK)
 
     // natural-vocabulary legs: Zipf(1.07) over ~50k types, bench-shaped
     // docs (150-400 words), sizes 10× apart so the growth SLOPE is the
-    // reading (not one absolute number)
+    // reading (not one absolute number). GRAFT_PPJOIN_ZIPF_ENTITIES
+    // (comma-separated) extends/overrides the recorded sizes.
     import spark.implicits._
-    for (entities <- Seq(3000, 30000)) {
+    val zipfSizes = sys.env.get("GRAFT_PPJOIN_ZIPF_ENTITIES")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(3000, 30000))
+    for (entities <- zipfSizes) {
       val dir = s"${if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else System.getProperty("java.io.tmpdir")}/graft_ppjoin_zipf_$entities"
       val docs = graft.synth.Corpus.generateDistributed(spark,
           graft.synth.Corpus.Params(entities = entities, minWords = 150,
