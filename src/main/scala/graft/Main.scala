@@ -88,7 +88,21 @@ object Main {
       case ("--recursive" | "-r") :: t => loop(t, acc.copy(recursive = true))
       case "--search" :: t => loop(t, acc.copy(search = true))
       case ("--quiet" | "-q") :: t => loop(t, acc.copy(quiet = true))
-      case ("--output" | "-o") :: t => loop(t, acc.copy(output = true))
+      case "--output" :: t => loop(t, acc.copy(output = true))
+      case "-o" :: t =>
+        // transition guard: -o took a CSV path before the reference-parity
+        // change made it boolean. An old-style `-o /reports /photos`
+        // invocation now parses CLEANLY with /reports joining the scan
+        // targets — which --delete/--move would then act on. Make the
+        // reinterpretation loud (stderr: never mixes into the rows-only
+        // stdout this flag selects).
+        t.headOption.filter(p => !p.startsWith("-") &&
+            new java.io.File(p).isDirectory).foreach { p =>
+          System.err.println(s"[graft] note: -o is now the boolean rows-only " +
+            s"output flag (reference semantics); '$p' will be scanned as a " +
+            s"TARGET. To write a CSV file use --csv <path>.")
+        }
+        loop(t, acc.copy(output = true))
       case ("--verbose" | "-v") :: t => loop(t, acc.copy(verbose = true))
       case "--version" :: t => loop(t, acc.copy(version = true))
       case "--hash" :: h :: t if h == "dct" || h == "dhash" => loop(t, acc.copy(hashName = h))

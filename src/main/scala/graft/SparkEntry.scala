@@ -450,27 +450,77 @@ object SparkEntry {
     * the k-means fit and the corpus-wide argmin are paid once per
     * GENERATION — a later session over the same embeddings table resumes
     * from the manifests instead of refitting (the band-relation precedent,
-    * extended across sessions). The resume key carries the fit params and
-    * the corpus row count, so a regenerated table at the same path
-    * invalidates the stage instead of serving a stale index. The in-memory
-    * memo only avoids re-reading the tiny manifest+centroid files within a
-    * session.
+    * extended across sessions). Staleness and concurrency, explicitly:
+    *
+    *  - the data key is a FILE FINGERPRINT of the embeddings parquet
+    *    (sorted name:length:mtime of every data file), so a regenerated
+    *    table at the same path invalidates the stage even when the row
+    *    count is unchanged — the count-preserving-regeneration hazard a
+    *    row-count key cannot see; fit params are mixed in by
+    *    [[graft.ann.Ivf.fitOrLoad]] from the values actually applied;
+    *  - an OS file lock under the index root serializes the
+    *    check-then-write across JVMs (a Verify run and a test suite over
+    *    the same table race Checkpoints.stage otherwise), and the memo is
+    *    keyed by the owning SparkSession (weakly — entries die with the
+    *    session) so a sibling session is never handed a DataFrame bound to
+    *    another session's state.
     */
   private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (graft.ann.Ivf.Model, DataFrame)]
-  private def sIvfIndex(s: SparkSession, dir: String): (graft.ann.Ivf.Model, DataFrame) =
-    ivfIndexCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-      val e = embTable(s, dir)
-      val n = e.count()
-      val dirKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$dirKey"
-      val resumeKey = graft.text.Hashing.hash64(
-        s"ivf:k=8:n=512:it=5:seed=42:$dir", graft.text.Hashing.mix64(n))
-      val (model, cells) = graft.ann.Ivf.fitOrLoad(s, new graft.pipeline.ParquetTableIO(root),
-        e, "embedding", "vec_id", k = 8, resumeKey = resumeKey)
-      (model, cells)
-    })
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (graft.ann.Ivf.Model, String)]]()
+  private def sIvfIndex(s: SparkSession, dir: String): (graft.ann.Ivf.Model, DataFrame) = {
+    // the memo holds only session-FREE values (Model + stage root): a
+    // cached DataFrame would strongly reference its owning session from
+    // inside a WeakHashMap value, pinning the key forever — the cells
+    // frame is re-derived per call from the persisted stage (plan
+    // creation over parquet, no recompute)
+    val (model, root) = ivfIndexCache.synchronized {
+      val perSession = {
+        val m = ivfIndexCache.get(s)
+        if (m != null) m
+        else {
+          val m2 = scala.collection.mutable.Map.empty[String, (graft.ann.Ivf.Model, String)]
+          ivfIndexCache.put(s, m2); m2
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        val e = embTable(s, dir)
+        // parquet-file fingerprint: every data file's name:length:mtime,
+        // order-stable — O(#files) driver metadata, no data scan; a
+        // regenerated table at the same path changes it even when the row
+        // count does not
+        val tablePath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+        val hfs = tablePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val dataKey = hfs.listStatus(tablePath)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.getName)
+          .foldLeft(graft.text.Hashing.hash64(dir, 0L)) { (acc, st) =>
+            graft.text.Hashing.hash64(
+              s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}", acc)
+          }
+        val dirKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val r = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$dirKey"
+        // cross-JVM lock: Checkpoints.stage is check-then-write; two JVMs
+        // over the same table (Verify + test suite) must not interleave a
+        // read with a mode("overwrite") rewrite of the same files
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(r))
+        val lockCh = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(r, ".graft_ivf_lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = lockCh.lock()
+        try {
+          val (m, _) = graft.ann.Ivf.fitOrLoad(s, new graft.pipeline.ParquetTableIO(r),
+            e, "embedding", "vec_id", k = 8, dataKey = dataKey)
+          (m, r)
+        } finally {
+          lock.release(); lockCh.close()
+        }
+      })
+    }
+    (model, new graft.pipeline.ParquetTableIO(root).read(s, "ivf_cells"))
+  }
 
   /** k-word-gram 60-bit md5 keys for one tokenized doc, ONE udf call per
     * doc (the interpreted transform+md5 column form costs ~4× more — the

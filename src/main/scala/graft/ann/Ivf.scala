@@ -148,16 +148,24 @@ object Ivf {
 
   /** Fit-or-resume the IVF index as checkpoint stages: `ivf_centroids`
     * (k rows) and `ivf_cells` (one (id, cell) row per corpus vector),
-    * written through the caller's [[graft.pipeline.TableIO]] under
-    * `resumeKey` and read back on every later call — the k-means fit and
-    * the corpus-wide cell assignment are paid ONCE per generation, and any
-    * session (this one or a later run over the same generation) probes the
-    * persisted index. Same contract as the pipeline's band-relation stage.
+    * written through the caller's [[graft.pipeline.TableIO]] and read back
+    * on every later call — the k-means fit and the corpus-wide cell
+    * assignment are paid ONCE per generation, and any session (this one or
+    * a later run over the same generation) probes the persisted index.
+    * Same contract as the pipeline's band-relation stage.
+    *
+    * `dataKey` identifies the INPUT DATA only (e.g. a file fingerprint of
+    * the vectors table); the fit hyperparameters are mixed into the stage
+    * resume key HERE, from the values actually applied — a caller cannot
+    * desync the key from the fit by hand-writing "k=8:n=512" while the
+    * defaults drift underneath it.
     */
   def fitOrLoad(spark: SparkSession, io: graft.pipeline.TableIO,
                 vectors: DataFrame, vecCol: String, idCol: String, k: Int,
-                resumeKey: Long, sampleSize: Int = 512, iters: Int = 5,
+                dataKey: Long, sampleSize: Int = 512, iters: Int = 5,
                 seed: Long = 42L): (Model, DataFrame) = {
+    val resumeKey = graft.text.Hashing.hash64(
+      s"ivf:k=$k:n=$sampleSize:it=$iters:seed=$seed", dataKey)
     val cdf = graft.pipeline.Checkpoints.stage(spark, io, "ivf_centroids", resumeKey) {
       centroidsDF(spark, fit(vectors, vecCol, idCol, k, sampleSize, iters, seed))
     }

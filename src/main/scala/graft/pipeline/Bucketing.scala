@@ -69,10 +69,20 @@ object Bucketing {
       val s = java.nio.file.Files.readString(p)
       val b = """"buckets":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
       val lb = s.indexOf('[')
-      if (b.isEmpty || lb < 0) None
+      // the key list must be TERMINATED: a sidecar truncated mid-list
+      // (disk-full / crash mid-write) can still contain whole key tokens
+      // ('{"buckets":64,"keys":["doc_id"' for a (doc_id, block_key)
+      // layout) — parsing those would register a wrong CLUSTERED BY, the
+      // exact silent desync this sidecar exists to prevent. No ']' after
+      // '[' ⇒ unparseable ⇒ plain read.
+      val rb = if (lb < 0) -1 else s.indexOf(']', lb)
+      if (b.isEmpty || lb < 0 || rb < 0) None
       else {
         val ks = """"([A-Za-z0-9_]+)"""".r
-          .findAllMatchIn(s.substring(lb)).map(_.group(1)).toSeq
+          .findAllMatchIn(s.substring(lb, rb + 1)).map(_.group(1)).toSeq
+        // a TERMINATED empty list is not truncation — it is a sidecar that
+        // positively claims "bucketed, no keys", which no writer produces
+        // (writeBucketed requires keys.nonEmpty): loud, not silent
         require(ks.nonEmpty,
           s"corrupt bucket sidecar at $p: buckets=${b.get} parsed but no keys")
         b.map(n => (n, ks))

@@ -143,6 +143,17 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     // garbage with no buckets field at all — also None
     java.nio.file.Files.writeString(sidecar, """not json at all""")
     assert(Bucketing.readBucketMeta(dir).isEmpty)
+    // truncated AFTER '[' with a whole key token intact: parsing the
+    // partial list would register CLUSTERED BY (doc_id) for files laid
+    // out by (doc_id, block_key) — unterminated list must read as None
+    java.nio.file.Files.writeString(sidecar, """{"buckets":8,"keys":["doc_id"""")
+    assert(Bucketing.readBucketMeta(dir).isEmpty)
+    java.nio.file.Files.writeString(sidecar, """{"buckets":8,"keys":["doc_id",""")
+    assert(Bucketing.readBucketMeta(dir).isEmpty)
+    // a terminated list with a dangling brace is NOT truncation of the
+    // keys — the list is complete and trustworthy
+    java.nio.file.Files.writeString(sidecar, """{"buckets":8,"keys":["doc_id"]""")
+    assert(Bucketing.readBucketMeta(dir).contains((8, Seq("doc_id"))))
     // buckets parsed but zero keys: registering a keyless CLUSTERED BY
     // would corrupt the co-location contract — loud failure, not a guess
     java.nio.file.Files.writeString(sidecar, """{"buckets":8,"keys":[]}""")

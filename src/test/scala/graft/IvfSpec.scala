@@ -60,7 +60,7 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     val root = Files.createTempDirectory("graft-ivf-spec").toString
     val io = new graft.pipeline.ParquetTableIO(root)
     val (m1, cells1) = Ivf.fitOrLoad(spark, io, emb, "embedding", "vec_id",
-      k = 8, resumeKey = 42L)
+      k = 8, dataKey = 42L)
     // the persisted model IS the in-memory fit (exact double round-trip)
     val direct = Ivf.fit(emb, "embedding", "vec_id", k = 8)
     assert(m1.centroids.map(_.toSeq).toSeq == direct.centroids.map(_.toSeq).toSeq)
@@ -72,7 +72,7 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     manifests.foreach(p => assert(Files.exists(p), s"missing manifest $p"))
     val mtimes = manifests.map(p => p -> Files.getLastModifiedTime(p)).toMap
     val (m2, cells2) = Ivf.fitOrLoad(spark, io, emb, "embedding", "vec_id",
-      k = 8, resumeKey = 42L)
+      k = 8, dataKey = 42L)
     manifests.foreach(p => assert(Files.getLastModifiedTime(p) == mtimes(p),
       s"stage rewritten on resume: $p"))
     assert(m2.centroids.map(_.toSeq).toSeq == m1.centroids.map(_.toSeq).toSeq)
@@ -89,9 +89,17 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
       .select("q", "n", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(viaIndex == fresh)
     // a changed key (new generation) rewrites the stages
-    Ivf.fitOrLoad(spark, io, emb, "embedding", "vec_id", k = 8, resumeKey = 43L)
+    Ivf.fitOrLoad(spark, io, emb, "embedding", "vec_id", k = 8, dataKey = 43L)
     manifests.foreach(p => assert(Files.getLastModifiedTime(p) != mtimes(p),
       s"stage NOT rewritten on key change: $p"))
+    // changed FIT PARAMS with the same data key also rewrite: the resume
+    // key is built inside fitOrLoad from the parameters actually applied,
+    // so a drifted default can never serve an index fit under old params
+    val mtimes2 = manifests.map(p => p -> Files.getLastModifiedTime(p)).toMap
+    Ivf.fitOrLoad(spark, io, emb, "embedding", "vec_id", k = 8, dataKey = 43L,
+      iters = 7)
+    manifests.foreach(p => assert(Files.getLastModifiedTime(p) != mtimes2(p),
+      s"stage NOT rewritten on param change: $p"))
     Files.walk(Paths.get(root)).iterator().asScala.toList.reverse
       .foreach(Files.deleteIfExists(_))
   }
