@@ -465,25 +465,35 @@ object SparkEntry {
     *    session) so a sibling session is never handed a DataFrame bound to
     *    another session's state.
     */
+  private final class IvfCell {
+    var value: Option[(graft.ann.Ivf.Model, String)] = None
+  }
   private val ivfIndexCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (graft.ann.Ivf.Model, String)]]()
+      scala.collection.mutable.Map[String, IvfCell]]()
   private def sIvfIndex(s: SparkSession, dir: String): (graft.ann.Ivf.Model, DataFrame) = {
     // the memo holds only session-FREE values (Model + stage root): a
     // cached DataFrame would strongly reference its owning session from
     // inside a WeakHashMap value, pinning the key forever — the cells
     // frame is re-derived per call from the persisted stage (plan
-    // creation over parquet, no recompute)
-    val (model, root) = ivfIndexCache.synchronized {
+    // creation over parquet, no recompute). The global monitor guards
+    // ONLY the map insert; the multi-second fit (and the blocking
+    // cross-JVM file-lock wait) runs under the per-(session, dir) cell
+    // lock, so other sessions/dirs never stall behind it (the SessionMemo
+    // lesson).
+    val cell = ivfIndexCache.synchronized {
       val perSession = {
         val m = ivfIndexCache.get(s)
         if (m != null) m
         else {
-          val m2 = scala.collection.mutable.Map.empty[String, (graft.ann.Ivf.Model, String)]
+          val m2 = scala.collection.mutable.Map.empty[String, IvfCell]
           ivfIndexCache.put(s, m2); m2
         }
       }
-      perSession.getOrElseUpdate(dir, {
+      perSession.getOrElseUpdate(dir, new IvfCell)
+    }
+    val (model, root) = cell.synchronized {
+      cell.value.getOrElse {
         val e = embTable(s, dir)
         // parquet-file fingerprint: every data file's name:length:mtime,
         // order-stable — O(#files) driver metadata, no data scan; a
@@ -510,14 +520,17 @@ object SparkEntry {
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)
         val lock = lockCh.lock()
-        try {
-          val (m, _) = graft.ann.Ivf.fitOrLoad(s, new graft.pipeline.ParquetTableIO(r),
-            e, "embedding", "vec_id", k = 8, dataKey = dataKey)
-          (m, r)
-        } finally {
-          lock.release(); lockCh.close()
-        }
-      })
+        val built =
+          try {
+            val (m, _) = graft.ann.Ivf.fitOrLoad(s, new graft.pipeline.ParquetTableIO(r),
+              e, "embedding", "vec_id", k = 8, dataKey = dataKey)
+            (m, r)
+          } finally {
+            lock.release(); lockCh.close()
+          }
+        cell.value = Some(built)
+        built
+      }
     }
     (model, new graft.pipeline.ParquetTableIO(root).read(s, "ivf_cells"))
   }

@@ -45,11 +45,16 @@ object SynthMedia extends MediaResolver {
   def resolve(ref: String): Either[String, Raster] = {
     if (!ref.startsWith("synth://")) return Left(s"not a synth ref: $ref")
     val body = ref.stripPrefix("synth://")
-    val (seedStr, noise) = body.indexOf("?noise=") match {
-      case -1 => (body, 0)
-      case i => (body.substring(0, i), body.substring(i + 7).toInt)
+    val (seedStr, noiseStr) = body.indexOf("?noise=") match {
+      case -1 => (body, "0")
+      case i => (body.substring(0, i), body.substring(i + 7))
     }
-    Right(render(Hashing.hash64(seedStr), noise))
+    // failure contract of the trait: malformed refs are DATA (Left → the
+    // BadMedia side channel), never an executor-killing NumberFormatException
+    scala.util.Try(noiseStr.toInt).toOption match {
+      case Some(noise) => Right(render(Hashing.hash64(seedStr), noise))
+      case None => Left(s"malformed noise parameter in synth ref: $ref")
+    }
   }
 
   def render(seed: Long, noise: Int): Raster = {

@@ -41,6 +41,12 @@ object Multimodal {
   def imageFeatures(media: Dataset[MediaRow])(
       implicit spark: SparkSession): (Dataset[ImageFeatures], Dataset[MediaError]) = {
     import spark.implicits._
+    // the row type is a PAIR OF OPTIONS, not Either: Spark has a product
+    // encoder for it (Either is abstract to the codegen serializer), and
+    // the pair form lets the decoded relation be persisted so that reading
+    // BOTH advertised consumers (features + the bad-record side channel)
+    // costs ONE ImageIO decode + double-pHash pass, not one per consumer —
+    // the same multiple-consumer shape Pipeline.materialize exists for
     val decoded = media.mapPartitions { rows =>
       rows.map { m =>
         Raster.decode(m.bytes) match {
@@ -54,13 +60,15 @@ object Multimodal {
               y += 1
             }
             val n = math.max(img.width * img.height, 1)
-            Right(ImageFeatures(m.doc_id, m.media_ref, img.width, img.height,
-              PHash.dct64(img), r, c, luma / n / 65535.0))
-          case Left(err) => Left(MediaError(m.doc_id, m.media_ref, err))
+            (Some(ImageFeatures(m.doc_id, m.media_ref, img.width, img.height,
+              PHash.dct64(img), r, c, luma / n / 65535.0)),
+              Option.empty[MediaError])
+          case Left(err) =>
+            (Option.empty[ImageFeatures], Some(MediaError(m.doc_id, m.media_ref, err)))
         }
       }
-    }
-    (decoded.flatMap(_.toOption), decoded.flatMap(_.left.toOption))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (decoded.flatMap(_._1), decoded.flatMap(_._2))
   }
 
   /** Image resize-to-thumbnail as a binary→binary column op (PNG bytes). */

@@ -243,6 +243,18 @@ object Pipeline {
   /** Targeted compare (reference E2, `dedupe.go:127-146`): which candidate
     * docs are duplicates of one target doc. The target's band keys are a
     * handful of rows — broadcast against the blocked corpus; no CC needed.
+    *
+    * DELIBERATE divergence from [[run]]'s candidacy: this path accepts ONE
+    * shared band (plus the SimHash prefilter) where the full pipeline
+    * votes `minTextBands` ≥ 2. The vote exists to bound corpus-wide
+    * background collisions (O(N²) expected 1-band hits — BASELINE round-2
+    * census); for a single target the 1-band join costs
+    * O(target_bands × block size), which is bounded, and the looser
+    * candidacy brings E2 CLOSER to the reference's exact radius query
+    * (recall ⊇ the banded pipeline's). Consequence, stated rather than
+    * hidden: compare() may report a duplicate that run() did not link
+    * when the pair shares exactly one text band — E2 answers are a
+    * superset, never a contradiction of a LINKED pair.
     */
   def compare(spark: SparkSession, target: Doc, candidates: Dataset[Doc],
               cfg: GraftConfig = GraftConfig(),

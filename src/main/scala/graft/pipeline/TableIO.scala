@@ -41,11 +41,13 @@ class ParquetTableIO(root: String) extends TableIO {
     // per-partition lineage/metrics record
     val spark = df.sparkSession
     val written = spark.read.parquet(dir(name))
-    val perFile = written
+    val perFileCounts = written
       .select(org.apache.spark.sql.functions.input_file_name().as("f"))
       .groupBy("f").count().collect()
-      .map(r => s"""{"file":${jsonStr(fileTail(r.getString(0)))},"rows":${r.getLong(1)}}""")
-    val rows = perFile.map(_.split("\"rows\":")(1).dropRight(1).toLong).sum
+      .map(r => (fileTail(r.getString(0)), r.getLong(1)))
+    val perFile = perFileCounts
+      .map { case (f, n) => s"""{"file":${jsonStr(f)},"rows":$n}""" }
+    val rows = perFileCounts.map(_._2).sum
     val wallMs = (System.nanoTime() - t0) / 1000000
     val json =
       s"""{"stage":${jsonStr(name)},"resume_key":"$resumeKey","rows":$rows,""" +

@@ -57,10 +57,24 @@ object MediaSource {
   def asDocs(spark: SparkSession, files: DataFrame): Dataset[Doc] = {
     import spark.implicits._
     files.select(col("path")).as[String].map { p =>
-      val local = p.stripPrefix("file:")
+      val local = localPath(p)
       Doc(local, Seq(Span.media(local, 0)))
     }
   }
+
+  /** binaryFile's `path` column → local filesystem path. MEASURED behavior
+    * on this Spark/Hadoop line (probed, and pinned by SourcesSpec's
+    * URI-escape test): Hadoop `Path.toString` emits the path RAW —
+    * "file:/a/my cat.png", "pct%25.png", "ha#sh.png" keep their literal
+    * space/%/# — so the ONLY transform needed is dropping the scheme
+    * prefix. Do NOT URI-decode here: a raw literal "%25" in a filename
+    * would decode to "%", making the real file unresolvable (the string
+    * alone cannot distinguish encoded from literal — the classic Hadoop
+    * Path ambiguity). If a future engine version switches this column to
+    * URI-encoded form, the pinning test fails loudly and this helper is
+    * where the decode belongs.
+    */
+  private[graft] def localPath(p: String): String = p.stripPrefix("file:")
 
   /** S4 list source: the reference reads a target list from stdin
     * (`cmd/dedupe/main.go:110-117`) and dedupes only those files. The Spark

@@ -39,15 +39,20 @@ object TextStats {
     if (toks.isEmpty) return "und"
     var best = "und"
     var bestHits = 0
+    var tiedAtBest = false
     StopWords.toSeq.sortBy(_._1).foreach { case (lang, sw) =>
       if (sw.nonEmpty) {
         var hits = 0
         var j = 0
         while (j < toks.length) { if (sw.contains(toks(j))) hits += 1; j += 1 }
-        if (hits > bestHits) { bestHits = hits; best = lang }
+        if (hits > bestHits) { bestHits = hits; best = lang; tiedAtBest = false }
+        else if (hits == bestHits && hits > 0) tiedAtBest = true
       }
     }
-    best
+    // the documented contract: a TIE at the top is evidence for neither
+    // language — "und", not the alphabetically-first contender (which
+    // would systematically bias tied multilingual docs toward 'de')
+    if (tiedAtBest) "und" else best
   }
 
   final case class Quality(nChars: Int, nWords: Int, meanWordLen: Double,

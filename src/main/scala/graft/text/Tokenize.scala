@@ -63,10 +63,39 @@ object Tokenize {
     }
   }
 
+  /** The whitespace-collapsed, lowercased normal form shared by
+    * [[charShingles]] and [[shingleHashes]] — ONE definition so the
+    * string path and the allocation-free hashing path cannot diverge.
+    * Per-char `Character.toLowerCase` is deliberate (vs
+    * `String.toLowerCase`): it is locale-free, deterministic, and
+    * length-preserving — full-string mappings (U+0130 → "i"+combining
+    * dot, Greek final sigma) change lengths/windows and would desync the
+    * two paths — and `Character.isWhitespace` covers the Unicode space
+    * set the ASCII-only regex `\s+` missed. Identical to the old
+    * regex normal form on ASCII text.
+    */
+  private[text] def normalForm(text: String): String = {
+    val buf = new Array[Char](text.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) { if (n > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { buf(n) = ' '; n += 1; pendingSpace = false }
+        buf(n) = Character.toLowerCase(c)
+        n += 1
+      }
+      i += 1
+    }
+    new String(buf, 0, n)
+  }
+
   /** Character k-shingles over the whitespace-normalized, lowercased text. */
   def charShingles(text: String, k: Int): Array[String] = {
     if (text == null) return Array.empty
-    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val norm = normalForm(text)
     if (norm.isEmpty) Array.empty
     else if (norm.length <= k) Array(norm)
     else {
@@ -86,21 +115,10 @@ object Tokenize {
     */
   def shingleHashes(text: String, k: Int): Array[Long] = {
     if (text == null) return Array.empty
-    // normalize: lowercase, collapse whitespace runs to ' ', trim
-    val buf = new Array[Char](text.length)
-    var n = 0
-    var i = 0
-    var pendingSpace = false
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (Character.isWhitespace(c)) { if (n > 0) pendingSpace = true }
-      else {
-        if (pendingSpace) { buf(n) = ' '; n += 1; pendingSpace = false }
-        buf(n) = Character.toLowerCase(c)
-        n += 1
-      }
-      i += 1
-    }
+    // ONE normal form with charShingles (see [[normalForm]]) — the
+    // equivalence below is structural, not re-proven at every edit
+    val buf = normalForm(text).toCharArray
+    val n = buf.length
     if (n == 0) return Array.empty
     val wins = if (n <= k) 1 else n - k + 1
     val len = math.min(k, n)

@@ -73,6 +73,37 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asDocs yields resolvable paths for names with URI-special chars") {
+    // PINNING test for the Hadoop Path ambiguity: this Spark line emits
+    // the binaryFile `path` column RAW (space/%/# literal, probed), so
+    // asDocs must NOT URI-decode — a literal "%25" would corrupt to "%".
+    // If a future engine version switches the column to URI-encoded form,
+    // this test fails loudly and MediaSource.localPath is where the
+    // decode belongs.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-uri").toFile
+    try {
+      val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      javax.imageio.ImageIO.write(img, "png", new java.io.File(tmp, "my cat.png"))
+      javax.imageio.ImageIO.write(img, "png", new java.io.File(tmp, "pct%25.png"))
+      javax.imageio.ImageIO.write(img, "png", new java.io.File(tmp, "ha#sh.png"))
+      val docs = MediaSource.asDocs(spark,
+        MediaSource.scanImages(spark, tmp.getAbsolutePath, recursive = false)).collect()
+      assert(docs.length == 3)
+      docs.foreach { d =>
+        assert(new java.io.File(d.doc_id).isFile, s"unresolvable doc_id ${d.doc_id}")
+        assert(d.doc_id == d.spans.head.media_ref)
+      }
+      assert(docs.exists(_.doc_id.endsWith("/my cat.png")))
+      assert(docs.exists(_.doc_id.endsWith("/pct%25.png")))
+      assert(docs.exists(_.doc_id.endsWith("/ha#sh.png")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("restrictTo semi-joins docs against an external id list") {
     import spark.implicits._
     val docs = spark.createDataset(Seq(

@@ -102,6 +102,22 @@ class TextKernelSpec extends AnyFunSuite {
     assert(TextStats.langId("der hund und die katze ist ein tier mit von zu") == "de")
     assert(TextStats.langId("这是一个中文句子 完全没有拉丁字母") == "zh")
     assert(TextStats.langId("") == "und")
+    // the documented tie contract: equal top hit counts are evidence for
+    // neither language — und, not the alphabetically-first contender
+    assert(TextStats.langId("der the") == "und")
+    assert(TextStats.langId("le el") == "und")
+  }
+
+  test("shingleHashes and charShingles share ONE normal form, incl. non-ASCII") {
+    def viaStrings(t: String, k: Int): Set[Long] =
+      Tokenize.charShingles(t, k).map(Hashing.hash64(_)).toSet
+    // the chars where String.toLowerCase diverges from per-char lowercase:
+    // U+0130 (length-changing full mapping) and Greek final sigma
+    // (contextual full mapping) — both paths must still agree
+    for (t <- Seq("İstanbul İZMİR", "ΣΟΦΟΣ ΛΟΓΟΣ", "plain ascii text",
+                  "tab\tand line separators", "  leading and trailing  ")) {
+      assert(Tokenize.shingleHashes(t, 7).toSet == viaStrings(t, 7), t)
+    }
   }
 
   test("quality score orders clean text above punctuation soup") {
