@@ -159,7 +159,13 @@ object Bench {
     while (spreadSuspect && trialSecs.length < 9) { extended = true; runTrial() }
     val loadSuspect = spreadSuspect || extended
     val loadEnd = loadAvg1m
-    val pipelineSec = trialSecs.sorted.apply(trialSecs.length / 2) // median
+    // true median: for EVEN trial counts, the mean of the two middle
+    // elements — sorted(len/2) alone is the upper-middle (slower) trial,
+    // which on a 2-trial leg makes the warmup trial the whole headline
+    val sortedSecs = trialSecs.sorted
+    val pipelineSec =
+      if (sortedSecs.length % 2 == 1) sortedSecs(sortedSecs.length / 2)
+      else (sortedSecs(sortedSecs.length / 2 - 1) + sortedSecs(sortedSecs.length / 2)) / 2.0
     docs.unpersist()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -471,6 +471,10 @@ object SparkEntry {
   private val ivfIndexCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, IvfCell]]()
+  // one monitor per index root, JVM-wide (bounded: one entry per distinct
+  // table dir ever queried) — see the same-JVM note at the lock site
+  private val ivfRootMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def sIvfIndex(s: SparkSession, dir: String): (graft.ann.Ivf.Model, DataFrame) = {
     // the memo holds only session-FREE values (Model + stage root): a
     // cached DataFrame would strongly reference its owning session from
@@ -513,14 +517,19 @@ object SparkEntry {
         val r = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$dirKey"
         // cross-JVM lock: Checkpoints.stage is check-then-write; two JVMs
         // over the same table (Verify + test suite) must not interleave a
-        // read with a mode("overwrite") rewrite of the same files
+        // read with a mode("overwrite") rewrite of the same files.
+        // Same-JVM contenders (two SESSIONS over one dir — each has its
+        // own IvfCell, so cell.synchronized does not serialize them) must
+        // be serialized BEFORE the file lock: FileChannel.lock THROWS
+        // OverlappingFileLockException, it does not wait, when this JVM
+        // already holds the lock — hence the JVM-global per-root monitor.
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(r))
-        val lockCh = java.nio.channels.FileChannel.open(
-          java.nio.file.Paths.get(r, ".graft_ivf_lock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        val lock = lockCh.lock()
-        val built =
+        val built = ivfRootMonitors.computeIfAbsent(r, _ => new Object).synchronized {
+          val lockCh = java.nio.channels.FileChannel.open(
+            java.nio.file.Paths.get(r, ".graft_ivf_lock"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          val lock = lockCh.lock()
           try {
             val (m, _) = graft.ann.Ivf.fitOrLoad(s, new graft.pipeline.ParquetTableIO(r),
               e, "embedding", "vec_id", k = 8, dataKey = dataKey)
@@ -528,6 +537,7 @@ object SparkEntry {
           } finally {
             lock.release(); lockCh.close()
           }
+        }
         cell.value = Some(built)
         built
       }
@@ -2273,7 +2283,11 @@ object SparkEntry {
           javax.imageio.ImageIO.write(bi, "png", bos)
           graft.media.Multimodal.MediaRow(id.toString, s"img-$id", "image/png", bos.toByteArray)
         }
-      val (feats, _) = graft.media.Multimodal.imageFeatures(media)(s)
+      // single-consumer use: drop the multi-consumer cache marker up front
+      // (evaluation then decodes once, uncached — nothing strands in
+      // storage memory across repeated query runs in one session)
+      val (feats, _, releaseDecoded) = graft.media.Multimodal.imageFeatures(media)(s)
+      releaseDecoded()
       feats.toDF().select(col("doc_id").cast("long").as("doc_id"),
         col("width"), col("height"), col("phash"), col("dhash_row"), col("dhash_col"))
         .orderBy("doc_id")

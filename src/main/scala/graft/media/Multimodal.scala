@@ -39,14 +39,18 @@ object Multimodal {
     * the partition). Returns (features, errors) side-by-side.
     */
   def imageFeatures(media: Dataset[MediaRow])(
-      implicit spark: SparkSession): (Dataset[ImageFeatures], Dataset[MediaError]) = {
+      implicit spark: SparkSession): (Dataset[ImageFeatures], Dataset[MediaError], () => Unit) = {
     import spark.implicits._
     // the row type is a PAIR OF OPTIONS, not Either: Spark has a product
     // encoder for it (Either is abstract to the codegen serializer), and
     // the pair form lets the decoded relation be persisted so that reading
     // BOTH advertised consumers (features + the bad-record side channel)
     // costs ONE ImageIO decode + double-pHash pass, not one per consumer —
-    // the same multiple-consumer shape Pipeline.materialize exists for
+    // the same multiple-consumer shape Pipeline.materialize exists for.
+    // The third element releases that persisted relation — without it a
+    // long-lived session calling imageFeatures per batch strands one
+    // decoded relation per call (the release contract every other
+    // multi-consumer API here carries: Pipeline.Result, LinkResult, ...)
     val decoded = media.mapPartitions { rows =>
       rows.map { m =>
         Raster.decode(m.bytes) match {
@@ -68,7 +72,7 @@ object Multimodal {
         }
       }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (decoded.flatMap(_._1), decoded.flatMap(_._2))
+    (decoded.flatMap(_._1), decoded.flatMap(_._2), () => { decoded.unpersist(); () })
   }
 
   /** Image resize-to-thumbnail as a binary→binary column op (PNG bytes). */
@@ -349,6 +353,10 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[MediaRow], everyNth: Int, maxFrames: Int)(
       implicit spark: SparkSession): Dataset[FrameSample] = {
+    // driver-side usage errors, not executor task deaths: everyNth = 0
+    // would otherwise throw `step cannot be 0` inside every task
+    require(everyNth > 0, s"everyNth must be positive (got $everyNth)")
+    require(maxFrames > 0, s"maxFrames must be positive (got $maxFrames)")
     import spark.implicits._
     media.flatMap { m =>
       def stub: Seq[FrameSample] = {

@@ -94,9 +94,20 @@ object Pipeline {
     val sigs: Dataset[DocSig] = sigResults.select("sig.*").as[DocSig]
     val badMedia = sigResults.select(explode(col("errors")).as("e")).select("e.*")
 
-    // 2-3. blocking + candidate pairs (census + salted self-join)
-    val (cands, stats, releaseBlocks) = Blocking.candidatePairs(sigs, cfg)
-    val candidates = materialize("candidates", Hashing.hash64(baseKey, 2L))(cands)
+    // 2-3. blocking + candidate pairs (census + salted self-join).
+    // Constructed INSIDE the materialize thunk: candidatePairs runs its
+    // hot-key census collect() eagerly (a full band-relation groupBy — the
+    // largest scan in the pipeline), so building it before the checkpoint
+    // manifest is consulted would pay that O(corpus) pass on every RESUMED
+    // run just to throw it away. On a resume the census never runs, so
+    // stats honestly reads all-zeros (nothing was dropped/salted THIS run).
+    var stats = Blocking.BlockStats(0L, 0L, 0L)
+    var releaseBlocks: () => Unit = () => ()
+    val candidates = materialize("candidates", Hashing.hash64(baseKey, 2L)) {
+      val (cands, s0, rel) = Blocking.candidatePairs(sigs, cfg)
+      stats = s0; releaseBlocks = rel
+      cands
+    }
     releaseBlocks()
 
     // 4. exact scoring → duplicate edges
@@ -291,7 +302,14 @@ object Pipeline {
       .groupBy("a", "b")
       .agg(min("media_dist").as("media_dist"), min("sim_ham").as("sim_ham"))
 
-    val allSigs = sigs.union(targetSigs)
+    // the target may ALSO be in `candidates` (reference-style invocation:
+    // `graft cat.jpg photos/` with cat.jpg inside photos/). Its doc_id
+    // would then appear twice in the union, and Pairs.score's per-endpoint
+    // id joins fan every (dup, target) row out into duplicates — an
+    // inflated count, double-printed members, and each destructive action
+    // planned twice (the second delete/move fails). Keep exactly one
+    // signature row per id: the corpus copy of the target id is dropped.
+    val allSigs = sigs.filter(col("doc_id") =!= target.doc_id).union(targetSigs)
     val scored = Pairs.score(cand, allSigs, cfg)
     val t = target.doc_id
     val out = scored.filter(col("is_dup"))

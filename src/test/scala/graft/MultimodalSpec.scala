@@ -22,7 +22,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     import s.implicits._
     val good = MediaRow("d1", "m1", "image/png", pngBytes("mm-1"))
     val bad = MediaRow("d2", "m2", "image/png", Array[Byte](1, 2, 3))
-    val (feats, errs) = Multimodal.imageFeatures(s.createDataset(Seq(good, bad)))
+    val (feats, errs, release) = Multimodal.imageFeatures(s.createDataset(Seq(good, bad)))
     val f = feats.collect()
     assert(f.length == 1 && f(0).doc_id == "d1")
     assert(f(0).width == 32 && f(0).height == 32)
@@ -31,6 +31,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f(0).mean_luma > 0.0 && f(0).mean_luma < 1.0)
     val e = errs.collect()
     assert(e.length == 1 && e(0).doc_id == "d2")
+    release()
   }
 
   test("thumbnail: binary->binary op produces decodable resized PNG") {
@@ -53,6 +54,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val audio = Multimodal.audioFeatures(media).collect()
     assert(audio.length == 3)
     assert(audio.map(_.getAs[scala.collection.Seq[Long]]("audio_fp")).forall(_.length == 32))
+
+    // parameter guards are driver-side usage errors, not executor deaths
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(media, everyNth = 0, maxFrames = 10))
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(media, everyNth = 2, maxFrames = 0))
 
     val frames = Multimodal.sampleFrames(media, everyNth = 2, maxFrames = 10)
     val byDoc = frames.collect().groupBy(_.doc_id)

@@ -111,6 +111,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"missing duplicates: ${expected -- found}")
   }
 
+  test("targeted compare: target inside the candidate set does not duplicate rows") {
+    implicit val s = spark
+    import s.implicits._
+    // reference-style invocation (`graft cat.jpg photos/` with cat.jpg in
+    // photos/): the target's own doc_id is ALSO in candidates. Its
+    // signature must count once in phase-2 scoring — a doubled id fans
+    // every (dup, target) row out into duplicates, inflating the report
+    // and planning each destructive action twice
+    val grouped = labeled.groupBy(_.label).values.filter(_.size > 1).minBy(_.head.doc.doc_id)
+    val target = grouped.head.doc
+    val found = Pipeline.compare(s, target, s.createDataset(docsSeq), Corpus.RecommendedConfig)
+      .select("doc_id").as[String].collect()
+    assert(found.length == found.distinct.length,
+      s"duplicate rows in compare output: ${found.groupBy(identity).filter(_._2.length > 1).keys}")
+    assert(!found.contains(target.doc_id), "target reported as its own duplicate")
+    val expected = grouped.map(_.doc.doc_id).toSet - target.doc_id
+    assert(expected.subsetOf(found.toSet), s"missing duplicates: ${expected -- found.toSet}")
+  }
+
   test("media-only docs: clustering reduces to the reference radius predicate") {
     implicit val s = spark
     import s.implicits._

@@ -46,6 +46,31 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(first == second)
   }
 
+  test("resume skips the hot-key census entirely (no eager O(corpus) collect)") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = tempDir().toString
+    val docs = s.createDataset(Corpus.generate(Corpus.Params(entities = 40)).map(_.doc))
+    Pipeline.run(s, docs, Corpus.RecommendedConfig, checkpointDir = Some(dir)).clusters.count()
+    // the census announces itself on stderr ("[graft]   census: ...") —
+    // a resumed run with a completed candidates stage must never reach it:
+    // candidatePairs' collect() is the largest scan in the pipeline and
+    // used to run eagerly at plan-construction time, before the manifest
+    // check, wasting a full band pass on every resume
+    val realErr = System.err
+    val buf = new java.io.ByteArrayOutputStream()
+    val r2 = try {
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      Pipeline.run(s, docs, Corpus.RecommendedConfig, checkpointDir = Some(dir))
+    } finally System.setErr(realErr)
+    r2.clusters.count()
+    r2.release()
+    assert(!buf.toString("UTF-8").contains("census:"),
+      "hot-key census ran on a fully-resumed pipeline")
+    // and the contract value: nothing was dropped/salted THIS run
+    assert(r2.stats == graft.pipeline.Blocking.BlockStats(0L, 0L, 0L))
+  }
+
   test("config change invalidates the resume key and forces recompute") {
     implicit val s = spark
     import s.implicits._
