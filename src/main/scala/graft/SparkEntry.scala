@@ -2855,6 +2855,48 @@ object SparkEntry {
         .orderBy("q", "rank")
     }),
 
+    // PQ-ADC ANN evaluation (memory-bounded scale path, [[graft.ann.Pq]];
+    // golden-snapshot oracle): recall@10 of asymmetric product-quantization
+    // search against exact inner-product truth for the 50-query sample, per
+    // m ∈ {8, 16, 32} subspaces at 16 centroids each — 4-bit codes, so
+    // 4/8/16 bytes per vector vs the 256-byte raw embedding. The emitted
+    // curve is the compression/recall trade that picks a code width at
+    // 10^12 vectors (measured 0.272/0.440/0.668 on these ISOTROPIC
+    // synthetic embeddings — the hardest case for quantizers, same caveat
+    // as q_ann_recall; DiagPq holds the wider census). The corpus-side scan
+    // is the narrow (id, code) relation with the query LUTs broadcast (no
+    // vector shuffle), the same plan family as the IVF probe. Truth is
+    // exact INNER PRODUCT (what ADC approximates), not cosine — documented
+    // difference vs q_ann_recall's metric.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = embTable(s, dir)
+      val queries = e.filter(col("vec_id") < 50)
+      val w = Window.partitionBy("q").orderBy(col("dot").desc, col("n"))
+      val truth = queries.select(col("vec_id").as("q"), col("embedding").as("qv"))
+        .crossJoin(e.select(col("vec_id").as("n"), col("embedding").as("nv")))
+        .filter(col("q") =!= col("n"))
+        .select(col("q"), col("n"), dotCol(col("qv"), col("nv")).as("dot"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("q", "n").localCheckpoint(true)
+      val gots = Seq(8, 16, 32).map { m =>
+        val model = graft.ann.Pq.fit(e, "embedding", "vec_id", m = m, k = 16)
+        val codes = graft.ann.Pq.encode(e, "embedding", model)
+          .select(col("vec_id"), col("code"))
+        graft.ann.Pq.adcTopK(queries, codes, model, "embedding", "vec_id", k = 10)
+          .select(lit(m).as("m_sub"), col("q"), col("n"))
+      }.reduce(_ unionByName _)
+      val hits = truth.join(gots, Seq("q", "n"))
+        .groupBy("m_sub").agg(count(lit(1)).as("n_hits"))
+      // literal m grid so a zero-hit code width still emits its row
+      val grid = s.range(3, 6).select(expr("cast(1 << id AS int)").as("m_sub"))
+      grid.join(hits, Seq("m_sub"), "left").na.fill(0L, Seq("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("m_sub"), (col("m_sub") / 2).cast("int").as("code_bytes"),
+          col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
+        .orderBy("m_sub")
+    }),
+
     // ---- relational coverage (scan/filter/agg/join/window/sort/set ops) ---
 
     "q1_agg" -> ((s, dir) => {
@@ -3136,6 +3178,7 @@ object SparkEntry {
 
     golden("q_ann_ivf"),
     golden("q_ann_lsh"),
+    golden("q_ann_pq"),
     golden("q_ann_recall"),
     golden("q_audio_near_dups"),
     golden("q_canopy"),

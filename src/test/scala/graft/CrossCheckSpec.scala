@@ -366,6 +366,100 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(expected.head._4 < expected.last._4)
   }
 
+  test("q_ann_pq: PQ fit, encode, ADC scores and recall re-derived from first principles") {
+    // Independent mirror of the whole PQ-ADC evaluator: per-subspace Lloyd
+    // k-means, code argmin, query LUTs, ADC ranking and the per-m hit
+    // counts are all re-implemented here in plain Scala; only the sample
+    // ORDER (Spark's xxhash64 builtin) is taken from the engine, because it
+    // defines which rows the fit sees and the fp order of the centroid
+    // sums — the same convention as the q_ann_ivf rederivation.
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val sampleIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id")).orderBy(xxhash64(col("vec_id"), lit(42L)), col("vec_id"))
+      .limit(512).collect().map(_.getLong(0))
+    val sample = sampleIds.map(id => vecs(id).map(_.toDouble))
+    val dim = 64
+
+    def fitPq(m: Int, k: Int): Array[Array[Array[Double]]] = {
+      val sub = dim / m
+      Array.tabulate(m) { s0 =>
+        val svs = sample.map(v => v.slice(s0 * sub, (s0 + 1) * sub))
+        var cents = svs.take(k).map(_.clone())
+        def sqD(cent: Array[Double], v: Array[Double]): Double = {
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = v(i) - cent(i); d += t * t; i += 1 }
+          d
+        }
+        for (_ <- 0 until 5) {
+          val assign = svs.map(v => cents.indices.minBy(c => (sqD(cents(c), v), c)))
+          cents = cents.indices.toArray.map { c =>
+            val mine = svs.zip(assign).collect { case (v, a) if a == c => v }
+            if (mine.isEmpty) cents(c)
+            else mine.transpose.map(_.sum / mine.length)
+          }
+        }
+        cents
+      }
+    }
+    // exact inner-product truth: top-10 by (dot desc, n), left-to-right fold
+    def dotExact(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      d
+    }
+    val qs = vecs.keys.filter(_ < 50).toSeq.sorted
+    val truth: Map[Long, Set[Long]] = qs.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, dotExact(vecs(q), vecs(n))))
+        .sortBy { case (n, d) => (-d, n) }.take(10).map(_._1).toSet
+    }.toMap
+    val nTruth = truth.values.map(_.size).sum
+    val expected = Seq(8, 16, 32).map { m =>
+      val cbs = fitPq(m, 16)
+      val sub = dim / m
+      // encode: per-subspace argmin over the double-cast full vector
+      val codeOf = vecs.map { case (id, v) =>
+        val vd = v.map(_.toDouble)
+        id -> Array.tabulate(m) { s0 =>
+          cbs(s0).indices.minBy { c =>
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = vd(s0 * sub + i) - cbs(s0)(c)(i); d += t * t; i += 1 }
+            (d, c)
+          }
+        }
+      }
+      // ADC: sum over subspaces of dot(query subvector, coded centroid)
+      def adc(q: Array[Float], code: Array[Int]): Double = {
+        var sc = 0.0; var s0 = 0
+        while (s0 < m) {
+          var d = 0.0; var i = 0
+          while (i < sub) { d += q(s0 * sub + i).toDouble * cbs(s0)(code(s0))(i); i += 1 }
+          sc += d
+          s0 += 1
+        }
+        sc
+      }
+      val hits = qs.map { q =>
+        val got = vecs.keys.filter(_ != q).toSeq
+          .map(n => (n, adc(vecs(q), codeOf(n))))
+          .sortBy { case (n, s) => (-s, n) }.take(10).map(_._1).toSet
+        (truth(q) & got).size
+      }.sum
+      (m, m / 2, hits.toLong, nTruth.toLong,
+        BigDecimal(hits.toDouble / nTruth)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val emitted = SparkEntry.queries("q_ann_pq")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(emitted == expected, s"emitted=$emitted expected=$expected")
+    // the compression/recall curve is a real monotone trade on this corpus
+    assert(expected.map(_._5) == expected.map(_._5).sorted)
+    assert(expected.head._5 < expected.last._5)
+  }
+
   test("q_audio_near_dups: pair set re-derived by sequential brute force over the real WAV fingerprints") {
     // The golden locks the distributed posexplode→equi-join→agg plumbing;
     // this re-derives the SAME answer with nested loops: every item pair,
