@@ -2897,6 +2897,46 @@ object SparkEntry {
         .orderBy("m_sub")
     }),
 
+    // IVF-PQ composition (the production 10^12-vector architecture: coarse
+    // cells prune the corpus to nprobe/K, 4-bit PQ codes score the
+    // survivors — raw vectors touch NEITHER index relation): recall@10 vs
+    // exact inner-product truth per nprobe ∈ {2, 4, 8} over the persisted
+    // 8-cell IVF index and an m=16 codebook. nprobe=8 probes every cell, so
+    // its row isolates pure quantization loss and must equal q_ann_pq's
+    // m=16 reading (0.440) — an internal consistency anchor the
+    // CrossCheckSpec rederivation also asserts; narrower probes compound
+    // cell-pruning loss on top (measured 0.354/0.402/0.440 at sf0.01).
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = embTable(s, dir)
+      val (ivfModel, cells) = sIvfIndex(s, dir)
+      val queries = e.filter(col("vec_id") < 50)
+      val pqModel = graft.ann.Pq.fit(e, "embedding", "vec_id", m = 16, k = 16)
+      val codes = graft.ann.Pq.encode(e, "embedding", pqModel)
+        .select(col("vec_id"), col("code"))
+      val w = Window.partitionBy("q").orderBy(col("dot").desc, col("n"))
+      val truth = queries.select(col("vec_id").as("q"), col("embedding").as("qv"))
+        .crossJoin(e.select(col("vec_id").as("n"), col("embedding").as("nv")))
+        .filter(col("q") =!= col("n"))
+        .select(col("q"), col("n"), dotCol(col("qv"), col("nv")).as("dot"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("q", "n").localCheckpoint(true)
+      val gots = Seq(2, 4, 8).map { np =>
+        val probed = graft.ann.Ivf.withProbes(queries, "embedding", ivfModel, np)
+        graft.ann.Pq.adcTopKProbed(probed, cells, codes, pqModel,
+            "embedding", "vec_id", k = 10)
+          .select(lit(np).as("nprobe"), col("q"), col("n"))
+      }.reduce(_ unionByName _)
+      val hits = truth.join(gots, Seq("q", "n"))
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      // literal nprobe grid so a zero-hit setting still emits its row
+      val grid = s.range(1, 4).select(expr("cast(1 << id AS int)").as("nprobe"))
+      grid.join(hits, Seq("nprobe"), "left").na.fill(0L, Seq("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("nprobe"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
+        .orderBy("nprobe")
+    }),
+
     // ---- relational coverage (scan/filter/agg/join/window/sort/set ops) ---
 
     "q1_agg" -> ((s, dir) => {
@@ -3177,6 +3217,7 @@ object SparkEntry {
         |FROM h ORDER BY s""".stripMargin,
 
     golden("q_ann_ivf"),
+    golden("q_ann_ivfpq"),
     golden("q_ann_lsh"),
     golden("q_ann_pq"),
     golden("q_ann_recall"),

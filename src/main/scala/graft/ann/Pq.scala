@@ -115,17 +115,14 @@ object Pq {
     df.withColumn("code", encUdf(col(vecCol)))
   }
 
-  /** Top-k approximate inner-product neighbours of each query among the
-    * coded corpus (asymmetric: exact query subvectors against quantized
-    * corpus codes). Output (q, n, rank, adc); ties rank by n ascending,
-    * self matches excluded. `codes` must carry (idCol, code) as produced
-    * by [[encode]]; vectors never join — the scan side is codes only.
+  /** Per-query LUT: m×k partial inner products of the query's subvectors
+    * against every sub-centroid, flattened (s0 * k + c), each entry a
+    * left-to-right double fold.
     */
-  def adcTopK(queries: DataFrame, codes: DataFrame, model: Model,
-              vecCol: String, idCol: String, k: Int): DataFrame = {
+  private def lutUdfFor(model: Model) = {
     val cbs = model.codebooks
     val kk = model.k
-    val lutUdf = udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Float]) =>
       val sub = cbs(0)(0).length
       val lut = new Array[Double](cbs.length * kk)
       var s0 = 0
@@ -141,15 +138,62 @@ object Pq {
       }
       lut
     }
-    val scoreUdf = udf { (lut: Seq[Double], code: Seq[Int]) =>
+  }
+
+  /** ADC score of one code against one LUT: m lookups + adds, subspaces
+    * ascending.
+    */
+  private def scoreUdfFor(model: Model) = {
+    val kk = model.k
+    udf { (lut: Seq[Double], code: Seq[Int]) =>
       var sc = 0.0; var s0 = 0
       while (s0 < code.length) { sc += lut(s0 * kk + code(s0)); s0 += 1 }
       sc
     }
+  }
+
+  /** Top-k approximate inner-product neighbours of each query among the
+    * coded corpus (asymmetric: exact query subvectors against quantized
+    * corpus codes). Output (q, n, rank, adc); ties rank by n ascending,
+    * self matches excluded. `codes` must carry (idCol, code) as produced
+    * by [[encode]]; vectors never join — the scan side is codes only.
+    */
+  def adcTopK(queries: DataFrame, codes: DataFrame, model: Model,
+              vecCol: String, idCol: String, k: Int): DataFrame = {
+    val lutUdf = lutUdfFor(model)
+    val scoreUdf = scoreUdfFor(model)
     val q = queries.select(col(idCol).as("q"), lutUdf(col(vecCol)).as("lut"))
     val scored = broadcast(q)
       .join(codes.select(col(idCol).as("n"), col("code")), col("q") =!= col("n"))
       .select(col("q"), col("n"), scoreUdf(col("lut"), col("code")).as("adc"))
+    val w = Window.partitionBy("q").orderBy(col("adc").desc, col("n"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ: [[adcTopK]] restricted to an IVF candidate set — the
+    * composed production architecture at 10^12 vectors (coarse cells prune
+    * the corpus to nprobe/K, 4-bit codes score the survivors; both index
+    * relations are narrow and persistable, raw vectors touch neither).
+    * `queriesWithCell` carries one row per (query, probed cell) as produced
+    * by [[Ivf.withProbes]]; `cells` is the (idCol, cell) corpus relation;
+    * `codes` as from [[encode]]. Output (q, n, rank, adc) like [[adcTopK]];
+    * a multi-probe duplicate candidate is defensively collapsed by max
+    * (both probes yield the identical ADC score).
+    */
+  def adcTopKProbed(queriesWithCell: DataFrame, cells: DataFrame,
+                    codes: DataFrame, model: Model, vecCol: String,
+                    idCol: String, k: Int): DataFrame = {
+    val lutUdf = lutUdfFor(model)
+    val scoreUdf = scoreUdfFor(model)
+    val q = queriesWithCell
+      .select(col(idCol).as("q"), lutUdf(col(vecCol)).as("lut"), col("cell"))
+    val cand = broadcast(q)
+      .join(cells.select(col(idCol).as("n"), col("cell")), Seq("cell"))
+      .filter(col("q") =!= col("n"))
+    val scored = cand
+      .join(codes.select(col(idCol).as("n"), col("code")), Seq("n"))
+      .select(col("q"), col("n"), scoreUdf(col("lut"), col("code")).as("adc"))
+      .groupBy("q", "n").agg(max("adc").as("adc"))
     val w = Window.partitionBy("q").orderBy(col("adc").desc, col("n"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -366,87 +366,104 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(expected.head._4 < expected.last._4)
   }
 
-  test("q_ann_pq: PQ fit, encode, ADC scores and recall re-derived from first principles") {
-    // Independent mirror of the whole PQ-ADC evaluator: per-subspace Lloyd
-    // k-means, code argmin, query LUTs, ADC ranking and the per-m hit
-    // counts are all re-implemented here in plain Scala; only the sample
-    // ORDER (Spark's xxhash64 builtin) is taken from the engine, because it
-    // defines which rows the fit sees and the fp order of the centroid
-    // sums — the same convention as the q_ann_ivf rederivation.
-    import org.apache.spark.sql.functions.{col, lit, xxhash64}
-    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+  // ---- shared plain-Scala PQ mirror (q_ann_pq + q_ann_ivfpq rederivations):
+  // per-subspace Lloyd k-means, code argmin, ADC — all independent code;
+  // only the sample ORDER (Spark's xxhash64 builtin) is taken from the
+  // engine, because it defines which rows the fit sees and the fp order of
+  // the centroid sums — the same convention as the q_ann_ivf rederivation.
+  private val pqDim = 64
+  private lazy val pqVecs: Map[Long, Array[Float]] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val sampleIds = spark.read.parquet(s"$dir/embeddings.parquet")
+  private lazy val pqSample: Array[Array[Double]] = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id")).orderBy(xxhash64(col("vec_id"), lit(42L)), col("vec_id"))
-      .limit(512).collect().map(_.getLong(0))
-    val sample = sampleIds.map(id => vecs(id).map(_.toDouble))
-    val dim = 64
+      .limit(512).collect().map(r => pqVecs(r.getLong(0)).map(_.toDouble))
+  }
 
-    def fitPq(m: Int, k: Int): Array[Array[Array[Double]]] = {
-      val sub = dim / m
-      Array.tabulate(m) { s0 =>
-        val svs = sample.map(v => v.slice(s0 * sub, (s0 + 1) * sub))
-        var cents = svs.take(k).map(_.clone())
-        def sqD(cent: Array[Double], v: Array[Double]): Double = {
+  private def fitPqMirror(m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val sub = pqDim / m
+    Array.tabulate(m) { s0 =>
+      val svs = pqSample.map(v => v.slice(s0 * sub, (s0 + 1) * sub))
+      var cents = svs.take(k).map(_.clone())
+      def sqD(cent: Array[Double], v: Array[Double]): Double = {
+        var d = 0.0; var i = 0
+        while (i < sub) { val t = v(i) - cent(i); d += t * t; i += 1 }
+        d
+      }
+      for (_ <- 0 until 5) {
+        val assign = svs.map(v => cents.indices.minBy(c => (sqD(cents(c), v), c)))
+        cents = cents.indices.toArray.map { c =>
+          val mine = svs.zip(assign).collect { case (v, a) if a == c => v }
+          if (mine.isEmpty) cents(c)
+          else mine.transpose.map(_.sum / mine.length)
+        }
+      }
+      cents
+    }
+  }
+
+  /** Encode every corpus vector: per-subspace argmin over the double-cast
+    * full vector (ties → lowest index).
+    */
+  private def pqCodesMirror(cbs: Array[Array[Array[Double]]]): Map[Long, Array[Int]] = {
+    val m = cbs.length
+    val sub = pqDim / m
+    pqVecs.map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      id -> Array.tabulate(m) { s0 =>
+        cbs(s0).indices.minBy { c =>
           var d = 0.0; var i = 0
-          while (i < sub) { val t = v(i) - cent(i); d += t * t; i += 1 }
-          d
+          while (i < sub) { val t = vd(s0 * sub + i) - cbs(s0)(c)(i); d += t * t; i += 1 }
+          (d, c)
         }
-        for (_ <- 0 until 5) {
-          val assign = svs.map(v => cents.indices.minBy(c => (sqD(cents(c), v), c)))
-          cents = cents.indices.toArray.map { c =>
-            val mine = svs.zip(assign).collect { case (v, a) if a == c => v }
-            if (mine.isEmpty) cents(c)
-            else mine.transpose.map(_.sum / mine.length)
-          }
-        }
-        cents
       }
     }
-    // exact inner-product truth: top-10 by (dot desc, n), left-to-right fold
+  }
+
+  /** ADC: sum over subspaces of dot(query subvector, coded centroid). */
+  private def pqAdcMirror(cbs: Array[Array[Array[Double]]],
+                          q: Array[Float], code: Array[Int]): Double = {
+    val sub = pqDim / cbs.length
+    var sc = 0.0; var s0 = 0
+    while (s0 < cbs.length) {
+      var d = 0.0; var i = 0
+      while (i < sub) { d += q(s0 * sub + i).toDouble * cbs(s0)(code(s0))(i); i += 1 }
+      sc += d
+      s0 += 1
+    }
+    sc
+  }
+
+  /** Exact inner-product truth: top-10 ids by (dot desc, n) per query,
+    * left-to-right double fold.
+    */
+  private lazy val pqTruth: Map[Long, Set[Long]] = {
     def dotExact(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var i = 0
-      while (i < dim) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      while (i < pqDim) { d += a(i).toDouble * b(i).toDouble; i += 1 }
       d
     }
-    val qs = vecs.keys.filter(_ < 50).toSeq.sorted
-    val truth: Map[Long, Set[Long]] = qs.map { q =>
-      q -> vecs.keys.filter(_ != q).toSeq
-        .map(n => (n, dotExact(vecs(q), vecs(n))))
+    pqVecs.keys.filter(_ < 50).toSeq.sorted.map { q =>
+      q -> pqVecs.keys.filter(_ != q).toSeq
+        .map(n => (n, dotExact(pqVecs(q), pqVecs(n))))
         .sortBy { case (n, d) => (-d, n) }.take(10).map(_._1).toSet
     }.toMap
-    val nTruth = truth.values.map(_.size).sum
+  }
+
+  test("q_ann_pq: PQ fit, encode, ADC scores and recall re-derived from first principles") {
+    val qs = pqTruth.keys.toSeq.sorted
+    val nTruth = pqTruth.values.map(_.size).sum
     val expected = Seq(8, 16, 32).map { m =>
-      val cbs = fitPq(m, 16)
-      val sub = dim / m
-      // encode: per-subspace argmin over the double-cast full vector
-      val codeOf = vecs.map { case (id, v) =>
-        val vd = v.map(_.toDouble)
-        id -> Array.tabulate(m) { s0 =>
-          cbs(s0).indices.minBy { c =>
-            var d = 0.0; var i = 0
-            while (i < sub) { val t = vd(s0 * sub + i) - cbs(s0)(c)(i); d += t * t; i += 1 }
-            (d, c)
-          }
-        }
-      }
-      // ADC: sum over subspaces of dot(query subvector, coded centroid)
-      def adc(q: Array[Float], code: Array[Int]): Double = {
-        var sc = 0.0; var s0 = 0
-        while (s0 < m) {
-          var d = 0.0; var i = 0
-          while (i < sub) { d += q(s0 * sub + i).toDouble * cbs(s0)(code(s0))(i); i += 1 }
-          sc += d
-          s0 += 1
-        }
-        sc
-      }
+      val cbs = fitPqMirror(m, 16)
+      val codeOf = pqCodesMirror(cbs)
       val hits = qs.map { q =>
-        val got = vecs.keys.filter(_ != q).toSeq
-          .map(n => (n, adc(vecs(q), codeOf(n))))
+        val got = pqVecs.keys.filter(_ != q).toSeq
+          .map(n => (n, pqAdcMirror(cbs, pqVecs(q), codeOf(n))))
           .sortBy { case (n, s) => (-s, n) }.take(10).map(_._1).toSet
-        (truth(q) & got).size
+        (pqTruth(q) & got).size
       }.sum
       (m, m / 2, hits.toLong, nTruth.toLong,
         BigDecimal(hits.toDouble / nTruth)
@@ -458,6 +475,50 @@ class CrossCheckSpec extends AnyFunSuite with SparkTestBase {
     // the compression/recall curve is a real monotone trade on this corpus
     assert(expected.map(_._5) == expected.map(_._5).sorted)
     assert(expected.head._5 < expected.last._5)
+  }
+
+  test("q_ann_ivfpq: composed IVF pruning + PQ scoring re-derived, with the nprobe=8 pure-PQ anchor") {
+    // Full mirror of the composed evaluator: IVF cell argmax + probe
+    // selection (model from Ivf.fit — its Lloyd's has its own rederivation
+    // above), candidate restriction to probed cells, ADC ranking within
+    // them, per-nprobe hit counts. nprobe=8 probes every cell of the
+    // 8-cell index, so its row must equal q_ann_pq's m=16 reading — pure
+    // quantization loss with zero pruning loss.
+    val ivf = graft.ann.Ivf.fit(spark.read.parquet(s"$dir/embeddings.parquet"),
+      "embedding", "vec_id", k = 8)
+    val cents = ivf.centroids
+    def dotF(c: Array[Double], v: Array[Float]): Double =
+      v.indices.foldLeft(0.0)((s, i) => s + c(i) * v(i))
+    val cellOf = pqVecs.map { case (id, v) =>
+      id -> cents.indices.maxBy(c => (dotF(cents(c), v), -c))
+    }
+    val cbs = fitPqMirror(16, 16)
+    val codeOf = pqCodesMirror(cbs)
+    val qs = pqTruth.keys.toSeq.sorted
+    val nTruth = pqTruth.values.map(_.size).sum
+    val expected = Seq(2, 4, 8).map { np =>
+      val hits = qs.map { q =>
+        val probes = cents.indices
+          .sortBy(c => (-dotF(cents(c), pqVecs(q)), c)).take(np).toSet
+        val got = pqVecs.keys
+          .filter(n => n != q && probes.contains(cellOf(n))).toSeq
+          .map(n => (n, pqAdcMirror(cbs, pqVecs(q), codeOf(n))))
+          .sortBy { case (n, s) => (-s, n) }.take(10).map(_._1).toSet
+        (pqTruth(q) & got).size
+      }.sum
+      (np, hits.toLong, nTruth.toLong,
+        BigDecimal(hits.toDouble / nTruth)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val emitted = SparkEntry.queries("q_ann_ivfpq")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(emitted == expected, s"emitted=$emitted expected=$expected")
+    // probe-fraction monotonicity, and the full-probe anchor vs q_ann_pq
+    assert(expected.map(_._4) == expected.map(_._4).sorted)
+    val pqM16 = SparkEntry.queries("q_ann_pq")(spark, dir).collect()
+      .find(_.getInt(0) == 16).get
+    assert(expected.last._2 == pqM16.getLong(2) && expected.last._4 == pqM16.getDouble(4),
+      s"nprobe=8 row ${expected.last} != pure-PQ m=16 anchor $pqM16")
   }
 
   test("q_audio_near_dups: pair set re-derived by sequential brute force over the real WAV fingerprints") {
