@@ -1029,7 +1029,7 @@ object SparkEntry {
     * (q_threshold_sweep's strict cut) reuse the pinned scan instead of
     * re-running the candidate join + levenshtein pass.
     */
-  private def levEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def levEdges(s: SparkSession, dir: String): DataFrame =
     levEdgeCache(s, dir) {
       val t = docsTable(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
@@ -1486,6 +1486,43 @@ object SparkEntry {
       val t = docsTable(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
       graft.pipeline.Hac.run(sFlagshipCC(s, dir), t, cut = 9)(s)
+        .orderBy("doc_id")
+    }),
+
+    // Cannot-link constrained clustering (see [[graft.pipeline.Constrained]];
+    // golden oracle + from-scratch sequential rederivation in
+    // ConstrainedSpec): simulated reviewer feedback = a "cross-source
+    // matches need review" policy — one representative (min doc_id) per
+    // (flagship component, source), every rep pair within a component
+    // marked cannot-link (reps capped at 16/component before the pair
+    // expansion, so the constraint relation is O(components), never
+    // quadratic in members). This is the labeled-pairs loop of interactive
+    // ER: the blocker PROPOSED these cross-source merges (they sit inside
+    // one lev-edge component — q_cross_source_dups reports them), the
+    // reviewer declined the rep pairs, and the clusterer must now keep
+    // those reps apart while still merging everything else — non-rep docs
+    // still follow their BEST-scoring edge greedily, so the result differs
+    // from both the unconstrained CC (which merges across sources; 22 of
+    // 23 sf0.01 components are multi-source) and a hard per-source
+    // partition (unlabeled docs may still cross). Scale shape: the solver
+    // is embarrassingly parallel across components with members capped at
+    // 64 and edges/constraints pre-filtered to the capped set BEFORE the
+    // group shuffle; everything rides the pinned levEdges / flagship-CC
+    // relations, so the marginal corpus-scale work is two narrow joins and
+    // one bounded flatMapGroups.
+    "q_constrained_cc" -> ((s, dir) => {
+      val cc = sFlagshipCC(s, dir)
+      val src = docsTable(s, dir).select(col("doc_id"), col("source"))
+      val reps = cc.join(src, "doc_id")
+        .groupBy("cluster_id", "source").agg(min("doc_id").as("rep"))
+        .withColumn("rrk", row_number().over(
+          Window.partitionBy("cluster_id").orderBy("rep")))
+        .filter(col("rrk") <= 16)
+        .select("cluster_id", "rep")
+      val cl = reps.as("l").join(reps.as("r"),
+          col("l.cluster_id") === col("r.cluster_id") && col("l.rep") < col("r.rep"))
+        .select(col("l.rep").as("a"), col("r.rep").as("b"))
+      graft.pipeline.Constrained.run(cc, levEdges(s, dir), cl, cap = 64)(s)
         .orderBy("doc_id")
     }),
 
@@ -3225,6 +3262,7 @@ object SparkEntry {
     golden("q_canopy"),
     golden("q_center_clusters"),
     golden("q_compare_target"),
+    golden("q_constrained_cc"),
     golden("q_doc_stats"),
     golden("q_fingerprint"),
     golden("q_hac_clusters"),
