@@ -1526,6 +1526,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Full COP constrained clustering — the RESOLVED review queue (see
+    // [[graft.pipeline.Constrained]]; golden oracle + sequential
+    // rederivation in ConstrainedSpec). Where q_constrained_cc models the
+    // queue as all-declined, here the reviewer actually works it: each
+    // cross-source rep pair (same derivation, capped 16 reps/component) is
+    // CONFIRMED (must-link) when the two reps agree on lang, DECLINED
+    // (cannot-link) when they disagree — the typical adjudication rule
+    // "same record, different source" vs "different language editions are
+    // distinct entities". Confirmed pairs union before any scored edge;
+    // declined pairs are hard, outranking any must chain that would
+    // indirectly bridge them (a same-lang A–B chain meeting a declined
+    // A⊥C keeps C out even if B–C was confirmed — the label-conflict
+    // resolution the solver pins). The output provably differs from
+    // q_constrained_cc at sf0.01 (asserted in ConstrainedSpec): same-lang
+    // cross-source components stay merged instead of splitting. Scale
+    // shape identical: the constraint relations stay O(components), built
+    // from two window passes over the pinned CC join, capped and
+    // component-filtered before the group shuffle.
+    "q_constrained_must" -> ((s, dir) => {
+      val cc = sFlagshipCC(s, dir)
+      val src = docsTable(s, dir).select(col("doc_id"), col("source"), col("lang"))
+      val reps = cc.join(src, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(min(struct(col("doc_id"), col("lang"))).as("m"))
+        .select(col("cluster_id"), col("m.doc_id").as("rep"), col("m.lang").as("lang"))
+        .withColumn("rrk", row_number().over(
+          Window.partitionBy("cluster_id").orderBy("rep")))
+        .filter(col("rrk") <= 16)
+        .select("cluster_id", "rep", "lang")
+      val pairs = reps.as("l").join(reps.as("r"),
+          col("l.cluster_id") === col("r.cluster_id") && col("l.rep") < col("r.rep"))
+        .select(col("l.rep").as("a"), col("r.rep").as("b"),
+          (col("l.lang") === col("r.lang")).as("same_lang"))
+      val cl = pairs.filter(!col("same_lang")).select("a", "b")
+      val ml = pairs.filter(col("same_lang")).select("a", "b")
+      graft.pipeline.Constrained.run(cc, levEdges(s, dir), cl, Some(ml), cap = 64)(s)
+        .orderBy("doc_id")
+    }),
+
     // Staged dedup cascade — the composition every production corpus
     // pipeline actually runs (cheap stages first, each stage sees only the
     // previous stage's survivors): 1_exact (identical text, md5 groupBy),
@@ -3263,6 +3302,7 @@ object SparkEntry {
     golden("q_center_clusters"),
     golden("q_compare_target"),
     golden("q_constrained_cc"),
+    golden("q_constrained_must"),
     golden("q_doc_stats"),
     golden("q_fingerprint"),
     golden("q_hac_clusters"),

@@ -4,23 +4,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Cannot-link constrained clustering within connected components — the
-  * pairwise-label feedback primitive of interactive entity resolution
+/** Pairwise-constrained clustering within connected components — the
+  * labeled-feedback primitive of interactive entity resolution
   * (dedupe.io-style active labeling, Wagstaff & Cardie's COP constraint
-  * semantics): a reviewer marks pairs as "not the same entity", and the
-  * clusterer must keep every marked pair in different clusters while still
-  * merging everything the scored edges justify.
+  * semantics): a reviewer labels pairs "same entity" (must-link) or "not
+  * the same entity" (cannot-link), and the clusterer must keep every
+  * cannot pair in different clusters and pull every must pair together
+  * ahead of any scored evidence, while still merging everything the
+  * scored edges justify.
   *
   * Semantics: greedy constrained single-linkage. Within each component,
-  * edges are processed ascending by (distance, src, dst); an edge unions its
-  * two current clusters unless that union would place some cannot-link pair
-  * in one cluster — then the edge is skipped (constraints are HARD; the
-  * chain a–b–c with a⊥c resolves to {a,b}|{c} or {a}|{b,c} by whichever of
-  * a–b / b–c scores better, which is exactly the reviewer-override behavior
-  * wanted: the bridge doc follows its closest core). With zero constraints
-  * this degenerates to plain connected components over the same edges
-  * (asserted in ConstrainedSpec), so the operator is a strict generalization
-  * of [[Components.connectedComponents]] for the labeled-feedback case.
+  * must-links are processed FIRST (ascending by (a, b)), then scored edges
+  * ascending by (distance, src, dst); a union is applied unless it would
+  * place some cannot-link pair in one cluster — then it is skipped
+  * (cannot-links are HARD and outrank must-links: a must pair whose union
+  * would violate a cannot constraint is dropped, the graceful resolution
+  * of contradictory labels; the chain a–b–c with a⊥c resolves to
+  * {a,b}|{c} or {a}|{b,c} by whichever of a–b / b–c binds first — a
+  * must-link always beats a scored edge, otherwise the better score wins,
+  * which is exactly the reviewer-override behavior wanted). With zero
+  * constraints this degenerates to plain connected components over the
+  * same edges (asserted in ConstrainedSpec), so the operator is a strict
+  * generalization of [[Components.connectedComponents]] for the
+  * labeled-feedback case.
   *
   * Spark shape (the [[Hac]] precedent): clustering is embarrassingly
   * parallel ACROSS components — members, edges, and constraints are keyed by
@@ -44,12 +50,15 @@ import org.apache.spark.sql.expressions.Window
 object Constrained {
 
   /** Run greedy constrained single-linkage over one component's capped
-    * slice. `members` are the capped doc_ids; `edges` (a, b, d) and
-    * `cannot` (x, y) reference only capped members (run() guarantees it).
+    * slice. `members` are the capped doc_ids; `edges` (a, b, d), `cannot`
+    * (x, y), and `must` (x, y) reference only capped members (run()
+    * guarantees it). Must-links union before any scored edge but never
+    * through a cannot-link violation.
     * Returns (doc_id, ccl_id = min doc_id of its subcluster, n_sub).
     */
   private[graft] def cluster(members: Seq[Long], edges: Seq[(Long, Long, Int)],
-                             cannot: Seq[(Long, Long)]): Seq[(Long, Long, Int)] = {
+                             cannot: Seq[(Long, Long)],
+                             must: Seq[(Long, Long)] = Nil): Seq[(Long, Long, Int)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     members.foreach(m => parent(m) = m)
     def find(x: Long): Long = {
@@ -64,7 +73,11 @@ object Constrained {
     // should not corrupt the union-find)
     val cl = cannot.filter(p => parent.contains(p._1) && parent.contains(p._2))
       .sorted
-    val ordered = edges
+    // must-links lead the union order as pseudo-edges below every real
+    // distance (scored d is always >= 0), ordered among themselves by (a, b)
+    val lead = must.filter(p => parent.contains(p._1) && parent.contains(p._2))
+      .sorted.map(p => (p._1, p._2, Int.MinValue))
+    val ordered = lead ++ edges
       .filter(e => parent.contains(e._1) && parent.contains(e._2))
       .sortBy(e => (e._3, e._1, e._2))
     ordered.foreach { case (a, b, _) =>
@@ -95,13 +108,17 @@ object Constrained {
     * @param cannot (a, b) reviewer cannot-link pairs; pairs crossing two
     *               components are vacuous and dropped (they are already
     *               satisfied), as are pairs touching an overflow member
+    * @param must   (a, b) reviewer must-link pairs, same component/cap
+    *               filtering as `cannot`; unioned before any scored edge,
+    *               skipped if the union would violate a cannot-link
     * @param cap    members per component entering the exact solver; the rest
     *               pass through as singleton subclusters
     * @return (doc_id, cluster_id, ccl_id, n_sub) — one row per member of a
     *         multi-member component; ccl_id is the min doc_id of the
     *         constrained subcluster
     */
-  def run(cc: DataFrame, edges: DataFrame, cannot: DataFrame, cap: Int = 64)(
+  def run(cc: DataFrame, edges: DataFrame, cannot: DataFrame,
+          must: Option[DataFrame] = None, cap: Int = 64)(
       spark: SparkSession): DataFrame = {
     require(cap >= 1, s"cap must be positive, got $cap")
     import spark.implicits._
@@ -115,10 +132,10 @@ object Constrained {
       .select(col("doc_id"), col("cluster_id"),
         col("doc_id").as("ccl_id"), lit(1).as("n_sub"))
     // one tagged relation keyed by component: kind 0 = member, 1 = edge,
-    // 2 = cannot-link. Edges/constraints are inner-joined against the capped
-    // member set on BOTH endpoints before the shuffle (the group-size bound),
-    // with component equality required so a cross-component cannot-link
-    // never reaches a solver
+    // 2 = cannot-link, 3 = must-link. Edges/constraints are inner-joined
+    // against the capped member set on BOTH endpoints before the shuffle
+    // (the group-size bound), with component equality required so a
+    // cross-component constraint never reaches a solver
     val memK = capped.select(col("cluster_id"), lit(0).as("kind"),
       col("doc_id").as("x"), lit(0L).as("y"), lit(0).as("d"))
     val eK = edges.select(col("src"), col("dst"), col("d"))
@@ -133,7 +150,16 @@ object Constrained {
       .filter(col("cluster_id") === col("c2"))
       .select(col("cluster_id"), lit(2).as("kind"),
         col("a").as("x"), col("b").as("y"), lit(0).as("d"))
-    val solved = memK.unionByName(eK).unionByName(cK)
+    val mK = must.map { ml =>
+      ml.select(col("a"), col("b"))
+        .join(capped.select(col("doc_id").as("a"), col("cluster_id")), "a")
+        .join(capped.select(col("doc_id").as("b"), col("cluster_id").as("c2")), "b")
+        .filter(col("cluster_id") === col("c2"))
+        .select(col("cluster_id"), lit(3).as("kind"),
+          col("a").as("x"), col("b").as("y"), lit(0).as("d"))
+    }
+    val tagged = mK.foldLeft(memK.unionByName(eK).unionByName(cK))(_ unionByName _)
+    val solved = tagged
       .as[(Long, Int, Long, Long, Int)]
       .groupByKey(_._1)
       .flatMapGroups { (cid, it) =>
@@ -141,7 +167,9 @@ object Constrained {
         val members = rows.collect { case (_, 0, m, _, _) => m }
         val es = rows.collect { case (_, 1, a, b, d) => (a, b, d) }
         val cls = rows.collect { case (_, 2, a, b, _) => (a, b) }
-        cluster(members, es, cls).iterator.map { case (m, r, n) => (m, cid, r, n) }
+        val mls = rows.collect { case (_, 3, a, b, _) => (a, b) }
+        cluster(members, es, cls, mls).iterator
+          .map { case (m, r, n) => (m, cid, r, n) }
       }
       .toDF("doc_id", "cluster_id", "ccl_id", "n_sub")
     solved.unionByName(overflow)
