@@ -66,7 +66,11 @@ object DiagBandScale {
       "q_cross_source_dups", "q_golden_record", "q_fellegi_sunter",
       "q_fs_decisions",
       // round-4 second-session additions riding the same pinned relations
-      "q_hac_clusters", "q_cluster_stability", "q_dedup_cascade")
+      "q_hac_clusters", "q_cluster_stability", "q_dedup_cascade",
+      // round-5: COP constrained clustering (same pinned relations; the
+      // solver adds two O(components) constraint joins + one capped
+      // flatMapGroups)
+      "q_constrained_cc", "q_constrained_must")
     var total = 0.0
     family.foreach { name =>
       val q0 = System.nanoTime()

@@ -27,8 +27,18 @@ object DiagConstrained {
         .agg(countDistinct("ccl_id").as("k"), count(lit(1)).as("n"))
       val split = splits.filter(col("k") > 1).count()
       val whole = splits.filter(col("k") === 1).count()
+      // resolved queue: how many components the must-links keep merged
+      // that the all-declined queue split
+      val outM = SparkEntry.queries("q_constrained_must")(spark, dir)
+      val splitsM = outM.groupBy("cluster_id")
+        .agg(countDistinct("ccl_id").as("k"))
+      val splitM = splitsM.filter(col("k") > 1).count()
+      val rows = out.count()
+      val diff = out.select("doc_id", "ccl_id")
+        .except(outM.select("doc_id", "ccl_id")).count()
       println(s"[diag] $dir comps=$total multi-source=$multiS multi-lang=$multiL " +
-        s"constrained: split=$split kept-whole=$whole")
+        s"declined-queue: split=$split kept-whole=$whole | " +
+        s"resolved-queue: split=$splitM rows-moved=$diff/$rows")
     }
     spark.stop()
   }
