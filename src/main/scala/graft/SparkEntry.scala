@@ -3211,6 +3211,155 @@ object SparkEntry {
         .orderBy("s")
     }),
 
+    // reciprocal best-match assignment (the symmetric-best rule of
+    // one-to-one record linkage, cf. best-match-graph matching): a linkage
+    // pair survives iff the right record is the left's top-1 AND the left
+    // is the right's top-1 (ties broken by partner id ascending) — the
+    // conservative crosswalk a production linkage publishes, eliminating
+    // the many-to-one collisions q_linkage_best tolerates. Both windows
+    // partition the MATCH relation (already bucket-bounded by the band
+    // join), never a corpus-sized one: two bounded window passes on top of
+    // q_record_linkage's plan at any scale.
+    "q_mutual_best" -> ((s, dir) => {
+      val wl = Window.partitionBy("left_id").orderBy(col("jw").desc, col("right_id"))
+      val wr = Window.partitionBy("right_id").orderBy(col("jw").desc, col("left_id"))
+      linkagePairs(s, dir)
+        .withColumn("rl", row_number().over(wl))
+        .withColumn("rr", row_number().over(wr))
+        .filter(col("rl") === 1 && col("rr") === 1)
+        .select("left_id", "right_id", "jw")
+        .orderBy("left_id")
+    }),
+
+    // SCD2 entity history (slowly-changing-dimension type 2): each user's
+    // purchase stream becomes versioned validity intervals — version =
+    // ordinal by (ts, event_id), valid_from/valid_to = own / successor
+    // event time in integer microseconds (no float time arithmetic, the
+    // q_events_asof convention), open interval ⇔ current version. This is
+    // the lineage shape a golden-record store keeps so an entity's
+    // attributes are queryable AS OF any time; cost is one user-partitioned
+    // window pass (the sessionization shape) at any corpus size.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_from_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("valid_to_us",
+          unix_micros(lead(col("ts"), 1).over(w).cast("timestamp")))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select("user_id", "version", "value",
+          "valid_from_us", "valid_to_us", "is_current")
+        .orderBy("user_id", "version")
+    }),
+
+    // capture–recapture duplicate-population estimate (Petersen/Chapman —
+    // the census-statistics answer to "how many duplicate pairs does the
+    // corpus REALLY have, beyond what any one blocker sees?"): two
+    // structurally independent blockers — MinHash bands and first-token
+    // Soundex — each "capture" a sample of the verified-duplicate-pair
+    // population (lev < 15 on the 60-char prefix, the shared edge
+    // contract); the Chapman estimator (nA+1)(nB+1)/(nBoth+1) − 1 sizes
+    // the unseen remainder from the overlap. Both capture legs run on the
+    // deterministic 1/evalSampleK md5 stratum (the parametric-evaluator
+    // contract shared with q_er_f1_sampled), so the audit's pair cost is a
+    // dial at 100 TB; integer division keeps the estimate engine-exact.
+    "q_dup_rate_cr" -> ((s, dir) => {
+      val strat = docsTable(s, dir)
+        .filter(sampleBucket(col("doc_id")) % evalSampleK === 0)
+      val t = strat.select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      val bandA = sBandRelation(s, dir).join(strat.select("doc_id"), "doc_id")
+      val capA = bandA.select(col("doc_id").as("a"), col("bk"))
+        .join(bandA.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
+        .filter(col("a") < col("b")).select("a", "b").distinct()
+      val keyed = strat
+        .select(col("doc_id"), upper(regexp_replace(
+          split(col("text"), " ").getItem(0), "[^A-Za-z]", "")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), soundexCol(col("w")).as("sdx"))
+      val capB = keyed.select(col("doc_id").as("a"), col("sdx"))
+        .join(keyed.select(col("doc_id").as("b"), col("sdx")), Seq("sdx"))
+        .filter(col("a") < col("b")).select("a", "b").distinct()
+      def verify(p: DataFrame): DataFrame = p
+        .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+        .filter(levenshtein(col("ta"), col("tb")) < 15)
+        .select("a", "b")
+      val va = verify(capA)
+      val vb = verify(capB)
+      val both = va.join(vb, Seq("a", "b"), "left_semi")
+      val uni = va.unionByName(vb).distinct()
+      va.agg(count(lit(1)).as("n_a"))
+        .crossJoin(vb.agg(count(lit(1)).as("n_b")))
+        .crossJoin(both.agg(count(lit(1)).as("n_both")))
+        .crossJoin(uni.agg(count(lit(1)).as("n_union")))
+        .withColumn("chapman_est",
+          expr("(n_a + 1) * (n_b + 1) div (n_both + 1) - 1"))
+    }),
+
+    // blocking-scheme census (the measurement a blocking-scheme learner
+    // greedily selects from, cf. Michelson & Knoblock's BSL / Bilenko's
+    // Blocking-Scheme Learning): for each of four candidate predicates —
+    // MinHash band, first-token Soundex, 8-char prefix, (lang, 4-char
+    // length bucket) — the FULL-corpus block census (n_keys, max_block,
+    // and the analytic comparison count Σ n·(n−1)/2 — all LINEAR: one
+    // groupBy per scheme, never a pair expansion), plus stratum-sampled
+    // quality: distinct candidate pairs, verified pairs (lev < 15),
+    // precision, and recall against the union of all four schemes'
+    // verified pairs. A bad blocker's quadratic blow-up shows up in
+    // n_cand_full as a NUMBER computed in linear time, not as a
+    // quadratic job — the property that makes this census runnable at
+    // 100 TB before committing to a scheme.
+    "q_blocking_scheme" -> ((s, dir) => {
+      val d = docsTable(s, dir)
+      val band = sBandRelation(s, dir).select(lit("band").as("scheme"),
+        col("doc_id"), col("bk").as("k"))
+      val sdx = d.select(col("doc_id"), upper(regexp_replace(
+          split(col("text"), " ").getItem(0), "[^A-Za-z]", "")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(lit("soundex1").as("scheme"), col("doc_id"),
+          soundexCol(col("w")).as("k"))
+      val pre = d.select(lit("prefix8").as("scheme"), col("doc_id"),
+        substring(col("text"), 1, 8).as("k"))
+      val ll = d.select(lit("lenlang4").as("scheme"), col("doc_id"),
+        concat_ws(":", col("lang"), expr("n_chars div 4")).as("k"))
+      val keys = band.unionByName(sdx).unionByName(pre).unionByName(ll)
+      val census = keys.groupBy("scheme", "k").agg(count(lit(1)).as("n"))
+        .groupBy("scheme").agg(
+          count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_block"),
+          sum(expr("n * (n - 1) div 2")).as("n_cand_full"))
+      val skeys = keys.join(
+        d.filter(sampleBucket(col("doc_id")) % evalSampleK === 0)
+          .select("doc_id"), "doc_id")
+      val cand = skeys.select(col("scheme"), col("doc_id").as("a"), col("k"))
+        .join(skeys.select(col("scheme"), col("doc_id").as("b"), col("k")),
+          Seq("scheme", "k"))
+        .filter(col("a") < col("b"))
+        .select("scheme", "a", "b").distinct()
+      val t = d.select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      val ver = cand
+        .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+        .filter(levenshtein(col("ta"), col("tb")) < 15)
+        .select("scheme", "a", "b")
+      val qual = cand.groupBy("scheme").agg(count(lit(1)).as("n_cand_s"))
+        .join(ver.groupBy("scheme").agg(count(lit(1)).as("n_true_s")),
+          Seq("scheme"), "left")
+      val nUnion = ver.select("a", "b").distinct()
+        .agg(count(lit(1)).as("n_union"))
+      census.join(qual, Seq("scheme"), "left")
+        .na.fill(0L, Seq("n_cand_s", "n_true_s"))
+        .crossJoin(nUnion)
+        .withColumn("prec", round(when(col("n_cand_s") > 0,
+          col("n_true_s") / col("n_cand_s")).otherwise(lit(0.0)), 6))
+        .withColumn("rec", round(when(col("n_union") > 0,
+          col("n_true_s") / col("n_union")).otherwise(lit(0.0)), 6))
+        .select("scheme", "n_keys", "max_block", "n_cand_full",
+          "n_cand_s", "n_true_s", "prec", "rec")
+        .orderBy("scheme")
+    }),
+
     "q_set_ops" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_nationkey").as("k"))
       val sup = s.read.parquet(s"$dir/supplier.parquet").select(col("s_nationkey").as("k"))
@@ -3248,6 +3397,111 @@ object SparkEntry {
        |s4 AS (SELECT w, substr(substr(w,1,1) || regexp_replace(substr(c,2), '0', '', 'g') || '000', 1, 4) AS sdx FROM s3)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_mutual_best" ->
+      s"""WITH $sBandCte,
+         |p AS (
+         |  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+         |         round(jaro_winkler_similarity(l.t, r.t), 6) AS jw
+         |  FROM d l JOIN d r ON l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+         |  WHERE $sBandCond AND round(jaro_winkler_similarity(l.t, r.t), 6) >= 0.9),
+         |rk AS (
+         |  SELECT left_id, right_id, jw,
+         |         row_number() OVER (PARTITION BY left_id ORDER BY jw DESC, right_id) AS rl,
+         |         row_number() OVER (PARTITION BY right_id ORDER BY jw DESC, left_id) AS rr
+         |  FROM p)
+         |SELECT left_id, right_id, jw FROM rk WHERE rl = 1 AND rr = 1
+         |ORDER BY left_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, value,
+        |         CAST(row_number() OVER w AS BIGINT) AS version,
+        |         epoch_us(ts) AS valid_from_us,
+        |         epoch_us(lead(ts) OVER w) AS valid_to_us
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, version, value, valid_from_us, valid_to_us,
+        |       valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    "q_dup_rate_cr" ->
+      s"""WITH $sBandCte,
+         |sd AS (SELECT * FROM d WHERE ${sampleSqlPred(evalSampleK)}),
+         |va AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM sd l JOIN sd r ON l.doc_id < r.doc_id
+         |  WHERE $sBandCond AND levenshtein(l.t, r.t) < 15),
+         |n0 AS (SELECT doc_id, upper(regexp_replace(string_split(text, ' ')[1], '[^A-Za-z]', '', 'g')) AS w
+         |       FROM documents WHERE ${sampleSqlPred(evalSampleK)}),
+         |n1 AS (SELECT doc_id, w FROM n0 WHERE length(w) > 0),
+         |n AS (SELECT DISTINCT w FROM n1),
+         |${soundexCteSql("n")},
+         |key AS (SELECT n1.doc_id, s4.sdx FROM n1 JOIN s4 USING (w)),
+         |vb AS (
+         |  SELECT DISTINCT k1.doc_id AS a, k2.doc_id AS b
+         |  FROM key k1 JOIN key k2 ON k1.sdx = k2.sdx AND k1.doc_id < k2.doc_id
+         |  JOIN d l ON l.doc_id = k1.doc_id JOIN d r ON r.doc_id = k2.doc_id
+         |  WHERE levenshtein(l.t, r.t) < 15),
+         |cnt AS (
+         |  SELECT (SELECT count(*) FROM va) AS n_a,
+         |         (SELECT count(*) FROM vb) AS n_b,
+         |         (SELECT count(*) FROM va JOIN vb USING (a, b)) AS n_both,
+         |         (SELECT count(*) FROM (SELECT a, b FROM va UNION SELECT a, b FROM vb)) AS n_union)
+         |SELECT n_a, n_b, n_both, n_union,
+         |       (n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS chapman_est
+         |FROM cnt""".stripMargin,
+
+    "q_blocking_scheme" ->
+      s"""WITH $sBandCte,
+         |bandk AS (
+         |  SELECT 'band' AS scheme, doc_id, band0 AS k FROM d
+         |  UNION ALL SELECT 'band', doc_id, band1 FROM d
+         |  UNION ALL SELECT 'band', doc_id, band2 FROM d
+         |  UNION ALL SELECT 'band', doc_id, band3 FROM d),
+         |n0 AS (SELECT doc_id, upper(regexp_replace(string_split(text, ' ')[1], '[^A-Za-z]', '', 'g')) AS w FROM documents),
+         |n1 AS (SELECT doc_id, w FROM n0 WHERE length(w) > 0),
+         |n AS (SELECT DISTINCT w FROM n1),
+         |${soundexCteSql("n")},
+         |sdxk AS (SELECT 'soundex1' AS scheme, n1.doc_id, s4.sdx AS k FROM n1 JOIN s4 USING (w)),
+         |prek AS (SELECT 'prefix8' AS scheme, doc_id, substr(text, 1, 8) AS k FROM documents),
+         |llk AS (SELECT 'lenlang4' AS scheme, doc_id,
+         |        lang || ':' || CAST(n_chars // 4 AS VARCHAR) AS k FROM documents),
+         |keys AS (SELECT * FROM bandk UNION ALL SELECT * FROM sdxk
+         |         UNION ALL SELECT * FROM prek UNION ALL SELECT * FROM llk),
+         |census AS (
+         |  SELECT scheme, count(*) AS n_keys, max(n) AS max_block,
+         |         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_cand_full
+         |  FROM (SELECT scheme, k, count(*) AS n FROM keys GROUP BY 1, 2)
+         |  GROUP BY scheme),
+         |skeys AS (SELECT * FROM keys WHERE ${sampleSqlPred(evalSampleK)}),
+         |cand AS (
+         |  SELECT DISTINCT l.scheme, l.doc_id AS a, r.doc_id AS b
+         |  FROM skeys l JOIN skeys r
+         |    ON l.scheme = r.scheme AND l.k = r.k AND l.doc_id < r.doc_id),
+         |tt AS (SELECT doc_id, substr(text, 1, 60) AS t FROM documents),
+         |ver AS (
+         |  SELECT c.scheme, c.a, c.b FROM cand c
+         |  JOIN tt l ON l.doc_id = c.a JOIN tt r ON r.doc_id = c.b
+         |  WHERE levenshtein(l.t, r.t) < 15),
+         |qual AS (
+         |  SELECT c.scheme, c.n_cand_s, coalesce(v.n_true_s, 0) AS n_true_s
+         |  FROM (SELECT scheme, count(*) AS n_cand_s FROM cand GROUP BY 1) c
+         |  LEFT JOIN (SELECT scheme, count(*) AS n_true_s FROM ver GROUP BY 1) v USING (scheme)),
+         |u AS (SELECT count(*) AS n_union FROM (SELECT DISTINCT a, b FROM ver))
+         |SELECT census.scheme, n_keys, max_block, n_cand_full,
+         |       coalesce(n_cand_s, 0) AS n_cand_s,
+         |       coalesce(n_true_s, 0) AS n_true_s,
+         |       round(CASE WHEN coalesce(n_cand_s, 0) > 0
+         |             THEN CAST(coalesce(n_true_s, 0) AS DOUBLE) / n_cand_s
+         |             ELSE 0.0 END, 6) AS prec,
+         |       round(CASE WHEN n_union > 0
+         |             THEN CAST(coalesce(n_true_s, 0) AS DOUBLE) / n_union
+         |             ELSE 0.0 END, 6) AS rec
+         |FROM census LEFT JOIN qual USING (scheme) CROSS JOIN u
+         |ORDER BY scheme""".stripMargin,
+
     "q_soundex_blocks" ->
       s"""WITH n0 AS (SELECT upper(regexp_replace(string_split(text, ' ')[1], '[^A-Za-z]', '', 'g')) AS w FROM documents),
          |n AS (SELECT w FROM n0 WHERE length(w) > 0),
