@@ -1083,6 +1083,71 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
+  /** ONE review-queue pair derivation shared by q_constrained_cc and
+    * q_constrained_must (so the two queues cannot drift): one
+    * representative (min doc_id) per (flagship component, source), capped
+    * at 16 reps/component BEFORE the pair expansion so the relation is
+    * O(components), with each rep pair carrying whether the two reps agree
+    * on lang. Returns (a, b, same_lang), a < b within one component.
+    */
+  private def repPairs(s: SparkSession, dir: String): DataFrame = {
+    val cc = sFlagshipCC(s, dir)
+    val src = docsTable(s, dir).select(col("doc_id"), col("source"), col("lang"))
+    val reps = cc.join(src, "doc_id")
+      .groupBy("cluster_id", "source")
+      .agg(min(struct(col("doc_id"), col("lang"))).as("m"))
+      .select(col("cluster_id"), col("m.doc_id").as("rep"), col("m.lang").as("lang"))
+      .withColumn("rrk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy("rep")))
+      .filter(col("rrk") <= 16)
+      .select("cluster_id", "rep", "lang")
+    reps.as("l").join(reps.as("r"),
+        col("l.cluster_id") === col("r.cluster_id") && col("l.rep") < col("r.rep"))
+      .select(col("l.rep").as("a"), col("r.rep").as("b"),
+        (col("l.lang") === col("r.lang")).as("same_lang"))
+  }
+
+  /** Per-(session, dir, m) PQ codebook — the fit collects a 512-row seeded
+    * sample and runs driver-side Lloyd's; q_ann_pq (3 widths) and
+    * q_ann_ivfpq (m=16) share the m=16 fit instead of re-deriving it. The
+    * Model is session-free plain arrays, so a plain TrieMap keyed by
+    * applicationId is safe (the [[SessionMemo]] key convention).
+    */
+  private val pqModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), graft.ann.Pq.Model]
+  private def sPqModel(s: SparkSession, dir: String, m: Int): graft.ann.Pq.Model =
+    pqModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir, m),
+      graft.ann.Pq.fit(embTable(s, dir), "embedding", "vec_id", m = m, k = 16))
+
+  /** Pinned (vec_id, code) PQ corpus relation per (session, dir, m) — the
+    * corpus-wide encode pass runs once per session like [[sBandRelation]].
+    */
+  private val pqCodesCache = new SessionMemo[(String, Int)]
+  private def sPqCodes(s: SparkSession, dir: String, m: Int): DataFrame =
+    pqCodesCache(s, (dir, m)) {
+      graft.ann.Pq.encode(embTable(s, dir), "embedding", sPqModel(s, dir, m))
+        .select(col("vec_id"), col("code")).localCheckpoint(true)
+    }
+
+  /** Pinned exact inner-product top-10 truth for the 50-query ANN sample —
+    * the (q, n) relation both PQ evaluators measure recall against; the
+    * 50×N cross join runs once per (session, dir) instead of once per
+    * query.
+    */
+  private val ipTruthCache = new SessionMemo[String]
+  private def sIpTruth(s: SparkSession, dir: String): DataFrame =
+    ipTruthCache(s, dir) {
+      val e = embTable(s, dir)
+      val w = Window.partitionBy("q").orderBy(col("dot").desc, col("n"))
+      e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q"), col("embedding").as("qv"))
+        .crossJoin(e.select(col("vec_id").as("n"), col("embedding").as("nv")))
+        .filter(col("q") =!= col("n"))
+        .select(col("q"), col("n"), dotCol(col("qv"), col("nv")).as("dot"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("q", "n").localCheckpoint(true)
+    }
+
   /** Bipartite linkage match relation (left_id, right_id, jw): even-id docs
     * linked against odd-id docs via shared MinHash bands, scored with the
     * native Jaro-Winkler expression, thresholded at 0.9 on the ROUNDED value
@@ -1511,18 +1576,9 @@ object SparkEntry {
     // relations, so the marginal corpus-scale work is two narrow joins and
     // one bounded flatMapGroups.
     "q_constrained_cc" -> ((s, dir) => {
-      val cc = sFlagshipCC(s, dir)
-      val src = docsTable(s, dir).select(col("doc_id"), col("source"))
-      val reps = cc.join(src, "doc_id")
-        .groupBy("cluster_id", "source").agg(min("doc_id").as("rep"))
-        .withColumn("rrk", row_number().over(
-          Window.partitionBy("cluster_id").orderBy("rep")))
-        .filter(col("rrk") <= 16)
-        .select("cluster_id", "rep")
-      val cl = reps.as("l").join(reps.as("r"),
-          col("l.cluster_id") === col("r.cluster_id") && col("l.rep") < col("r.rep"))
-        .select(col("l.rep").as("a"), col("r.rep").as("b"))
-      graft.pipeline.Constrained.run(cc, levEdges(s, dir), cl, cap = 64)(s)
+      val cl = repPairs(s, dir).select("a", "b")
+      graft.pipeline.Constrained.run(sFlagshipCC(s, dir), levEdges(s, dir),
+          cl, cap = 64)(s)
         .orderBy("doc_id")
     }),
 
@@ -1545,23 +1601,11 @@ object SparkEntry {
     // from two window passes over the pinned CC join, capped and
     // component-filtered before the group shuffle.
     "q_constrained_must" -> ((s, dir) => {
-      val cc = sFlagshipCC(s, dir)
-      val src = docsTable(s, dir).select(col("doc_id"), col("source"), col("lang"))
-      val reps = cc.join(src, "doc_id")
-        .groupBy("cluster_id", "source")
-        .agg(min(struct(col("doc_id"), col("lang"))).as("m"))
-        .select(col("cluster_id"), col("m.doc_id").as("rep"), col("m.lang").as("lang"))
-        .withColumn("rrk", row_number().over(
-          Window.partitionBy("cluster_id").orderBy("rep")))
-        .filter(col("rrk") <= 16)
-        .select("cluster_id", "rep", "lang")
-      val pairs = reps.as("l").join(reps.as("r"),
-          col("l.cluster_id") === col("r.cluster_id") && col("l.rep") < col("r.rep"))
-        .select(col("l.rep").as("a"), col("r.rep").as("b"),
-          (col("l.lang") === col("r.lang")).as("same_lang"))
+      val pairs = repPairs(s, dir)
       val cl = pairs.filter(!col("same_lang")).select("a", "b")
       val ml = pairs.filter(col("same_lang")).select("a", "b")
-      graft.pipeline.Constrained.run(cc, levEdges(s, dir), cl, Some(ml), cap = 64)(s)
+      graft.pipeline.Constrained.run(sFlagshipCC(s, dir), levEdges(s, dir),
+          cl, Some(ml), cap = 64)(s)
         .orderBy("doc_id")
     }),
 
@@ -2947,18 +2991,10 @@ object SparkEntry {
     "q_ann_pq" -> ((s, dir) => {
       val e = embTable(s, dir)
       val queries = e.filter(col("vec_id") < 50)
-      val w = Window.partitionBy("q").orderBy(col("dot").desc, col("n"))
-      val truth = queries.select(col("vec_id").as("q"), col("embedding").as("qv"))
-        .crossJoin(e.select(col("vec_id").as("n"), col("embedding").as("nv")))
-        .filter(col("q") =!= col("n"))
-        .select(col("q"), col("n"), dotCol(col("qv"), col("nv")).as("dot"))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
-        .select("q", "n").localCheckpoint(true)
+      val truth = sIpTruth(s, dir)
       val gots = Seq(8, 16, 32).map { m =>
-        val model = graft.ann.Pq.fit(e, "embedding", "vec_id", m = m, k = 16)
-        val codes = graft.ann.Pq.encode(e, "embedding", model)
-          .select(col("vec_id"), col("code"))
-        graft.ann.Pq.adcTopK(queries, codes, model, "embedding", "vec_id", k = 10)
+        graft.ann.Pq.adcTopK(queries, sPqCodes(s, dir, m), sPqModel(s, dir, m),
+            "embedding", "vec_id", k = 10)
           .select(lit(m).as("m_sub"), col("q"), col("n"))
       }.reduce(_ unionByName _)
       val hits = truth.join(gots, Seq("q", "n"))
@@ -2986,16 +3022,9 @@ object SparkEntry {
       val e = embTable(s, dir)
       val (ivfModel, cells) = sIvfIndex(s, dir)
       val queries = e.filter(col("vec_id") < 50)
-      val pqModel = graft.ann.Pq.fit(e, "embedding", "vec_id", m = 16, k = 16)
-      val codes = graft.ann.Pq.encode(e, "embedding", pqModel)
-        .select(col("vec_id"), col("code"))
-      val w = Window.partitionBy("q").orderBy(col("dot").desc, col("n"))
-      val truth = queries.select(col("vec_id").as("q"), col("embedding").as("qv"))
-        .crossJoin(e.select(col("vec_id").as("n"), col("embedding").as("nv")))
-        .filter(col("q") =!= col("n"))
-        .select(col("q"), col("n"), dotCol(col("qv"), col("nv")).as("dot"))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
-        .select("q", "n").localCheckpoint(true)
+      val pqModel = sPqModel(s, dir, 16)
+      val codes = sPqCodes(s, dir, 16)
+      val truth = sIpTruth(s, dir)
       val gots = Seq(2, 4, 8).map { np =>
         val probed = graft.ann.Ivf.withProbes(queries, "embedding", ivfModel, np)
         graft.ann.Pq.adcTopKProbed(probed, cells, codes, pqModel,

@@ -176,24 +176,29 @@ object Pq {
     * relations are narrow and persistable, raw vectors touch neither).
     * `queriesWithCell` carries one row per (query, probed cell) as produced
     * by [[Ivf.withProbes]]; `cells` is the (idCol, cell) corpus relation;
-    * `codes` as from [[encode]]. Output (q, n, rank, adc) like [[adcTopK]];
-    * a multi-probe duplicate candidate is defensively collapsed by max
-    * (both probes yield the identical ADC score).
+    * `codes` as from [[encode]]. Output (q, n, rank, adc) like [[adcTopK]].
+    * The LUT is built once per QUERY (on the probe-deduplicated relation,
+    * whose rows all carry the identical query vector) and broadcast as one
+    * copy per query, not per probe; multi-probe duplicate candidates
+    * collapse by distinct BEFORE the codes join, so each (q, n) pays its m
+    * lookups exactly once.
     */
   def adcTopKProbed(queriesWithCell: DataFrame, cells: DataFrame,
                     codes: DataFrame, model: Model, vecCol: String,
                     idCol: String, k: Int): DataFrame = {
     val lutUdf = lutUdfFor(model)
     val scoreUdf = scoreUdfFor(model)
-    val q = queriesWithCell
-      .select(col(idCol).as("q"), lutUdf(col(vecCol)).as("lut"), col("cell"))
-    val cand = broadcast(q)
+    val probes = queriesWithCell.select(col(idCol).as("q"), col("cell"))
+    val lut = queriesWithCell.dropDuplicates(idCol)
+      .select(col(idCol).as("q"), lutUdf(col(vecCol)).as("lut"))
+    val cand = broadcast(probes)
       .join(cells.select(col(idCol).as("n"), col("cell")), Seq("cell"))
       .filter(col("q") =!= col("n"))
+      .select("q", "n").distinct()
     val scored = cand
       .join(codes.select(col(idCol).as("n"), col("code")), Seq("n"))
+      .join(broadcast(lut), Seq("q"))
       .select(col("q"), col("n"), scoreUdf(col("lut"), col("code")).as("adc"))
-      .groupBy("q", "n").agg(max("adc").as("adc"))
     val w = Window.partitionBy("q").orderBy(col("adc").desc, col("n"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -43,9 +43,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Determinism (golden-oracle contract): the edge order is a total sort on
   * (d, src, dst); union always folds the larger root id into the smaller, so
-  * a subcluster's id IS its minimum doc_id with no separate pass; the
-  * violation check walks constraints in their sorted order. Independent
-  * sequential rederivations match bit-for-bit (ConstrainedSpec).
+  * a subcluster's id IS its minimum doc_id with no separate pass. (The
+  * violation check is order-independent — an existence test over the
+  * cannot set.) Independent sequential rederivations match bit-for-bit
+  * (ConstrainedSpec).
   */
 object Constrained {
 
@@ -72,7 +73,6 @@ object Constrained {
     // endpoints against the capped set; a caller wiring raw relations
     // should not corrupt the union-find)
     val cl = cannot.filter(p => parent.contains(p._1) && parent.contains(p._2))
-      .sorted
     // must-links lead the union order as pseudo-edges below every real
     // distance (scored d is always >= 0), ordered among themselves by (a, b)
     val lead = must.filter(p => parent.contains(p._1) && parent.contains(p._2))
@@ -138,28 +138,23 @@ object Constrained {
     // cross-component constraint never reaches a solver
     val memK = capped.select(col("cluster_id"), lit(0).as("kind"),
       col("doc_id").as("x"), lit(0L).as("y"), lit(0).as("d"))
-    val eK = edges.select(col("src"), col("dst"), col("d"))
-      .join(capped.select(col("doc_id").as("src"), col("cluster_id")), "src")
-      .join(capped.select(col("doc_id").as("dst"), col("cluster_id").as("c2")), "dst")
-      .filter(col("cluster_id") === col("c2"))
-      .select(col("cluster_id"), lit(1).as("kind"),
-        col("src").as("x"), col("dst").as("y"), col("d"))
-    val cK = cannot.select(col("a"), col("b"))
-      .join(capped.select(col("doc_id").as("a"), col("cluster_id")), "a")
-      .join(capped.select(col("doc_id").as("b"), col("cluster_id").as("c2")), "b")
-      .filter(col("cluster_id") === col("c2"))
-      .select(col("cluster_id"), lit(2).as("kind"),
-        col("a").as("x"), col("b").as("y"), lit(0).as("d"))
-    val mK = must.map { ml =>
-      ml.select(col("a"), col("b"))
-        .join(capped.select(col("doc_id").as("a"), col("cluster_id")), "a")
-        .join(capped.select(col("doc_id").as("b"), col("cluster_id").as("c2")), "b")
+    // one shared endpoint-filter contract for edges and both constraint
+    // relations: inner-join BOTH endpoints against the capped member set
+    // with component equality required, tagged (cluster_id, kind, x, y, d)
+    def tagged(df: DataFrame, aCol: String, bCol: String, kind: Int,
+               dCol: Option[String]): DataFrame =
+      df.join(capped.select(col("doc_id").as(aCol), col("cluster_id")), aCol)
+        .join(capped.select(col("doc_id").as(bCol), col("cluster_id").as("c2")), bCol)
         .filter(col("cluster_id") === col("c2"))
-        .select(col("cluster_id"), lit(3).as("kind"),
-          col("a").as("x"), col("b").as("y"), lit(0).as("d"))
-    }
-    val tagged = mK.foldLeft(memK.unionByName(eK).unionByName(cK))(_ unionByName _)
-    val solved = tagged
+        .select(col("cluster_id"), lit(kind).as("kind"),
+          col(aCol).as("x"), col(bCol).as("y"),
+          dCol.map(col).getOrElse(lit(0)).as("d"))
+    val eK = tagged(edges.select(col("src"), col("dst"), col("d")),
+      "src", "dst", 1, Some("d"))
+    val cK = tagged(cannot.select(col("a"), col("b")), "a", "b", 2, None)
+    val mK = must.map(ml => tagged(ml.select(col("a"), col("b")), "a", "b", 3, None))
+    val relation = mK.foldLeft(memK.unionByName(eK).unionByName(cK))(_ unionByName _)
+    val solved = relation
       .as[(Long, Int, Long, Long, Int)]
       .groupByKey(_._1)
       .flatMapGroups { (cid, it) =>

@@ -70,7 +70,17 @@ object DiagBandScale {
       // round-5: COP constrained clustering (same pinned relations; the
       // solver adds two O(components) constraint joins + one capped
       // flatMapGroups)
-      "q_constrained_cc", "q_constrained_must")
+      "q_constrained_cc", "q_constrained_must",
+      // round-5 ER-audit additions: mutual-best rides the linkage band
+      // split; the capture-recapture and blocking-scheme censuses pay
+      // stratum-bounded pair legs — run this main with
+      // GRAFT_EVAL_SAMPLE_K sized for the corpus (e.g. 64 at 850k: the
+      // same 1/k dial the evaluator family documents), because the
+      // first-token-Soundex blocker SATURATES on the synthetic vocabulary
+      // (few hundred keys) and the full-stratum pair leg is exactly the
+      // bad-blocker cost the analytic n_cand_full column is there to
+      // expose without enumerating
+      "q_mutual_best", "q_dup_rate_cr", "q_blocking_scheme")
     var total = 0.0
     family.foreach { name =>
       val q0 = System.nanoTime()
