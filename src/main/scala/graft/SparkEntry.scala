@@ -1609,6 +1609,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // chain-merge culprit audit ([[graft.pipeline.GraphAudit.bridges]];
+    // golden oracle + naive remove-and-recount rederivation in
+    // GraphAuditSpec): per member of a multi-member flagship component,
+    // whether removing it DISCONNECTS the component's similarity graph
+    // (Hopcroft–Tarjan cut vertices). A cluster held together solely
+    // through one noisy doc is the over-merge HAC splits — this flags
+    // which member a reviewer inspects first. Component-parallel
+    // flatMapGroups over the pinned levEdges/CC relations, members capped
+    // at 64 BEFORE the group shuffle (overflow passes through non-cut);
+    // the cut set is a graph property, so determinism is free.
+    "q_bridge_docs" -> ((s, dir) =>
+      graft.pipeline.GraphAudit.bridges(sFlagshipCC(s, dir),
+          levEdges(s, dir), cap = 64)(s)
+        .orderBy("doc_id")),
+
+    // merge-evidence chain ([[graft.pipeline.GraphAudit.mstEdges]]; golden
+    // oracle + independent Prim's rederivation in GraphAuditSpec): per
+    // flagship component, the minimum spanning forest of its scored edges
+    // under (d, src, dst) order — the MINIMAL pair set justifying the
+    // whole merge (every non-MST edge is redundant evidence). The review
+    // UI shows these |C|−1 pairs instead of O(|C|²), and the chain's worst
+    // edge is the cluster's weakest link with the witness pair attached.
+    // Same component-parallel capped shape as q_bridge_docs; Kruskal under
+    // a total edge order is unique, so the golden is stable.
+    "q_evidence_mst" -> ((s, dir) =>
+      graft.pipeline.GraphAudit.mstEdges(sFlagshipCC(s, dir),
+          levEdges(s, dir), cap = 64)(s)
+        .orderBy("cluster_id", "d", "src", "dst")),
+
     // Staged dedup cascade — the composition every production corpus
     // pipeline actually runs (cheap stages first, each stage sees only the
     // previous stage's survivors): 1_exact (identical text, md5 groupBy),
@@ -3584,8 +3613,10 @@ object SparkEntry {
     golden("q_canopy"),
     golden("q_center_clusters"),
     golden("q_compare_target"),
+    golden("q_bridge_docs"),
     golden("q_constrained_cc"),
     golden("q_constrained_must"),
+    golden("q_evidence_mst"),
     golden("q_doc_stats"),
     golden("q_fingerprint"),
     golden("q_hac_clusters"),

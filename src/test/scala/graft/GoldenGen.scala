@@ -17,9 +17,9 @@ package graft
 object GoldenGen {
   val GoldenQueries: Seq[String] = Seq(
     "q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq", "q_ann_recall",
-    "q_audio_near_dups", "q_canopy",
+    "q_audio_near_dups", "q_bridge_docs", "q_canopy",
     "q_center_clusters", "q_compare_target", "q_constrained_cc",
-    "q_constrained_must", "q_doc_stats", "q_fingerprint",
+    "q_constrained_must", "q_doc_stats", "q_evidence_mst", "q_fingerprint",
     "q_hac_clusters", "q_image_features", "q_media_phash", "q_minhash_lsh",
     "q_pipeline_clusters", "q_retract_clusters", "q_simhash", "q_swoosh",
     "q_video_near_dups")
