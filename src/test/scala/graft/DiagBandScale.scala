@@ -80,7 +80,10 @@ object DiagBandScale {
       // (few hundred keys) and the full-stratum pair leg is exactly the
       // bad-blocker cost the analytic n_cand_full column is there to
       // expose without enumerating
-      "q_mutual_best", "q_dup_rate_cr", "q_blocking_scheme")
+      "q_mutual_best", "q_dup_rate_cr", "q_blocking_scheme",
+      // round-5 graph audits (same pinned relations, capped
+      // component-parallel kernels)
+      "q_bridge_docs", "q_evidence_mst")
     var total = 0.0
     family.foreach { name =>
       val q0 = System.nanoTime()
