@@ -1083,14 +1083,35 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
+  /** Session-scoped memo for session-FREE plain values (models, scalars):
+    * the [[SessionMemo]] contract — applicationId keys, eviction of
+    * stopped contexts, an inert lazy Cell so racing first callers never
+    * derive twice — without pinning a DataFrame.
+    */
+  private final class SessionValueMemo[K, V] {
+    private final class Cell(thunk: () => V) { lazy val value: V = thunk() }
+    private final class Entry(val ctx: org.apache.spark.SparkContext, val cell: Cell)
+    private val m = scala.collection.concurrent.TrieMap.empty[(String, K), Entry]
+    def apply(s: SparkSession, k: K)(derive: => V): V = {
+      m.filterInPlace((_, e) => !e.ctx.isStopped)
+      val ctx = s.sparkContext
+      m.getOrElseUpdate((ctx.applicationId, k), new Entry(ctx, new Cell(() => derive)))
+        .cell.value
+    }
+  }
+
   /** ONE review-queue pair derivation shared by q_constrained_cc and
-    * q_constrained_must (so the two queues cannot drift): one
+    * q_constrained_must (so the two queues cannot drift), pinned per
+    * (session, dir) like every sibling shared derivation: one
     * representative (min doc_id) per (flagship component, source), capped
     * at 16 reps/component BEFORE the pair expansion so the relation is
     * O(components), with each rep pair carrying whether the two reps agree
     * on lang. Returns (a, b, same_lang), a < b within one component.
     */
-  private def repPairs(s: SparkSession, dir: String): DataFrame = {
+  private val repPairsCache = new SessionMemo[String]
+  private def repPairs(s: SparkSession, dir: String): DataFrame =
+    repPairsCache(s, dir) { repPairsDerive(s, dir).localCheckpoint(true) }
+  private def repPairsDerive(s: SparkSession, dir: String): DataFrame = {
     val cc = sFlagshipCC(s, dir)
     val src = docsTable(s, dir).select(col("doc_id"), col("source"), col("lang"))
     val reps = cc.join(src, "doc_id")
@@ -1110,14 +1131,14 @@ object SparkEntry {
   /** Per-(session, dir, m) PQ codebook — the fit collects a 512-row seeded
     * sample and runs driver-side Lloyd's; q_ann_pq (3 widths) and
     * q_ann_ivfpq (m=16) share the m=16 fit instead of re-deriving it. The
-    * Model is session-free plain arrays, so a plain TrieMap keyed by
-    * applicationId is safe (the [[SessionMemo]] key convention).
+    * Model is session-free plain arrays; [[SessionValueMemo]] carries the
+    * SessionMemo eviction + race-safe lazy-cell contract for it.
     */
-  private val pqModelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), graft.ann.Pq.Model]
+  private val pqModelCache = new SessionValueMemo[(String, Int), graft.ann.Pq.Model]
   private def sPqModel(s: SparkSession, dir: String, m: Int): graft.ann.Pq.Model =
-    pqModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir, m),
-      graft.ann.Pq.fit(embTable(s, dir), "embedding", "vec_id", m = m, k = 16))
+    pqModelCache(s, (dir, m)) {
+      graft.ann.Pq.fit(embTable(s, dir), "embedding", "vec_id", m = m, k = 16)
+    }
 
   /** Pinned (vec_id, code) PQ corpus relation per (session, dir, m) — the
     * corpus-wide encode pass runs once per session like [[sBandRelation]].

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Pairwise-constrained clustering within connected components — the
   * labeled-feedback primitive of interactive entity resolution
@@ -122,37 +121,20 @@ object Constrained {
       spark: SparkSession): DataFrame = {
     require(cap >= 1, s"cap must be positive, got $cap")
     import spark.implicits._
-    val multi = cc.groupBy("cluster_id").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).select("cluster_id")
-    val mem = cc.join(multi, "cluster_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("cluster_id").orderBy("doc_id")))
-    val capped = mem.filter(col("rk") <= cap).select("cluster_id", "doc_id")
-    val overflow = mem.filter(col("rk") > cap)
+    val (capped, overflow0) = CappedSlices.membership(cc, cap)
+    val overflow = overflow0
       .select(col("doc_id"), col("cluster_id"),
         col("doc_id").as("ccl_id"), lit(1).as("n_sub"))
-    // one tagged relation keyed by component: kind 0 = member, 1 = edge,
-    // 2 = cannot-link, 3 = must-link. Edges/constraints are inner-joined
-    // against the capped member set on BOTH endpoints before the shuffle
-    // (the group-size bound), with component equality required so a
-    // cross-component constraint never reaches a solver
-    val memK = capped.select(col("cluster_id"), lit(0).as("kind"),
-      col("doc_id").as("x"), lit(0L).as("y"), lit(0).as("d"))
-    // one shared endpoint-filter contract for edges and both constraint
-    // relations: inner-join BOTH endpoints against the capped member set
-    // with component equality required, tagged (cluster_id, kind, x, y, d)
-    def tagged(df: DataFrame, aCol: String, bCol: String, kind: Int,
-               dCol: Option[String]): DataFrame =
-      df.join(capped.select(col("doc_id").as(aCol), col("cluster_id")), aCol)
-        .join(capped.select(col("doc_id").as(bCol), col("cluster_id").as("c2")), bCol)
-        .filter(col("cluster_id") === col("c2"))
-        .select(col("cluster_id"), lit(kind).as("kind"),
-          col(aCol).as("x"), col(bCol).as("y"),
-          dCol.map(col).getOrElse(lit(0)).as("d"))
-    val eK = tagged(edges.select(col("src"), col("dst"), col("d")),
-      "src", "dst", 1, Some("d"))
-    val cK = tagged(cannot.select(col("a"), col("b")), "a", "b", 2, None)
-    val mK = must.map(ml => tagged(ml.select(col("a"), col("b")), "a", "b", 3, None))
+    // kind legend for the tagged relation: 0 = member, 1 = edge,
+    // 2 = cannot-link, 3 = must-link (endpoint-filter contract in
+    // [[CappedSlices.tagged]])
+    val memK = CappedSlices.memberRows(capped)
+    val eK = CappedSlices.tagged(edges.select(col("src"), col("dst"), col("d")),
+      capped, "src", "dst", 1, Some("d"))
+    val cK = CappedSlices.tagged(cannot.select(col("a"), col("b")),
+      capped, "a", "b", 2, None)
+    val mK = must.map(ml => CappedSlices.tagged(ml.select(col("a"), col("b")),
+      capped, "a", "b", 3, None))
     val relation = mK.foldLeft(memK.unionByName(eK).unionByName(cK))(_ unionByName _)
     val solved = relation
       .as[(Long, Int, Long, Long, Int)]

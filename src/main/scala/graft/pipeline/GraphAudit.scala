@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity-graph explainability audits over connected components — the
   * "WHY did these records merge?" reports an ER reviewer reads before
@@ -119,27 +118,16 @@ object GraphAudit {
       }
   }
 
-  /** The shared capped slice: multi-member components' members (capped) and
-    * the edges with both endpoints inside the cap, as one tagged relation
-    * keyed by component (kind 0 = member, 1 = edge) — the
-    * [[Constrained.run]] group-size-bound shape — plus the overflow rows.
+  /** The shared capped slice ([[CappedSlices]], the group-size-bound
+    * contract shared with [[Constrained.run]]): kind-0 member rows + kind-1
+    * edge rows as one tagged relation keyed by component, plus the
+    * overflow rows.
     */
   private def slices(cc: DataFrame, edges: DataFrame, cap: Int) = {
-    val multi = cc.groupBy("cluster_id").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).select("cluster_id")
-    val mem = cc.join(multi, "cluster_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("cluster_id").orderBy("doc_id")))
-    val capped = mem.filter(col("rk") <= cap).select("cluster_id", "doc_id")
-    val overflow = mem.filter(col("rk") > cap).select("cluster_id", "doc_id")
-    val memK = capped.select(col("cluster_id"), lit(0).as("kind"),
-      col("doc_id").as("x"), lit(0L).as("y"), lit(0).as("d"))
-    val eK = edges.select(col("src"), col("dst"), col("d"))
-      .join(capped.select(col("doc_id").as("src"), col("cluster_id")), "src")
-      .join(capped.select(col("doc_id").as("dst"), col("cluster_id").as("c2")), "dst")
-      .filter(col("cluster_id") === col("c2"))
-      .select(col("cluster_id"), lit(1).as("kind"),
-        col("src").as("x"), col("dst").as("y"), col("d"))
+    val (capped, overflow) = CappedSlices.membership(cc, cap)
+    val memK = CappedSlices.memberRows(capped)
+    val eK = CappedSlices.tagged(edges.select(col("src"), col("dst"), col("d")),
+      capped, "src", "dst", 1, Some("d"))
     (memK.unionByName(eK), overflow)
   }
 
