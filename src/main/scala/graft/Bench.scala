@@ -93,7 +93,18 @@ object Bench {
           java.lang.management.ManagementFactory
             .getOperatingSystemMXBean.getSystemLoadAverage
       }
-    val hostCores = Runtime.getRuntime.availableProcessors()
+    // /proc/loadavg is HOST-wide, so the bar must scale with HOST cores:
+    // availableProcessors() is cgroup-scoped and would set an impossibly
+    // low bar inside a CPU-quota container on a busy host (waiting the
+    // full timeout on every run while the container's own cores idle).
+    // /proc/cpuinfo reports physical host cores regardless of quota.
+    val hostCores = {
+      val cpuinfo = try {
+        val src = scala.io.Source.fromFile("/proc/cpuinfo")
+        try src.getLines().count(_.startsWith("processor")) finally src.close()
+      } catch { case _: Throwable => 0 }
+      math.max(cpuinfo, Runtime.getRuntime.availableProcessors())
+    }
     val quietBar = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_FRAC", "0.25").toDouble * hostCores
     val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAIT_SEC", "600").toInt
     val waitT0 = System.nanoTime()

@@ -91,13 +91,16 @@ object Main {
       case "--output" :: t => loop(t, acc.copy(output = true))
       case "-o" :: t =>
         // transition guard: -o took a CSV path before the reference-parity
-        // change made it boolean. An old-style `-o /reports /photos`
-        // invocation now parses CLEANLY with /reports joining the scan
-        // targets — which --delete/--move would then act on. Make the
+        // change made it boolean. An old-style `-o /reports/dups.csv
+        // /photos` invocation now parses CLEANLY with the path joining the
+        // scan targets — which --delete/--move would then act on. Make the
         // reinterpretation loud (stderr: never mixes into the rows-only
-        // stdout this flag selects).
+        // stdout this flag selects) for ANY pathlike next token: an
+        // existing directory, an existing file, OR a not-yet-existing
+        // .csv destination (the commonest old-style spelling).
         t.headOption.filter(p => !p.startsWith("-") &&
-            new java.io.File(p).isDirectory).foreach { p =>
+            (new java.io.File(p).exists() ||
+              p.toLowerCase.endsWith(".csv"))).foreach { p =>
           System.err.println(s"[graft] note: -o is now the boolean rows-only " +
             s"output flag (reference semantics); '$p' will be scanned as a " +
             s"TARGET. To write a CSV file use --csv <path>.")

@@ -264,13 +264,17 @@ object SparkEntry {
     * that runs Spark applications sequentially (the test suite) cannot
     * leak pinned DataFrames across applications.
     */
-  private final class SessionMemo[K] {
-    private final class Cell(thunk: () => DataFrame) {
-      lazy val value: DataFrame = thunk()
-    }
+  /** Session-scoped memo: applicationId keys, eviction of stopped
+    * contexts, an inert lazy Cell so racing first callers never derive
+    * twice. One implementation for BOTH pinned DataFrames
+    * ([[SessionMemo]]) and session-free plain values like fitted models
+    * ([[SessionValueMemo]]) — the eviction/race contract lives here once.
+    */
+  private class SessionValueMemo[K, V] {
+    private final class Cell(thunk: () => V) { lazy val value: V = thunk() }
     private final class Entry(val ctx: org.apache.spark.SparkContext, val cell: Cell)
     private val m = scala.collection.concurrent.TrieMap.empty[(String, K), Entry]
-    def apply(s: SparkSession, k: K)(derive: => DataFrame): DataFrame = {
+    def apply(s: SparkSession, k: K)(derive: => V): V = {
       m.filterInPlace((_, e) => !e.ctx.isStopped)
       val ctx = s.sparkContext
       // getOrElseUpdate is atomic on TrieMap; the Cell is a cheap inert
@@ -279,6 +283,7 @@ object SparkEntry {
         .cell.value
     }
   }
+  private final class SessionMemo[K] extends SessionValueMemo[K, DataFrame]
 
   /** Deterministic hash stratum for the bounded evaluator mode: the first
     * 15 md5 hex digits of "esample:" + doc_id as int64 (the bucket recipe
@@ -302,9 +307,18 @@ object SparkEntry {
     * disagree within a run. Default 2 = the driver's Verify protocol.
     */
   private[graft] val evalSampleK: Int =
-    sys.env.get("GRAFT_EVAL_SAMPLE_K")
-      .flatMap(v => scala.util.Try(v.toInt).toOption)
-      .filter(_ >= 1).getOrElse(2)
+    sys.env.get("GRAFT_EVAL_SAMPLE_K") match {
+      case None => 2 // the driver's Verify protocol default
+      case Some(v) =>
+        // fail LOUDLY on a malformed value: silently falling back to 2
+        // would run the O((N/k)²) evaluator legs at half-corpus cost —
+        // the exact bill this knob exists to avoid at scale
+        val k = scala.util.Try(v.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"GRAFT_EVAL_SAMPLE_K must be a positive integer, got '$v'"))
+        require(k >= 1, s"GRAFT_EVAL_SAMPLE_K must be >= 1, got $k")
+        k
+    }
 
   /** n_true / n_pred / n_hit plus rounded precision/recall/F1 from two
     * pinned (a, b) pair relations — the pairwise-metric block shared by
@@ -497,6 +511,12 @@ object SparkEntry {
       perSession.getOrElseUpdate(dir, new IvfCell)
     }
     val (model, root) = cell.synchronized {
+      // reaper guard: a /tmp cleaner can delete the stage between the
+      // memoized first call and a later query in a long-lived session —
+      // revalidate the cached root and rebuild if the stage vanished
+      cell.value = cell.value.filter { case (_, r) =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(r, "ivf_cells"))
+      }
       cell.value.getOrElse {
         val e = embTable(s, dir)
         // parquet-file fingerprint: every data file's name:length:mtime,
@@ -514,13 +534,22 @@ object SparkEntry {
           }
         val dirKey = java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-        val r = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$dirKey"
+        // the root carries user + dataKey: (a) two users over one table
+        // never fight for a world-shared path; (b) a REGENERATED table
+        // selects a brand-new root instead of mode("overwrite")-rewriting
+        // files a sibling JVM may be lazily scanning — the old root
+        // lingers in tmp (bounded by table regenerations), which is the
+        // price of never pulling parquet files out from under a reader
+        val user = Option(System.getProperty("user.name")).getOrElse("nouser")
+          .replaceAll("[^A-Za-z0-9_-]", "_")
+        val r = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$user-$dirKey-" +
+          java.lang.Long.toHexString(dataKey)
         // cross-JVM lock: Checkpoints.stage is check-then-write; two JVMs
-        // over the same table (Verify + test suite) must not interleave a
-        // read with a mode("overwrite") rewrite of the same files.
-        // Same-JVM contenders (two SESSIONS over one dir — each has its
-        // own IvfCell, so cell.synchronized does not serialize them) must
-        // be serialized BEFORE the file lock: FileChannel.lock THROWS
+        // over the same table (Verify + test suite) must not interleave
+        // concurrent writes of the same files. Same-JVM contenders (two
+        // SESSIONS over one dir — each has its own IvfCell, so
+        // cell.synchronized does not serialize them) must be serialized
+        // BEFORE the file lock: FileChannel.lock THROWS
         // OverlappingFileLockException, it does not wait, when this JVM
         // already holds the lock — hence the JVM-global per-root monitor.
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(r))
@@ -1083,22 +1112,28 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
-  /** Session-scoped memo for session-FREE plain values (models, scalars):
-    * the [[SessionMemo]] contract — applicationId keys, eviction of
-    * stopped contexts, an inert lazy Cell so racing first callers never
-    * derive twice — without pinning a DataFrame.
+  /** (doc_id, w, sdx) — the first-token American-Soundex blocking key of
+    * each doc (non-ASCII stripped BEFORE upper-casing; empty skeletons
+    * dropped), shared by q_soundex_blocks / q_dup_rate_cr /
+    * q_blocking_scheme so the Spark derivation cannot drift between them;
+    * the oracles mirror it with the shared n0/n1 + [[soundexCteSql]] CTEs.
     */
-  private final class SessionValueMemo[K, V] {
-    private final class Cell(thunk: () => V) { lazy val value: V = thunk() }
-    private final class Entry(val ctx: org.apache.spark.SparkContext, val cell: Cell)
-    private val m = scala.collection.concurrent.TrieMap.empty[(String, K), Entry]
-    def apply(s: SparkSession, k: K)(derive: => V): V = {
-      m.filterInPlace((_, e) => !e.ctx.isStopped)
-      val ctx = s.sparkContext
-      m.getOrElseUpdate((ctx.applicationId, k), new Entry(ctx, new Cell(() => derive)))
-        .cell.value
-    }
-  }
+  private def firstTokenSdx(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), upper(regexp_replace(
+        split(col("text"), " ").getItem(0), "[^A-Za-z]", "")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("sdx", soundexCol(col("w")))
+
+  /** Survivors of the shared lev < 15 edge contract over candidate pairs:
+    * joins the 60-prefix relation `t` on both endpoints (columns a, b),
+    * keeps every other pair column. One definition for every audit that
+    * claims "verified by the shared edge contract".
+    */
+  private def levVerify(pairs: DataFrame, t: DataFrame): DataFrame =
+    pairs.join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+      .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+      .filter(levenshtein(col("ta"), col("tb")) < 15)
+      .drop("ta", "tb")
 
   /** ONE review-queue pair derivation shared by q_constrained_cc and
     * q_constrained_must (so the two queues cannot drift), pinned per
@@ -3193,16 +3228,13 @@ object SparkEntry {
     //   first-position drop); collapse runs; drop the first position's
     //   code; drop 0s; pad to 4. Key census = blocking-quality profile.
     "q_soundex_blocks" -> ((s, dir) => {
-      // non-ASCII is stripped BEFORE upper-casing in BOTH engines: JVM
-      // upper() applies full case mapping (ß → SS) while DuckDB's utf8proc
-      // maps ß → ẞ, so upper-then-anything diverges on such chars; Soundex
-      // is defined over A-Z anyway (engine-parity hazard pinned in
-      // DataOpsSpec's non-ASCII soundex test)
-      docsTable(s, dir)
-        .select(upper(regexp_replace(split(col("text"), " ").getItem(0),
-          "[^A-Za-z]", "")).as("w"))
-        .filter(length(col("w")) > 0)
-        .withColumn("sdx", soundexCol(col("w")))
+      // non-ASCII is stripped BEFORE upper-casing in BOTH engines
+      // ([[firstTokenSdx]]): JVM upper() applies full case mapping
+      // (ß → SS) while DuckDB's utf8proc maps ß → ẞ, so
+      // upper-then-anything diverges on such chars; Soundex is defined
+      // over A-Z anyway (engine-parity hazard pinned in DataOpsSpec's
+      // non-ASCII soundex test)
+      firstTokenSdx(docsTable(s, dir))
         .groupBy("sdx").agg(count(lit(1)).as("n_docs"),
           countDistinct(col("w")).as("n_names"))
         .orderBy(col("n_docs").desc, col("sdx"))
@@ -3351,23 +3383,18 @@ object SparkEntry {
       val capA = bandA.select(col("doc_id").as("a"), col("bk"))
         .join(bandA.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
         .filter(col("a") < col("b")).select("a", "b").distinct()
-      val keyed = strat
-        .select(col("doc_id"), upper(regexp_replace(
-          split(col("text"), " ").getItem(0), "[^A-Za-z]", "")).as("w"))
-        .filter(length(col("w")) > 0)
-        .select(col("doc_id"), soundexCol(col("w")).as("sdx"))
+      val keyed = firstTokenSdx(strat).select("doc_id", "sdx")
       val capB = keyed.select(col("doc_id").as("a"), col("sdx"))
         .join(keyed.select(col("doc_id").as("b"), col("sdx")), Seq("sdx"))
         .filter(col("a") < col("b")).select("a", "b").distinct()
-      def verify(p: DataFrame): DataFrame = p
-        .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
-        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
-        .filter(levenshtein(col("ta"), col("tb")) < 15)
-        .select("a", "b")
-      val va = verify(capA)
-      val vb = verify(capB)
+      // verify the UNION once (pairs both blockers catch — the Chapman
+      // overlap population — pay one levenshtein, not two), then semi-join
+      // each capture leg against the verified set
+      val verified = levVerify(capA.unionByName(capB).distinct(), t)
+      val va = capA.join(verified, Seq("a", "b"), "left_semi")
+      val vb = capB.join(verified, Seq("a", "b"), "left_semi")
       val both = va.join(vb, Seq("a", "b"), "left_semi")
-      val uni = va.unionByName(vb).distinct()
+      val uni = verified
       va.agg(count(lit(1)).as("n_a"))
         .crossJoin(vb.agg(count(lit(1)).as("n_b")))
         .crossJoin(both.agg(count(lit(1)).as("n_both")))
@@ -3393,11 +3420,8 @@ object SparkEntry {
       val d = docsTable(s, dir)
       val band = sBandRelation(s, dir).select(lit("band").as("scheme"),
         col("doc_id"), col("bk").as("k"))
-      val sdx = d.select(col("doc_id"), upper(regexp_replace(
-          split(col("text"), " ").getItem(0), "[^A-Za-z]", "")).as("w"))
-        .filter(length(col("w")) > 0)
-        .select(lit("soundex1").as("scheme"), col("doc_id"),
-          soundexCol(col("w")).as("k"))
+      val sdx = firstTokenSdx(d)
+        .select(lit("soundex1").as("scheme"), col("doc_id"), col("sdx").as("k"))
       val pre = d.select(lit("prefix8").as("scheme"), col("doc_id"),
         substring(col("text"), 1, 8).as("k"))
       val ll = d.select(lit("lenlang4").as("scheme"), col("doc_id"),
@@ -3417,11 +3441,7 @@ object SparkEntry {
         .filter(col("a") < col("b"))
         .select("scheme", "a", "b").distinct()
       val t = d.select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
-      val ver = cand
-        .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
-        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
-        .filter(levenshtein(col("ta"), col("tb")) < 15)
-        .select("scheme", "a", "b")
+      val ver = levVerify(cand, t).select("scheme", "a", "b")
       val qual = cand.groupBy("scheme").agg(count(lit(1)).as("n_cand_s"))
         .join(ver.groupBy("scheme").agg(count(lit(1)).as("n_true_s")),
           Seq("scheme"), "left")
