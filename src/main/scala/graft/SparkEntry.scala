@@ -937,7 +937,7 @@ object SparkEntry {
       .withColumn("jac_agree",
         col("inter").cast("double") /
           (size(col("toksA")) + size(col("toksB")) - col("inter")) >= 0.6)
-      .withColumn("lev_agree", levenshtein(col("tA"), col("tB")) < 15)
+      .withColumn("lev_agree", levLt15(col("tA"), col("tB")))
       .select("a", "b", "langA", "lang_agree", "len_agree", "jac_agree", "lev_agree")
   }
 
@@ -1065,8 +1065,10 @@ object SparkEntry {
       sBandCandidates(s, dir)
         .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
         .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
-        .withColumn("d", levenshtein(col("ta"), col("tb")))
-        .filter(col("d") < 15)
+        // bounded form: -1 (> threshold) rows are exactly the d >= 15 rows
+        // the filter dropped; surviving d values are the exact distances
+        .withColumn("d", levenshtein(col("ta"), col("tb"), 14))
+        .filter(col("d") >= 0)
         .select(col("a").as("src"), col("b").as("dst"), col("d"))
         .localCheckpoint(true)
     }
@@ -1124,6 +1126,20 @@ object SparkEntry {
       .filter(length(col("w")) > 0)
       .withColumn("sdx", soundexCol(col("w")))
 
+  /** `levenshtein(a, b) < 15` as a BOUNDED predicate (guide §1.2 "per-task
+    * work"): the 3-arg levenshtein runs the banded DP and abandons once the
+    * distance provably exceeds the threshold, returning -1 there — so
+    * `>= 0` is exactly the `< 15` predicate, and the returned value equals
+    * the exact distance on every surviving row. Measured (DiagLev, 60-char
+    * pairs, 1M): 32.9 s → 4.0 s on non-matching pairs (the dominant
+    * population of every verify leg), 32.1 → 23.1 s on true near-dups.
+    * Only predicate/filtered sites use this; sites that consume unbounded
+    * distances (q_cand_hist buckets, cluster cohesion sums, Pairs.score's
+    * lev_norm) keep the exact 2-arg form.
+    */
+  private def levLt15(a: Column, b: Column): Column =
+    levenshtein(a, b, 14) >= 0
+
   /** Survivors of the shared lev < 15 edge contract over candidate pairs:
     * joins the 60-prefix relation `t` on both endpoints (columns a, b),
     * keeps every other pair column. One definition for every audit that
@@ -1132,8 +1148,61 @@ object SparkEntry {
   private def levVerify(pairs: DataFrame, t: DataFrame): DataFrame =
     pairs.join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
       .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
-      .filter(levenshtein(col("ta"), col("tb")) < 15)
+      .filter(levLt15(col("ta"), col("tb")))
       .drop("ta", "tb")
+
+  /** ONE pinned (scheme, a, b) stratum candidate-pair relation per
+    * (session, dir) for the four blocking-scheme predicates — MinHash band,
+    * first-token Soundex, 8-char prefix, (lang, len-bucket) — restricted to
+    * the deterministic 1/[[evalSampleK]] md5 stratum, pairs distinct within
+    * each scheme. Shared by q_blocking_scheme (all four schemes) and
+    * q_dup_rate_cr (band + soundex1 capture legs): before r6 each query
+    * re-ran its own candidate self-joins, and every aggregate leg within a
+    * query re-derived the whole unpinned tree (the q_dup_rate_cr plan held
+    * 132 Exchange nodes). A doc's scheme key does not depend on the
+    * stratum, so keys-then-restrict ≡ restrict-then-keys; the pinned
+    * relation is O(stratum candidates), bounded by the 1/k dial at scale.
+    * Cache contract as on [[sBandRelation]].
+    */
+  private val stratumSchemePairsCache = new SessionMemo[String]
+  private def sStratumSchemePairs(s: SparkSession, dir: String): DataFrame =
+    stratumSchemePairsCache(s, dir) {
+      val d = docsTable(s, dir)
+      val strat = d.filter(sampleBucket(col("doc_id")) % evalSampleK === 0)
+      val band = sBandRelation(s, dir).join(strat.select("doc_id"), "doc_id")
+        .select(lit("band").as("scheme"), col("doc_id"), col("bk").as("k"))
+      val sdx = firstTokenSdx(strat)
+        .select(lit("soundex1").as("scheme"), col("doc_id"), col("sdx").as("k"))
+      val pre = strat.select(lit("prefix8").as("scheme"), col("doc_id"),
+        substring(col("text"), 1, 8).as("k"))
+      val ll = strat.select(lit("lenlang4").as("scheme"), col("doc_id"),
+        concat_ws(":", col("lang"), expr("n_chars div 4")).as("k"))
+      val skeys = band.unionByName(sdx).unionByName(pre).unionByName(ll)
+      skeys.select(col("scheme"), col("doc_id").as("a"), col("k"))
+        .join(skeys.select(col("scheme"), col("doc_id").as("b"), col("k")),
+          Seq("scheme", "k"))
+        .filter(col("a") < col("b"))
+        .select("scheme", "a", "b").distinct()
+        .localCheckpoint(true)
+    }
+
+  /** ONE pinned verified-pair relation per (session, dir): the DISTINCT
+    * (a, b) pairs of the four-scheme stratum candidate union that pass the
+    * shared lev < 15 edge contract. The levenshtein pass over the stratum
+    * candidates runs once per session; q_blocking_scheme's per-scheme
+    * verified legs and q_dup_rate_cr's capture legs are semi-joins against
+    * it (membership is the same pair-level predicate whichever candidate
+    * superset carried the pair there). Cache contract as on
+    * [[sBandRelation]].
+    */
+  private val stratumVerifiedCache = new SessionMemo[String]
+  private def sStratumVerified(s: SparkSession, dir: String): DataFrame =
+    stratumVerifiedCache(s, dir) {
+      val t = docsTable(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      levVerify(sStratumSchemePairs(s, dir).select("a", "b").distinct(), t)
+        .localCheckpoint(true)
+    }
 
   /** ONE review-queue pair derivation shared by q_constrained_cc and
     * q_constrained_must (so the two queues cannot drift), pinned per
@@ -1291,8 +1360,8 @@ object SparkEntry {
       sBandCandidates(s, dir)
         .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
         .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
-        .withColumn("d", levenshtein(col("ta"), col("tb")))
-        .filter(col("d") < 15)
+        .withColumn("d", levenshtein(col("ta"), col("tb"), 14))
+        .filter(col("d") >= 0)
         .select("a", "b", "d")
         .orderBy("a", "b")
     }),
@@ -1913,8 +1982,8 @@ object SparkEntry {
       ranked.select(col("doc_id").as("ida"), col("t").as("ta"),
           explode(sequence(col("rn") + 1, col("rn") + w)).as("rn"))
         .join(ranked.select(col("doc_id").as("idb"), col("t").as("tb"), col("rn")), "rn")
-        .withColumn("d", levenshtein(col("ta"), col("tb")))
-        .filter(col("d") < 15)
+        .withColumn("d", levenshtein(col("ta"), col("tb"), 14))
+        .filter(col("d") >= 0)
         .select(least(col("ida"), col("idb")).as("a"),
           greatest(col("ida"), col("idb")).as("b"), col("d"))
         .orderBy("a", "b")
@@ -2021,7 +2090,7 @@ object SparkEntry {
           sum(when(col("inter").cast("double") /
             (size(col("toksA")) + size(col("toksB")) - col("inter")) >= 0.6, 1L)
             .otherwise(0L)).as("jac_ag"),
-          sum(when(levenshtein(col("tA"), col("tB")) < 15, 1L).otherwise(0L)).as("lev_ag"))
+          sum(when(levLt15(col("tA"), col("tB")), 1L).otherwise(0L)).as("lev_ag"))
         .select(col("n_pairs"),
           expr("(1000000 * lang_ag) div n_pairs").as("u_lang_micro"),
           expr("(1000000 * len_ag) div n_pairs").as("u_len_micro"),
@@ -2179,7 +2248,7 @@ object SparkEntry {
         .filter(col("a") < col("b"))
       // pinned: the lev pass over the sample² pairs is the expensive leg
       // and feeds two consumers (count + the caught semi-join)
-      val truth = pairs.filter(levenshtein(col("ta"), col("tb")) < 15)
+      val truth = pairs.filter(levLt15(col("ta"), col("tb")))
         .select("a", "b").localCheckpoint(true)
       val sampleIds = sample.select("doc_id")
       val cands = sBandCandidates(s, dir)
@@ -3258,8 +3327,8 @@ object SparkEntry {
       val l = names.select(col("skel"), col("w").as("name_a"))
       val r = names.select(col("skel"), col("w").as("name_b"))
       l.join(r, Seq("skel")).filter(col("name_a") < col("name_b"))
-        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("lev") <= 3)
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 3))
+        .filter(col("lev") >= 0)
         .select(col("skel"), col("name_a"), col("name_b"), col("lev"))
         .orderBy("skel", "name_a", "name_b")
     }),
@@ -3376,21 +3445,22 @@ object SparkEntry {
     // contract shared with q_er_f1_sampled), so the audit's pair cost is a
     // dial at 100 TB; integer division keeps the estimate engine-exact.
     "q_dup_rate_cr" -> ((s, dir) => {
-      val strat = docsTable(s, dir)
-        .filter(sampleBucket(col("doc_id")) % evalSampleK === 0)
-      val t = strat.select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
-      val bandA = sBandRelation(s, dir).join(strat.select("doc_id"), "doc_id")
-      val capA = bandA.select(col("doc_id").as("a"), col("bk"))
-        .join(bandA.select(col("doc_id").as("b"), col("bk")), Seq("bk"))
-        .filter(col("a") < col("b")).select("a", "b").distinct()
-      val keyed = firstTokenSdx(strat).select("doc_id", "sdx")
-      val capB = keyed.select(col("doc_id").as("a"), col("sdx"))
-        .join(keyed.select(col("doc_id").as("b"), col("sdx")), Seq("sdx"))
-        .filter(col("a") < col("b")).select("a", "b").distinct()
-      // verify the UNION once (pairs both blockers catch — the Chapman
-      // overlap population — pay one levenshtein, not two), then semi-join
-      // each capture leg against the verified set
-      val verified = levVerify(capA.unionByName(capB).distinct(), t)
+      // capture legs = the pinned per-scheme stratum candidate relations
+      // ([[sStratumSchemePairs]], shared with q_blocking_scheme); the
+      // verified populations are semi-joins against the ONE pinned lev-pass
+      // ([[sStratumVerified]]) — before r6 every one of the four aggregate
+      // legs below re-derived both candidate self-joins AND the levenshtein
+      // union pass (132 Exchange nodes in the plan; 9.2-9.7 s repeatable)
+      val sp = sStratumSchemePairs(s, dir)
+      val capA = sp.filter(col("scheme") === "band").select("a", "b")
+      val capB = sp.filter(col("scheme") === "soundex1").select("a", "b")
+      val allVer = sStratumVerified(s, dir)
+      // verified ∩ (capA ∪ capB): the Chapman population this audit sizes —
+      // identical membership to verifying the two-scheme union directly,
+      // since `verified` is a pair-level predicate (lev < 15), not a
+      // property of which candidate set carried the pair
+      val verified = capA.unionByName(capB).distinct()
+        .join(allVer, Seq("a", "b"), "left_semi").localCheckpoint(true)
       val va = capA.join(verified, Seq("a", "b"), "left_semi")
       val vb = capB.join(verified, Seq("a", "b"), "left_semi")
       val both = va.join(vb, Seq("a", "b"), "left_semi")
@@ -3432,20 +3502,20 @@ object SparkEntry {
           count(lit(1)).as("n_keys"),
           max(col("n")).as("max_block"),
           sum(expr("n * (n - 1) div 2")).as("n_cand_full"))
-      val skeys = keys.join(
-        d.filter(sampleBucket(col("doc_id")) % evalSampleK === 0)
-          .select("doc_id"), "doc_id")
-      val cand = skeys.select(col("scheme"), col("doc_id").as("a"), col("k"))
-        .join(skeys.select(col("scheme"), col("doc_id").as("b"), col("k")),
-          Seq("scheme", "k"))
-        .filter(col("a") < col("b"))
-        .select("scheme", "a", "b").distinct()
-      val t = d.select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
-      val ver = levVerify(cand, t).select("scheme", "a", "b")
+      // stratum candidate pairs + lev-verified pairs: the pinned relations
+      // shared with q_dup_rate_cr ([[sStratumSchemePairs]] /
+      // [[sStratumVerified]]). A scheme's verified leg is a semi-join
+      // against the pinned union-verified set (same pair-level predicate);
+      // n_union IS that set's cardinality — before r6 the unpinned `ver`
+      // subtree re-ran the candidate join + levenshtein pass once per
+      // aggregate leg (54 Exchange nodes)
+      val cand = sStratumSchemePairs(s, dir)
+      val ver = cand.join(sStratumVerified(s, dir), Seq("a", "b"), "left_semi")
+        .select("scheme", "a", "b")
       val qual = cand.groupBy("scheme").agg(count(lit(1)).as("n_cand_s"))
         .join(ver.groupBy("scheme").agg(count(lit(1)).as("n_true_s")),
           Seq("scheme"), "left")
-      val nUnion = ver.select("a", "b").distinct()
+      val nUnion = sStratumVerified(s, dir)
         .agg(count(lit(1)).as("n_union"))
       census.join(qual, Seq("scheme"), "left")
         .na.fill(0L, Seq("n_cand_s", "n_true_s"))
