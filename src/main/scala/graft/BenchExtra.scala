@@ -28,7 +28,7 @@ object BenchExtra {
     val reps = sys.env.getOrElse("GRAFT_BENCHX_REPS", "2").toInt
     val only = sys.env.get("GRAFT_BENCHX_ONLY").map(_.split(',').map(_.trim).toSet)
     val planDir = sys.env.get("GRAFT_BENCHX_PLANDIR")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
@@ -38,6 +38,14 @@ object BenchExtra {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // GRAFT_BENCHX_EVENTLOG=<dir>: write Spark event logs for offline
+    // job/stage attribution (the UI is disabled in the bench protocol)
+    sys.env.get("GRAFT_BENCHX_EVENTLOG").foreach { d =>
+      new java.io.File(d).mkdirs()
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d)
+    }
+    val spark = builder
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -26,6 +26,22 @@ object SparkEntry {
   private def embTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Round-robin spread to the session's shuffle parallelism — the
+    * q_blocking_recall lesson generalized (guide §2.6 idle capacity): the
+    * sf tables read as ONE parquet split, so a scan-rooted leg whose
+    * downstream operators are compute-heavy (per-doc md5/UDF kernels,
+    * broadcast-join pair verifies) runs serially on one core; AQE's
+    * post-shuffle coalescing likewise folds byte-small but compute-heavy
+    * exchanges down to one partition (event-log evidence: 1-task stages of
+    * 1.5-2.6 s inside q_cosine_topk / q_embed_near_dup / q_pprl).
+    * Parameterized on the session's shuffle parallelism, never a literal
+    * core count. Row order downstream changes, so ONLY order-insensitive
+    * consumers (sets, sorted aggs, joins, total ORDER BY outputs) may sit
+    * above a spread.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** American Soundex (census rule) of an UPPER-CASE word, as the same
     * translate/regexp chain the DuckDB oracle runs — see q_soundex_blocks.
     * Run collapse is one replace per digit: the oracle's RE2 has no
@@ -232,8 +248,11 @@ object SparkEntry {
     * bench-scale census always measures the shipping derivation.
     */
   private[graft] def swooshInputs(base: DataFrame): (DataFrame, DataFrame) = {
-    val toks = base.select(col("doc_id"), shingleSet(col("text")).as("toks"))
-    val mins = base.select(col("doc_id"),
+    // spread: both derivations run per-doc md5/shingle kernels off the
+    // one-split scan
+    val b = spread(base.select("doc_id", "text"))
+    val toks = b.select(col("doc_id"), shingleSet(col("text")).as("toks"))
+    val mins = b.select(col("doc_id"),
       transform(flatten(transform(sBandKeys(col("text")),
         b => slice(split(b, ":"), 2, 3))), _.cast("long")).as("mins"))
     (toks, mins)
@@ -357,7 +376,9 @@ object SparkEntry {
       val all = docsTable(s, dir)
       val base = if (sampleK <= 1) all
         else all.filter(sampleBucket(col("doc_id")) % sampleK === 0)
-      val d = base.select(col("doc_id"), shingleSet(col("text")).as("toks"))
+      // spread: the shingle HOF + downstream verify legs are scan-rooted
+      val d = spread(base.select("doc_id", "text"))
+        .select(col("doc_id"), shingleSet(col("text")).as("toks"))
       positionalCandidates(shinglePrefix(d, thr), thr)
         .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
         .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
@@ -383,7 +404,9 @@ object SparkEntry {
   private val bandRelCache = new SessionMemo[String]
   private def sBandRelation(s: SparkSession, dir: String): DataFrame =
     bandRelCache(s, dir) {
-      docsTable(s, dir)
+      // spread BEFORE the md5-shingle band kernel: the one-split scan
+      // otherwise runs the whole corpus's sBandUdf serially
+      spread(docsTable(s, dir).select("doc_id", "text"))
         .select(col("doc_id"), explode(sBandKeys(col("text"))).as("bk"))
         .localCheckpoint(true)
     }
@@ -1298,7 +1321,10 @@ object SparkEntry {
     */
   private[graft] def asDocs(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    docsTable(spark, dir).select($"doc_id".cast("string"), $"text")
+    // spread: every consumer (Pipeline.run / compare) immediately maps the
+    // signature kernels over these rows, and the one-split scan would run
+    // them serially; clustering output is partitioning-independent
+    spread(docsTable(spark, dir).select($"doc_id".cast("string"), $"text"))
       .as[(String, String)].map { case (id, text) =>
         val spans = Seq(Span.text(text, 0)) ++
           (if (id.toLong % 10 == 0) Seq(Span.media(s"synth://doc-${id.toLong / 10}", 1)) else Nil)
@@ -1570,8 +1596,11 @@ object SparkEntry {
     // all-pairs dice ≥ 0.8 truth; the 8-char shingle feature keeps the
     // filters sparse where bigrams saturated them (15% pair candidacy).
     "q_pprl" -> ((s, dir) => {
-      val t = docsTable(s, dir).select(col("doc_id"),
-        lower(substring(col("text"), 1, 40)).as("t"))
+      // spread: the shingle explode + per-shingle md5 position derivation
+      // is scan-rooted on the one-split table (event-log: 1.55 s single-
+      // task Generate stage), and every downstream leg inherits it
+      val t = spread(docsTable(s, dir).select(col("doc_id"),
+        lower(substring(col("text"), 1, 40)).as("t")))
       val shingled = array_distinct(transform(
         sequence(lit(1), greatest(length(col("t")) - 7, lit(1))),
         i => col("t").substr(i, lit(8))))
@@ -1589,7 +1618,11 @@ object SparkEntry {
         concat_ws(":", lit(s"$li-$i-$j"),
           shiftrightunsigned(col(s"w$li"), 8 * i).bitwiseAND(lit(255L)),
           shiftrightunsigned(col(s"w$li"), 8 * j).bitwiseAND(lit(255L)))
-      val keys = bloom.select(col("doc_id"), explode(array(keyExprs: _*)).as("k"))
+      // spread: bloom checkpoints on an AQE-coalesced near-single
+      // partition, so the 112-key explode + self-join probe otherwise
+      // serialize (event-log: two ~1.8 s single-task stages)
+      val keys = spread(bloom)
+        .select(col("doc_id"), explode(array(keyExprs: _*)).as("k"))
         .filter(!col("k").endsWith(":0:0"))
       val cand = keys.select(col("doc_id").as("a"), col("k"))
         .join(keys.select(col("doc_id").as("b"), col("k")), Seq("k"))
@@ -2443,7 +2476,8 @@ object SparkEntry {
     // MinHash/LSH candidate generation over document text (no SQL analog)
     "q_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val sigs = docsTable(s, dir).select(col("doc_id").cast("string"), col("text"))
+      // spread: the 128-permutation signature map is scan-rooted serial work
+      val sigs = spread(docsTable(s, dir).select(col("doc_id").cast("string"), col("text")))
         .as[(String, String)].map { case (id, t) =>
           (id, MinHash.signature(Tokenize.shingleHashes(t, 5)))
         }.toDF("doc_id", "sig")
@@ -2464,7 +2498,7 @@ object SparkEntry {
     // SimHash near-dup signatures + banded candidates (no SQL analog)
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
-      val sh = docsTable(s, dir).select(col("doc_id").cast("string"), col("text"))
+      val sh = spread(docsTable(s, dir).select(col("doc_id").cast("string"), col("text")))
         .as[(String, String)].map { case (id, t) => (id, SimHash.simhash64(t)) }
         .toDF("doc_id", "simhash")
       val bands = sh.select(col("doc_id"), col("simhash"),
@@ -2512,7 +2546,8 @@ object SparkEntry {
     // perceptual-hash signature stage over synthetic media (P2-P4/P7; no SQL analog)
     "q_media_phash" -> ((s, dir) => {
       import s.implicits._
-      docsTable(s, dir).select(col("doc_id")).as[Long].map { id =>
+      // spread: render + DCT per doc off the one-split scan
+      spread(docsTable(s, dir).select(col("doc_id"))).as[Long].map { id =>
         val img = SynthMedia.render(graft.text.Hashing.hash64(s"doc-$id"), 0)
         val (row, colh) = graft.imaging.PHash.dhash(img)
         (id, graft.imaging.PHash.dct64(img), row, colh)
@@ -2538,7 +2573,8 @@ object SparkEntry {
     // (real PNG round-trip; no SQL analog)
     "q_image_features" -> ((s, dir) => {
       import s.implicits._
-      val media = docsTable(s, dir).select(col("doc_id")).as[Long]
+      // spread: render + PNG encode per kept doc off the one-split scan
+      val media = spread(docsTable(s, dir).select(col("doc_id"))).as[Long]
         .filter(_ % 10 == 0).map { id =>
           val img = SynthMedia.render(graft.text.Hashing.hash64(s"img-$id"), 0)
           val bi = new java.awt.image.BufferedImage(img.width, img.height,
@@ -2574,7 +2610,8 @@ object SparkEntry {
     // >= minShared sampled frames
     "q_video_near_dups" -> ((s, dir) => {
       import s.implicits._
-      val media = docsTable(s, dir).select(col("doc_id")).as[Long]
+      // spread: AVI synth + JPEG decode per kept doc, scan-rooted
+      val media = spread(docsTable(s, dir).select(col("doc_id"))).as[Long]
         .filter(_ % 20 == 0).flatMap { id =>
           // floor of 6 frames: everyNth=2 samples >= 3 of them, so EVERY
           // planted re-upload clears minShared=3 (a 4-frame clip samples
@@ -2604,7 +2641,8 @@ object SparkEntry {
     // of 32 (window, value) fingerprint slots
     "q_audio_near_dups" -> ((s, dir) => {
       import s.implicits._
-      val media = docsTable(s, dir).select(col("doc_id")).as[Long]
+      // spread: WAV synth + decode per kept doc, scan-rooted
+      val media = spread(docsTable(s, dir).select(col("doc_id"))).as[Long]
         .filter(_ % 15 == 0).flatMap { id =>
           val seed = graft.text.Hashing.hash64(s"aud-$id")
           val base = graft.media.Multimodal.MediaRow(s"a$id", s"aud-$id", "audio/wav",
@@ -2965,7 +3003,10 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, dir) => {
       val e = embTable(s, dir)
       val en = e.withColumn("nrm", normCol(col("embedding")))
-      val q = en.filter(col("vec_id") < 50)
+      // spread: BroadcastNestedLoopJoin parallelizes over LEFT partitions
+      // only, and the query side reads as one split — the 50×N cosUdf pass
+      // otherwise runs in a single task (measured 2.6 s in one stage)
+      val q = spread(en.filter(col("vec_id") < 50))
         .select(col("vec_id").as("q"), col("embedding").as("eq"), col("nrm").as("nq"))
       val c = en.select(col("vec_id").as("n"), col("embedding").as("en"), col("nrm").as("nn"))
       val scored = q.join(c, col("q") =!= col("n"))
@@ -3000,10 +3041,13 @@ object SparkEntry {
       val bands = e.select(col("vec_id"),
         explode(array((0 until 8).map(i =>
           concat_ws(":", lit(i), shiftright(col("h"), i * 8).bitwiseAND(lit(0xffL)))): _*)).as("bucket"))
-      val cand = bands.select(col("vec_id").as("a"), col("bucket"))
+      // spread after the distinct: AQE coalesces the byte-small pair
+      // exchange to one partition, serializing the 64-d cosine verify
+      // (event-log: a 2.05 s single-task stage)
+      val cand = spread(bands.select(col("vec_id").as("a"), col("bucket"))
         .join(bands.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
         .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+        .select("a", "b").distinct())
       // rejoin embeddings by id AFTER distinct: the 64-float vectors are never
       // duplicated through the band explode/shuffle (the 100-TB-safe shape)
       val ea = e.select(col("vec_id").as("a"), col("label").as("la"),
@@ -3034,10 +3078,12 @@ object SparkEntry {
       val bands = e.select(col("vec_id"),
         explode(array((0 until 8).map(i =>
           concat_ws(":", lit(i), shiftright(col("h"), i * 8).bitwiseAND(lit(0xffL)))): _*)).as("bucket"))
-      val cand = bands.select(col("vec_id").as("a"), col("bucket"))
+      // spread after the distinct (the q_embed_near_dup treatment): AQE
+      // folds the small pair exchange to one partition before the verify
+      val cand = spread(bands.select(col("vec_id").as("a"), col("bucket"))
         .join(bands.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
         .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+        .select("a", "b").distinct())
       val ea = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
       val eb = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
       val edges = cand.join(ea, "a").join(eb, "b")
@@ -3062,10 +3108,11 @@ object SparkEntry {
       val bands = e.select(col("vec_id"),
         explode(array((0 until 8).map(i =>
           concat_ws(":", lit(i), shiftright(col("h"), i * 8).bitwiseAND(lit(0xffL)))): _*)).as("bucket"))
-      val cand = bands.select(col("vec_id").as("a"), col("bucket"))
+      // spread after the distinct (the q_embed_near_dup treatment)
+      val cand = spread(bands.select(col("vec_id").as("a"), col("bucket"))
         .join(bands.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
         .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+        .select("a", "b").distinct())
       val ea = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
       val eb = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
       cand.join(ea, "a").join(eb, "b")
@@ -3346,15 +3393,31 @@ object SparkEntry {
     // candidacy flag is the same pinned band relation the pipeline blocks
     // on, so the curve measures the join that actually ships.
     "q_lsh_empirical" -> ((s, dir) => {
-      val sample = docsTable(s, dir)
+      // Dictionary-encode the sampled shingle sets ONCE (bijection:
+      // row_number over the sorted distinct shingles — exact by
+      // construction, see [[sortedInterUdf]]), so the O((N/k)²) pair pass
+      // merges sorted int arrays instead of hash-intersecting 8-char
+      // string arrays. shingleSet is non-empty for every (non-null) text,
+      // so the explode/groupBy round-trip drops no doc.
+      val sample = spread(docsTable(s, dir)
         .filter(sampleBucket(col("doc_id")) % evalSampleK === 0)
+        .select("doc_id", "text"))
         .select(col("doc_id"), shingleSet(col("text")).as("shs"))
-      val l = sample.repartition(64)
-        .select(col("doc_id").as("a"), col("shs").as("sa"))
-      val r = sample.select(col("doc_id").as("b"), col("shs").as("sb"))
+      val tok = sample.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val dict = tok.select("sh").distinct()
+        .withColumn("tid", row_number().over(Window.orderBy("sh")))
+      val enc = tok.join(dict, "sh")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("tid"))).as("ids"))
+        .localCheckpoint(true) // both cross-join sides read the pinned codes
+      // spread the LEFT side: BroadcastNestedLoopJoin parallelizes over
+      // left partitions only (the q_blocking_recall lesson; previously a
+      // literal repartition(64) — now the session's shuffle parallelism)
+      val l = spread(enc).select(col("doc_id").as("a"), col("ids").as("sa"))
+      val r = enc.select(col("doc_id").as("b"), col("ids").as("sb"))
       val cands = sBandCandidates(s, dir).withColumn("is_cand", lit(1L))
       l.crossJoin(r).filter(col("a") < col("b"))
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("inter",
+          graft.functions.GraftFunctions.sortedIntersect(col("sa"), col("sb")))
         .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
         .withColumn("bucket", expr("cast((10 * inter) div uni AS int)"))
         .select("a", "b", "bucket")

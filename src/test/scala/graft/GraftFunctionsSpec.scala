@@ -71,6 +71,28 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
   }
 
+  test("sorted_intersect: equals array_intersect size on random sorted sets, codegen'd") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(100)).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(100)).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .select(GraftFunctions.sortedIntersect(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+    // exactness vs the engine's own set intersect, including empty arrays
+    assert(df.filter(col("m") =!= col("ref")).count() == 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // null input yields null (nullIntolerant), not an exception
+    val got = Seq((Option(Seq(1, 2)), Option(Seq(2, 3))), (Option(Seq(1)), None))
+      .toDF("a", "b")
+      .select(GraftFunctions.sortedIntersect(col("a"), col("b")).as("m")).collect()
+    assert(got(0).getInt(0) == 1 && got(1).isNullAt(0))
+  }
+
   test("codegen: the expression stays inside WholeStageCodegen (no ScalaUDF)") {
     // range-backed input: literals would be constant-folded at plan time
     val df = spark.range(100).select(
