@@ -26,7 +26,6 @@ object BenchExtra {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("GRAFT_BENCHX_REPS", "2").toInt
-    val only = sys.env.get("GRAFT_BENCHX_ONLY").map(_.split(',').map(_.trim).toSet)
     val planDir = sys.env.get("GRAFT_BENCHX_PLANDIR")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,8 +50,14 @@ object BenchExtra {
     spark.sparkContext.setLogLevel("WARN")
 
     planDir.foreach(d => new java.io.File(d).mkdirs())
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    // GRAFT_BENCHX_ONLY order is respected (warm-up / cold-attribution
+    // experiments depend on it); the full sweep stays alphabetical like
+    // the driver's
+    val names = sys.env.get("GRAFT_BENCHX_ONLY") match {
+      case Some(list) =>
+        list.split(',').map(_.trim).filter(SparkEntry.queries.contains).toSeq
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       planDir.foreach { d =>

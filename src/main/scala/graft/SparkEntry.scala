@@ -214,20 +214,39 @@ object SparkEntry {
     * (doc_id, toks) set table — shared by [[exactShinglePairs]] and the
     * DiagPPJoin census so the census always measures the join that ships.
     */
-  private[graft] def shinglePrefix(d: DataFrame, thr: Double): DataFrame = {
+  /** The THRESHOLD-INDEPENDENT half of [[shinglePrefix]]: per doc, the
+    * ascending-(df, token) ordered shingle list and its size. Extracted so
+    * the df census + ordered-list build (the expensive, thr-free part of
+    * the PPJoin) can be derived once and shared across thresholds — the
+    * 0.8 (q_prefix_join) and 0.9 (evaluation family) PPJoins previously
+    * each rebuilt it (~3 s apiece at sf0.1).
+    */
+  private[graft] def shingleOrd(d: DataFrame): DataFrame = {
     val tok = d.select(col("doc_id"), explode(col("toks")).as("token"))
     tok
       .join(tok.groupBy("token").agg(count(lit(1)).as("df")), "token")
+      // explicit key repartition: AQE otherwise coalesces this exchange to
+      // a couple of tasks (the token-join output is byte-small) and the
+      // collect_list+sort aggregate runs nearly serial
+      .repartition(d.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
       .withColumn("n", size(col("ord")))
+  }
+
+  /** The per-threshold prefix explode over a [[shingleOrd]] relation. */
+  private[graft] def prefixFromOrd(ordRel: DataFrame, thr: Double): DataFrame =
+    ordRel
       .withColumn("plen",
         (col("n") - ceil(col("n") * lit(thr) - lit(1e-9)) + lit(1)).cast("int"))
       .select(col("doc_id"), col("n"),
         posexplode(slice(transform(col("ord"), _.getField("token")), lit(1), col("plen"))))
       .withColumnRenamed("col", "ptok")
       .withColumn("pos", col("pos") + 1)
-  }
+
+  private[graft] def shinglePrefix(d: DataFrame, thr: Double): DataFrame =
+    prefixFromOrd(shingleOrd(d), thr)
 
   /** Prefix-block equi-join + positional filter over [[shinglePrefix]]:
     * the candidate (a, b) pairs that can still reach Jaccard ≥ thr.
@@ -236,6 +255,11 @@ object SparkEntry {
     pref.select(col("doc_id").as("a"), col("ptok"), col("pos").as("ia"), col("n").as("na"))
       .join(pref.select(col("doc_id").as("b"), col("ptok"), col("pos").as("jb"), col("n").as("nb")), Seq("ptok"))
       .filter(col("a") < col("b"))
+      // explicit key repartition: the prefix-hit relation is the volume
+      // peak of the PPJoin (2.23M rows at sf0.1/0.8) but byte-small, so
+      // AQE folds the aggregate to ~6 tasks without this
+      .repartition(pref.sparkSession.sessionState.conf.numShufflePartitions,
+        col("a"), col("b"))
       .groupBy("a", "b")
       .agg(min("ia").as("ia"), min("jb").as("jb"), min("na").as("na"), min("nb").as("nb"))
       .filter(least(col("na") - col("ia") + 1, col("nb") - col("jb") + 1).cast("double") >=
@@ -358,6 +382,25 @@ object SparkEntry {
           .otherwise(lit(0.0)), 6).as("f1"))
   }
 
+  /** ONE pinned [[shingleOrd]] relation per (session, dir, sampleK) — the
+    * thr-free half of the PPJoin, shared by every threshold over the same
+    * doc population. The ordered token arrays double as the verify side's
+    * token sets (array_intersect is order-insensitive and the lists are
+    * distinct by construction), so the PPJoin never re-derives
+    * [[shingleSet]] either. Cache contract as on [[sBandRelation]].
+    */
+  private val shingleOrdCache = new SessionMemo[(String, Int)]
+  private def sShingleOrd(s: SparkSession, dir: String, sampleK: Int): DataFrame =
+    shingleOrdCache(s, (dir, sampleK)) {
+      val all = docsTable(s, dir)
+      val base = if (sampleK <= 1) all
+        else all.filter(sampleBucket(col("doc_id")) % sampleK === 0)
+      // spread: the shingle HOF below is scan-rooted on the one-split table
+      val d = spread(base.select("doc_id", "text"))
+        .select(col("doc_id"), shingleSet(col("text")).as("toks"))
+      shingleOrd(d).localCheckpoint(true)
+    }
+
   private val exactPairsCache = new SessionMemo[(String, Double, Int)]
   /** @param sampleK 1 = full corpus (default). k > 1 = the deterministic
     *                1/k hash stratum ([[sampleBucket]]) — the bounded
@@ -373,15 +416,14 @@ object SparkEntry {
   private[graft] def exactShinglePairs(s: SparkSession, dir: String, thr: Double,
       sampleK: Int = 1): DataFrame =
     exactPairsCache(s, (dir, thr, sampleK)) {
-      val all = docsTable(s, dir)
-      val base = if (sampleK <= 1) all
-        else all.filter(sampleBucket(col("doc_id")) % sampleK === 0)
-      // spread: the shingle HOF + downstream verify legs are scan-rooted
-      val d = spread(base.select("doc_id", "text"))
-        .select(col("doc_id"), shingleSet(col("text")).as("toks"))
-      positionalCandidates(shinglePrefix(d, thr), thr)
-        .join(d.select(col("doc_id").as("a"), col("toks").as("tA")), "a")
-        .join(d.select(col("doc_id").as("b"), col("toks").as("tB")), "b")
+      // the pinned thr-free ordered relation serves the prefix explode AND
+      // both verify sides (ord's token list is the distinct shingle set,
+      // just df-ordered — intersection sizes are order-insensitive)
+      val ordRel = sShingleOrd(s, dir, sampleK)
+      val toksOf = transform(col("ord"), _.getField("token"))
+      positionalCandidates(prefixFromOrd(ordRel, thr), thr)
+        .join(ordRel.select(col("doc_id").as("a"), toksOf.as("tA")), "a")
+        .join(ordRel.select(col("doc_id").as("b"), toksOf.as("tB")), "b")
         .withColumn("inter", size(array_intersect(col("tA"), col("tB"))))
         .withColumn("jac", round(col("inter").cast("double") /
           (size(col("tA")) + size(col("tB")) - col("inter")), 6))
