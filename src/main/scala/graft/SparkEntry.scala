@@ -517,7 +517,9 @@ object SparkEntry {
   private[graft] def sFlagshipAssignment(s: SparkSession, dir: String,
       cfg: GraftConfig): DataFrame =
     flagshipRunCache(s, (dir, cfg)) {
-      val full = Pipeline.run(s, asDocs(s, dir), cfg)
+      // spread the one-split scan so the signature map parallelizes
+      val full = Pipeline.run(s,
+        asDocs(s, dir).repartition(s.sessionState.conf.numShufflePartitions), cfg)
       val assign = full.clusters.select("doc_id", "cluster_id").localCheckpoint(true)
       full.release()
       assign
@@ -1186,8 +1188,11 @@ object SparkEntry {
     * the oracles mirror it with the shared n0/n1 + [[soundexCteSql]] CTEs.
     */
   private def firstTokenSdx(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), upper(regexp_replace(
-        split(col("text"), " ").getItem(0), "[^A-Za-z]", "")).as("w"))
+    // spread: the 8-pass translate/regexp Soundex chain is scan-rooted
+    // serial work on the one-split table; all consumers are key joins /
+    // census groupBys (order-insensitive)
+    spread(df.select(col("doc_id"), upper(regexp_replace(
+        split(col("text"), " ").getItem(0), "[^A-Za-z]", "")).as("w")))
       .filter(length(col("w")) > 0)
       .withColumn("sdx", soundexCol(col("w")))
 
@@ -1329,7 +1334,8 @@ object SparkEntry {
     ipTruthCache(s, dir) {
       val e = embTable(s, dir)
       val w = Window.partitionBy("q").orderBy(col("dot").desc, col("n"))
-      e.filter(col("vec_id") < 50)
+      // spread: BNLJ parallelizes over left partitions (q_cosine_topk note)
+      spread(e.filter(col("vec_id") < 50))
         .select(col("vec_id").as("q"), col("embedding").as("qv"))
         .crossJoin(e.select(col("vec_id").as("n"), col("embedding").as("nv")))
         .filter(col("q") =!= col("n"))
@@ -1363,10 +1369,12 @@ object SparkEntry {
     */
   private[graft] def asDocs(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    // spread: every consumer (Pipeline.run / compare) immediately maps the
-    // signature kernels over these rows, and the one-split scan would run
-    // them serially; clustering output is partitioning-independent
-    spread(docsTable(spark, dir).select($"doc_id".cast("string"), $"text"))
+    // NOT spread here: full-corpus consumers (the flagship run, compare)
+    // repartition at their call sites; q_retract_clusters re-evaluates
+    // this subtree piecemeal over small member sets, where a 64-way
+    // exchange per evaluation is pure scheduling overhead (measured:
+    // retract 4.0 → 5.9 s with the spread here, reverted)
+    docsTable(spark, dir).select($"doc_id".cast("string"), $"text")
       .as[(String, String)].map { case (id, text) =>
         val spans = Seq(Span.text(text, 0)) ++
           (if (id.toLong % 10 == 0) Seq(Span.media(s"synth://doc-${id.toLong / 10}", 1)) else Nil)
@@ -2606,7 +2614,10 @@ object SparkEntry {
       val perturbed = (words.take(words.length / 2) ++
         words.drop(words.length / 2 + 1)).mkString(" ")
       val target = Doc("probe-0", Seq(Span.text(perturbed, 0)))
-      Pipeline.compare(s, target, asDocs(s, dir), GraftConfig(mediaThreshold = 11))
+      // spread: compare() derives signatures over the whole candidate corpus
+      Pipeline.compare(s, target,
+        asDocs(s, dir).repartition(s.sessionState.conf.numShufflePartitions),
+        GraftConfig(mediaThreshold = 11))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy("doc_id")
     }),
@@ -3184,7 +3195,8 @@ object SparkEntry {
       val cosRound = (a: Column, b: Column) =>
         round(dotCol(a, b) / (normCol(a) * normCol(b)), 6)
       val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
-      val truth = queries.select(col("vec_id").as("q"), col("embedding").as("qv"))
+      // spread: BNLJ parallelizes over left partitions (q_cosine_topk note)
+      val truth = spread(queries).select(col("vec_id").as("q"), col("embedding").as("qv"))
         .crossJoin(e.select(col("vec_id").as("n"), col("embedding").as("nv")))
         .filter(col("q") =!= col("n"))
         .select(col("q"), col("n"), cosRound(col("qv"), col("nv")).as("cos"))

@@ -45,6 +45,23 @@ object Blocking {
         out += Hashing.hash64(Hashing.hash64(0x6d62L + b, block(b)), slot.toLong)
         b += 1
       }
+    } else if (blocksPerKey == 2) {
+      // the bench/scale profile (2-of-8): direct pair loop in the same
+      // comboId order as the generic enumerator below — identical keys,
+      // no per-key List allocation
+      var b1 = 0
+      while (b1 < nBlocks) {
+        var b2 = b1 + 1
+        while (b2 < nBlocks) {
+          var h = Hashing.mix64(0x6d6232L + comboId)
+          h = Hashing.hash64(h, block(b1))
+          h = Hashing.hash64(h, block(b2))
+          out += Hashing.hash64(h, slot.toLong)
+          comboId += 1
+          b2 += 1
+        }
+        b1 += 1
+      }
     } else {
       // enumerate k-combinations of block indices (k is small: 2 or 3)
       def rec(start: Int, chosen: List[Int]): Unit = {
@@ -122,16 +139,34 @@ object Blocking {
     */
   private def bandKeysUdf(cfg: GraftConfig) = udf {
     (media: Seq[Long], slots: Int, minhash: Seq[Long]) =>
-      val out = Array.newBuilder[(Long, Boolean)]
+      // two PRIMITIVE long arrays (media keys, text keys) instead of one
+      // Array[(Long, Boolean)]: the tuple form boxed every key long (3.5M
+      // tuples per bench corpus pass); the channel flag is re-attached by
+      // codegen transform/explode in [[bandRowsDF]]. Per-channel sort+dedup
+      // preserves the old (key, flag)-distinct semantics — downstream use
+      // is purely set-shaped (explode → equi-join / census), so element
+      // order is immaterial.
+      def dedup(a: Array[Long]): Array[Long] = {
+        if (a.length <= 1) return a
+        java.util.Arrays.sort(a)
+        var out = 0
+        var r = 0
+        while (r < a.length) {
+          if (out == 0 || a(r) != a(out - 1)) { a(out) = a(r); out += 1 }
+          r += 1
+        }
+        if (out == a.length) a else java.util.Arrays.copyOf(a, out)
+      }
+      val m = Array.newBuilder[Long]
       var i = 0
       while (i < media.length) {
-        mediaBandKeys(media(i), cfg.mediaBlockBits, cfg.mediaBlocksPerKey, i % slots)
-          .foreach(k => out += ((k, false)))
+        m ++= mediaBandKeys(media(i), cfg.mediaBlockBits, cfg.mediaBlocksPerKey, i % slots)
         i += 1
       }
-      if (minhash.nonEmpty)
-        MinHash.bandKeys(minhash.toArray, cfg.textBands).foreach(k => out += ((k, true)))
-      out.result().distinct
+      val t =
+        if (minhash.nonEmpty) MinHash.bandKeys(minhash.toArray, cfg.textBands)
+        else Array.emptyLongArray
+      (dedup(m.result()), dedup(t))
   }
 
   /** Columnar band-row relation: one row per (doc, band key) with the
@@ -146,7 +181,13 @@ object Blocking {
     sigs.toDF().select(
       col("doc_id"), col("media"), col("slots"), col("simhash"),
       (col("text").isNotNull && length(col("text")) > 0).as("hasText"),
-      explode(bandKeysUdf(cfg)(col("media"), col("slots"), col("minhash"))).as("bk"))
+      bandKeysUdf(cfg)(col("media"), col("slots"), col("minhash")).as("bk2"))
+      // re-attach the channel flag in codegen: media keys false, text true
+      .select(col("doc_id"), col("media"), col("slots"), col("simhash"),
+        col("hasText"),
+        explode(concat(
+          transform(col("bk2._1"), k => struct(k.as("_1"), lit(false).as("_2"))),
+          transform(col("bk2._2"), k => struct(k.as("_1"), lit(true).as("_2"))))).as("bk"))
       .select(col("doc_id"), col("media"), col("slots"), col("simhash"),
         col("hasText"), col("bk._1").as("block_key"), col("bk._2").as("is_text"))
 
@@ -168,7 +209,13 @@ object Blocking {
     val r = right.alias("r")
     val keyCond = (Seq("block_key") ++ extraKey)
       .map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
-    l.join(r, keyCond && idCond(col("l.doc_id"), col("r.doc_id")))
+    // SHUFFLE_HASH: the self-join otherwise plans sort-merge — two full
+    // sorts of the band relation (443 MB at the bench corpus), the largest
+    // exchange in the pipeline. The build side is one partition of the
+    // band relation: blocks are census-bounded (degenerate dropped, hot
+    // salted), so per-task build size tracks the shuffle partition sizing
+    // rather than any single key.
+    l.hint("SHUFFLE_HASH").join(r, keyCond && idCond(col("l.doc_id"), col("r.doc_id")))
       .withColumn("media_dist",
         mediaDistUdf(col("l.media"), col("r.media"), col("l.slots")))
       .withColumn("sim_ham",
@@ -183,13 +230,21 @@ object Blocking {
 
   def candidatePairs(sigs: Dataset[DocSig], cfg: GraftConfig)(
       implicit spark: SparkSession): (DataFrame, BlockStats, () => Unit) = {
-    // Persisted: the band relation has 3 consumers (census, join left, join
-    // right), and re-deriving it costs a signature scan + band udf each
-    // time — the band rows are compact (doc_id, 1-4 media longs, simhash,
-    // key), so MEMORY_AND_DISK holds them in memory at bench scale and
-    // spills rather than OOMs at cluster scale. Released by the cleanup
-    // thunk once candidates are materialized.
+    // Persisted PRE-PARTITIONED BY block_key: the band relation has 3
+    // consumers (census, join left, join right) that all need a
+    // block_key clustering — caching the relation already hash-partitioned
+    // means the census groupBy and BOTH self-join sides read co-partitioned
+    // cache with ZERO further exchanges (one 443 MB-at-bench shuffle
+    // instead of three). Hash partitioning by the census-bounded block key
+    // cannot skew a partition beyond maxBlockSize, and the (block_key,
+    // salt) hot join still satisfies its clustering from the block_key
+    // partitioning (partition keys ⊆ clustering keys). The rows are
+    // compact (doc_id, 1-4 media longs, simhash, key), so MEMORY_AND_DISK
+    // holds them in memory at bench scale and spills rather than OOMs at
+    // cluster scale. Released by the cleanup thunk once candidates are
+    // materialized.
     val b = bandRowsDF(sigs, cfg)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("block_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Hot/degenerate block census via map-side-combined groupBy — NOT a

@@ -48,7 +48,10 @@ object Components {
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
                           driverCutoff: Long = 200000)(
       implicit spark: SparkSession): DataFrame = {
-    var e = normEdges(edges).localCheckpoint(true)
+    // lazy checkpoint: the count() below materializes and pins it in the
+    // same job — the eager form paid a separate materialization job per
+    // CC call (CC runs 10+ times per bench sweep)
+    var e = normEdges(edges).localCheckpoint(false)
 
     if (e.count() <= driverCutoff) return driverUnionFind(e)
 
@@ -56,7 +59,8 @@ object Components {
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // lazy: edgeDigest's aggregate materializes + pins it
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextDigest = edgeDigest(next)
       converged = nextDigest == digest
       digest = nextDigest
@@ -117,7 +121,8 @@ object Components {
   def centerClusters(edges: DataFrame, maxIterations: Int = 100,
                      driverCutoff: Long = 200000)(
       implicit spark: SparkSession): DataFrame = {
-    val norm = normEdges(edges).localCheckpoint(true)
+    // lazy: count() materializes (the connectedComponents treatment)
+    val norm = normEdges(edges).localCheckpoint(false)
     if (norm.count() <= driverCutoff) return driverCenter(norm)
 
     val symAll = symmetrize(norm).localCheckpoint(true)

@@ -64,7 +64,17 @@ object Pairs {
     val withA = candidates.join(
       side(aSigs).withColumnRenamed("doc_id", "a")
         .withColumnRenamed("mh", "mh_a").withColumnRenamed("text_cap", "t_a"), Seq("a"))
-    val withB = withA.join(
+    // SHUFFLE_HASH on the candidate side: the planner broadcasts the
+    // compact candidates into join A (stats known from the materialized
+    // stage) but falls back to a full sort-merge for join B — sorting the
+    // signature relation (mh prefix + text cap) was the stage's dominant
+    // cost. The build side is the candidate relation, O(N·bucket) rows of
+    // a few hundred bytes, divided by the shuffle partition count — the
+    // per-task hash table stays bounded wherever partitions are sized to
+    // the 100 MB-1 GB rule, while sort-merge's sort of the wide sig side
+    // never gets cheaper. (No broadcast here: candidates grow with the
+    // corpus, so a broadcast "win" at bench scale would be a 100-TB trap.)
+    val withB = withA.hint("SHUFFLE_HASH").join(
       side(bSigs).withColumnRenamed("doc_id", "b")
         .withColumnRenamed("mh", "mh_b").withColumnRenamed("text_cap", "t_b"), Seq("b"))
     val gated = withB

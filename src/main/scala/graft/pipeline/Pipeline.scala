@@ -169,8 +169,27 @@ object Pipeline {
   private[pipeline] def precollapse(docs: Dataset[Doc])(
       implicit spark: SparkSession): (Dataset[Doc], Option[DataFrame]) = {
     import spark.implicits._
+    // 128-bit content digest as a two-lane xxhash64 over a canonical span
+    // struct — replaces md5(to_json(spans)): the Jackson serialization of
+    // every span list was ~60% of the collapse stage's cost, and the hash
+    // can consume the struct directly. Two chained-seed lanes keep the
+    // 128-bit width the 10¹²-doc collision argument needs (64 bits would
+    // birthday-collide there). Canonicalization: xxhash64 SKIPS null
+    // leaves, so (text=null, media_ref="x") and (text="x",
+    // media_ref=null) would otherwise hash identically — the isNull
+    // booleans are never skipped and disambiguate every null pattern;
+    // each leaf is hashed as its own length-delimited step, so no
+    // cross-field byte-boundary ambiguity exists either. Grouping is
+    // therefore identical to the JSON digest's up to hash collisions
+    // (the same bar md5 set).
+    val canon = transform(col("spans"), sp => struct(
+      sp.getField("kind").isNull, sp.getField("kind"),
+      sp.getField("text").isNull, sp.getField("text"),
+      sp.getField("media_ref").isNull, sp.getField("media_ref"),
+      sp.getField("offset")))
     val keyed = docs.toDF()
-      .select(col("doc_id"), md5(to_json(col("spans"))).as("digest"))
+      .select(col("doc_id"),
+        struct(xxhash64(lit(1L), canon), xxhash64(lit(2L), canon)).as("digest"))
     val head = keyed.agg(count(lit(1)), count_distinct(col("digest"))).head()
     if (head.getLong(1) == head.getLong(0)) (docs, None)
     else {

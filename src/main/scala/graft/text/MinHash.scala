@@ -30,20 +30,43 @@ object MinHash {
     // precomputed seed table covers the default k; larger k derives a fresh
     // deterministic table instead of indexing past the cache
     val seeds = if (k <= DefaultK) permSeeds else Hashing.seeds(MasterSeed, k)
-    var i = 0
-    while (i < shingles.length) {
-      val h = shingles(i)
-      var j = 0
-      while (j < k) {
-        // one xor + one odd-constant multiply per (shingle, permutation):
-        // a 2-universal-style permutation — 3× cheaper than a full mix64
-        // finalizer in the hottest loop of the signature stage, and
-        // statistically ample for a min-rank estimator over random inputs
-        val v = (h ^ seeds(j)) * 0xff51afd7ed558ccdL
-        if (v < sig(j)) sig(j) = v
-        j += 1
+    val n = shingles.length
+    // permutation-major loop with a 2-way unroll: each (shingle, perm)
+    // value is the same one xor + one odd-constant multiply as always
+    // (min over the identical value set ⇒ bit-identical signatures), but
+    // the running minima live in registers instead of sig(j) loads/stores
+    // per value, and two independent min chains overlap in the pipeline —
+    // this is the hottest loop of the signature stage (shingles × k ops
+    // per doc)
+    var j = 0
+    while (j + 1 < k) {
+      val s0 = seeds(j)
+      val s1 = seeds(j + 1)
+      var m0 = Long.MaxValue
+      var m1 = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = shingles(i)
+        val v0 = (h ^ s0) * 0xff51afd7ed558ccdL
+        val v1 = (h ^ s1) * 0xff51afd7ed558ccdL
+        if (v0 < m0) m0 = v0
+        if (v1 < m1) m1 = v1
+        i += 1
       }
-      i += 1
+      sig(j) = m0
+      sig(j + 1) = m1
+      j += 2
+    }
+    if (j < k) {
+      val s0 = seeds(j)
+      var m0 = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v0 = (shingles(i) ^ s0) * 0xff51afd7ed558ccdL
+        if (v0 < m0) m0 = v0
+        i += 1
+      }
+      sig(j) = m0
     }
     sig
   }

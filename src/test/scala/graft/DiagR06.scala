@@ -12,13 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object DiagR06 {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val builder = org.apache.spark.sql.SparkSession.builder()
       .master("local[" + sys.env.getOrElse("DIAG_CPUS", "32") + "]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
       .config("spark.ui.enabled", "false")
+    sys.env.get("DIAG_EVENTLOG").foreach { d =>
+      new java.io.File(d).mkdirs()
+      builder.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", d)
+    }
+    val spark = builder
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,10 +41,12 @@ object DiagR06 {
     def timed[T](name: String, reps: Int = 2)(f: => T): T = {
       var out: Option[T] = None
       (1 to reps).foreach { i =>
+        spark.sparkContext.setJobDescription(s"diag:$name rep$i")
         val t0 = System.nanoTime()
         out = Some(f)
         println(f"[diag] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      spark.sparkContext.setJobDescription(null)
       out.get
     }
 
@@ -82,6 +89,10 @@ object DiagR06 {
       x
     }
     // leg 6: scoring
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/diag_score_plan.txt"),
+      Pairs.score(cands, sigs, cfg).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     timed("score(noop)") {
       Pairs.score(cands, sigs, cfg).write.format("noop").mode("overwrite").save()
     }
