@@ -1947,7 +1947,8 @@ object SparkEntry {
     // md5-keyed in the shuffle at production scale; here the text itself
     // rides so the report is readable (oracle matches either way).
     "q_boilerplate" -> ((s, dir) => {
-      val ph = docsTable(s, dir)
+      // spread: the 8-gram phrase explode builds ~1.5M strings, scan-rooted
+      val ph = spread(docsTable(s, dir).select("doc_id", "text"))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
         .select(col("doc_id"),
@@ -2721,7 +2722,8 @@ object SparkEntry {
     // no SQL analog)
     "q_doc_stats" -> ((s, dir) => {
       import s.implicits._
-      docsTable(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      // spread: winnow/quality/langId kernels per doc off the one-split scan
+      spread(docsTable(s, dir).select(col("doc_id"), col("text"))).as[(Long, String)]
         .map { case (id, t) =>
           val q = TextStats.quality(t)
           (id, TextStats.langId(t), math.round(q.score * 10000.0) / 10000.0,
@@ -3043,7 +3045,8 @@ object SparkEntry {
     // winnowing fingerprints (no SQL analog — rows-only check)
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      docsTable(s, dir).select(col("doc_id").cast("string"), col("text"))
+      // spread: the winnowing kernel per doc is scan-rooted serial work
+      spread(docsTable(s, dir).select(col("doc_id").cast("string"), col("text")))
         .as[(String, String)].map { case (id, t) =>
           val fp = TextStats.winnow(t)
           (id.toLong, fp.length, if (fp.isEmpty) 0L else fp.min)
