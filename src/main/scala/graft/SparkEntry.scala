@@ -1671,6 +1671,9 @@ object SparkEntry {
       // spread: bloom checkpoints on an AQE-coalesced near-single
       // partition, so the 112-key explode + self-join probe otherwise
       // serialize (event-log: two ~1.8 s single-task stages)
+      // (a transform-over-literal-combos rewrite of the 112 key
+      // expressions was tried for codegen-size reasons and measured
+      // neutral-to-negative — kept in the expression form)
       val keys = spread(bloom)
         .select(col("doc_id"), explode(array(keyExprs: _*)).as("k"))
         .filter(!col("k").endsWith(":0:0"))
