@@ -163,8 +163,12 @@ object Pq {
     val lutUdf = lutUdfFor(model)
     val scoreUdf = scoreUdfFor(model)
     val q = queries.select(col(idCol).as("q"), lutUdf(col(vecCol)).as("lut"))
+    // spread the streamed code side: the persisted (id, code) relation
+    // reads as one split, serializing the ADC pass otherwise
     val scored = broadcast(q)
-      .join(codes.select(col(idCol).as("n"), col("code")), col("q") =!= col("n"))
+      .join(codes.select(col(idCol).as("n"), col("code"))
+        .repartition(codes.sparkSession.sessionState.conf.numShufflePartitions),
+        col("q") =!= col("n"))
       .select(col("q"), col("n"), scoreUdf(col("lut"), col("code")).as("adc"))
     val w = Window.partitionBy("q").orderBy(col("adc").desc, col("n"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -192,7 +196,9 @@ object Pq {
     val lut = queriesWithCell.dropDuplicates(idCol)
       .select(col(idCol).as("q"), lutUdf(col(vecCol)).as("lut"))
     val cand = broadcast(probes)
-      .join(cells.select(col(idCol).as("n"), col("cell")), Seq("cell"))
+      .join(cells.select(col(idCol).as("n"), col("cell"))
+        .repartition(cells.sparkSession.sessionState.conf.numShufflePartitions),
+        Seq("cell"))
       .filter(col("q") =!= col("n"))
       .select("q", "n").distinct()
     val scored = cand

@@ -72,8 +72,10 @@ object Constrained {
     // endpoints against the capped set; a caller wiring raw relations
     // should not corrupt the union-find)
     val cl = cannot.filter(p => parent.contains(p._1) && parent.contains(p._2))
-    // must-links lead the union order as pseudo-edges below every real
-    // distance (scored d is always >= 0), ordered among themselves by (a, b)
+    // must-links lead the union order as pseudo-edges: ordering comes from
+    // the CONCATENATION below (lead ++ sorted scored edges), not from the
+    // sentinel distance — the Int.MinValue is decorative padding for the
+    // shared tuple shape; must pairs order among themselves by (a, b)
     val lead = must.filter(p => parent.contains(p._1) && parent.contains(p._2))
       .sorted.map(p => (p._1, p._2, Int.MinValue))
     val ordered = lead ++ edges
