@@ -1188,11 +1188,14 @@ object SparkEntry {
     * the oracles mirror it with the shared n0/n1 + [[soundexCteSql]] CTEs.
     */
   private def firstTokenSdx(df: DataFrame): DataFrame =
-    // spread: the 8-pass translate/regexp Soundex chain is scan-rooted
-    // serial work on the one-split table; all consumers are key joins /
-    // census groupBys (order-insensitive)
-    spread(df.select(col("doc_id"), upper(regexp_replace(
-        split(col("text"), " ").getItem(0), "[^A-Za-z]", "")).as("w")))
+    // spread BEFORE the extraction so the regex + Soundex chain runs wide
+    // (the one-split scan otherwise serializes it); substring_index takes
+    // the first token without materializing the full ~300-element split
+    // array per doc (equivalent: both yield "" on a leading space and the
+    // whole text when no space exists)
+    spread(df.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), upper(regexp_replace(
+        substring_index(col("text"), " ", 1), "[^A-Za-z]", "")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("sdx", soundexCol(col("w")))
 
@@ -1248,11 +1251,14 @@ object SparkEntry {
       val ll = strat.select(lit("lenlang4").as("scheme"), col("doc_id"),
         concat_ws(":", col("lang"), expr("n_chars div 4")).as("k"))
       val skeys = band.unionByName(sdx).unionByName(pre).unionByName(ll)
-      skeys.select(col("scheme"), col("doc_id").as("a"), col("k"))
+      // spread before the pin: the distinct's byte-small exchange AQE-
+      // coalesces to ~1 partition, and a 1-partition checkpoint would
+      // serialize every consumer (the shared levenshtein pass above all)
+      spread(skeys.select(col("scheme"), col("doc_id").as("a"), col("k"))
         .join(skeys.select(col("scheme"), col("doc_id").as("b"), col("k")),
           Seq("scheme", "k"))
         .filter(col("a") < col("b"))
-        .select("scheme", "a", "b").distinct()
+        .select("scheme", "a", "b").distinct())
         .localCheckpoint(true)
     }
 
@@ -1270,7 +1276,10 @@ object SparkEntry {
     stratumVerifiedCache(s, dir) {
       val t = docsTable(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
-      levVerify(sStratumSchemePairs(s, dir).select("a", "b").distinct(), t)
+      // spread after the distinct: its byte-small exchange AQE-coalesces
+      // to one partition, serializing the levenshtein pass (event-log:
+      // a 1.4 s single-task stage)
+      levVerify(spread(sStratumSchemePairs(s, dir).select("a", "b").distinct()), t)
         .localCheckpoint(true)
     }
 
