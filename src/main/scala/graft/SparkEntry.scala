@@ -1251,14 +1251,16 @@ object SparkEntry {
       val ll = strat.select(lit("lenlang4").as("scheme"), col("doc_id"),
         concat_ws(":", col("lang"), expr("n_chars div 4")).as("k"))
       val skeys = band.unionByName(sdx).unionByName(pre).unionByName(ll)
-      // spread before the pin: the distinct's byte-small exchange AQE-
-      // coalesces to ~1 partition, and a 1-partition checkpoint would
-      // serialize every consumer (the shared levenshtein pass above all)
-      spread(skeys.select(col("scheme"), col("doc_id").as("a"), col("k"))
+      // NOT spread before the pin: a 64-way checkpoint makes every one of
+      // q_dup_rate_cr's four tiny aggregate legs schedule 64 tasks over a
+      // few-thousand-row relation (measured +0.6 s warm, in-sweep), while
+      // the wider cold derive bought nothing in-sweep — the narrow pin is
+      // the right trade for pinned relations this small
+      skeys.select(col("scheme"), col("doc_id").as("a"), col("k"))
         .join(skeys.select(col("scheme"), col("doc_id").as("b"), col("k")),
           Seq("scheme", "k"))
         .filter(col("a") < col("b"))
-        .select("scheme", "a", "b").distinct())
+        .select("scheme", "a", "b").distinct()
         .localCheckpoint(true)
     }
 
@@ -1276,10 +1278,11 @@ object SparkEntry {
     stratumVerifiedCache(s, dir) {
       val t = docsTable(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
-      // spread after the distinct: its byte-small exchange AQE-coalesces
-      // to one partition, serializing the levenshtein pass (event-log:
-      // a 1.4 s single-task stage)
-      levVerify(spread(sStratumSchemePairs(s, dir).select("a", "b").distinct()), t)
+      // the bounded-lev pass runs on the distinct's AQE partitioning; a
+      // spread here was measured a wash in-sweep (the pass is ~1 s once
+      // per session) and cost the tiny downstream aggregates more than it
+      // saved — see the sStratumSchemePairs note
+      levVerify(sStratumSchemePairs(s, dir).select("a", "b").distinct(), t)
         .localCheckpoint(true)
     }
 
